@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Data-quality predicates (reference §2.3 V1-V12: inline validators in
+  * ingestion/dummyjson_ingestor.py:126-236, fakestore_ingestor.py:100-163,
+  * randomuser_ingestor.py:104-192, database/layers/bronze/validator.py:15-63
+  * and the SQL suite database/layers/quality/quality_checks.py:21-78).
+  *
+  * Spark-first design difference: the reference issues one SQL query per
+  * check per table. Here every per-row predicate for a table is folded
+  * into ONE aggregation pass (`sum(when(...))` columns) — a single scan
+  * regardless of how many checks run, which is the difference between 1×
+  * and N× table reads at 100 TB. Structural checks (schema, emptiness)
+  * never touch data.
+  */
+object Quality {
+
+  final case class CheckResult(table: String, check: String, violations: Long, passed: Boolean)
+
+  /** Violation-count column for a per-row predicate: rows where `bad`. */
+  def violations(bad: Column, name: String): Column =
+    coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(name)
+
+  // ---- the reference's predicate vocabulary ------------------------------
+
+  /** V9/V12: null in a required column. */
+  def nullCheck(c: String): Column = violations(col(c).isNull, s"null_$c")
+
+  /** V5: negativity on a numeric column (price/total/age ≥ 0). */
+  def negativeCheck(c: String): Column = violations(col(c) < 0, s"negative_$c")
+
+  /** V6: upper range bound (reference: age ≤ 150). */
+  def rangeCheck(c: String, max: Double): Column = violations(col(c) > max, s"range_$c")
+
+  /** V7: domain membership (reference: gender ∈ {male,female}). */
+  def domainCheck(c: String, allowed: Seq[String]): Column =
+    violations(col(c).isNotNull && !col(c).isin(allowed: _*), s"domain_$c")
+
+  /** V8: format regex (reference email regex, randomuser_ingestor.py:543-546). */
+  def formatCheck(c: String, regex: String): Column =
+    violations(col(c).isNotNull && !col(c).rlike(regex), s"format_$c")
+
+  val EmailRegex = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+
+  /** Run a set of per-row checks in one scan; returns one CheckResult per
+    * check. The single collected row is O(#checks), never O(data).
+    */
+  def runRowChecks(df: DataFrame, table: String, checks: Seq[Column]): Seq[CheckResult] = {
+    val row: Row = df.agg(checks.head, checks.tail: _*).collect()(0)
+    row.schema.fields.zipWithIndex.map { case (f, i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+      CheckResult(table, f.name, v, v == 0L)
+    }.toSeq
+  }
+
+  /** V3/V10: duplicate-key groups (GROUP BY/HAVING count>1). Returns
+    * (key..., dup_count) — one shuffle on the key with partial aggregation.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** V3 as a pass/fail check (PK uniqueness). */
+  def uniqueCheck(df: DataFrame, table: String, keys: Seq[String]): CheckResult = {
+    val dups = duplicateKeys(df, keys).count()
+    CheckResult(table, s"unique_${keys.mkString("_")}", dups, dups == 0L)
+  }
+
+  /** V2: required columns present — pure schema check, no job. */
+  def requiredColumns(df: DataFrame, table: String, required: Seq[String]): CheckResult = {
+    val missing = required.filterNot(df.columns.contains)
+    CheckResult(table, "required_columns", missing.size.toLong, missing.isEmpty)
+  }
+
+  /** V1: non-empty input. `limit(1)` scan, not a full count. */
+  def nonEmpty(df: DataFrame, table: String): CheckResult = {
+    val empty = df.isEmpty
+    CheckResult(table, "non_empty", if (empty) 1L else 0L, !empty)
+  }
+
+  /** Quality gate: throw if any check failed (reference Airflow gate,
+    * orchestration/airflow/dags/doeecommerce_batch_pipeline.py:163-179).
+    */
+  def gate(results: Seq[CheckResult]): Unit = {
+    val failed = results.filterNot(_.passed)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "quality gate failed: " + failed.map(r => s"${r.table}.${r.check}=${r.violations}").mkString(", "))
+  }
+}
