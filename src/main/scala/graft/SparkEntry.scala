@@ -1,13 +1,582 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.t
+import graft.Exprs._
+import graft.operators.{Dedup, Quality, Upsert}
+import graft.gold.Gold
+import graft.bronze.Bronze
+import graft.maintenance.Retention
+import graft.text.TextOps
+import graft.dedup.NearDup
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
+
+/** Driver contract — one registered query per operator from SURVEY.md §2
+  * plus the LLM-pipeline operator families, each with a DuckDB oracle
+  * twin where ANSI SQL can express it (rows-only check otherwise).
+  *
+  * Determinism rules shared by every entry (so the DuckDB hash compare
+  * is exact): double sums/averages go through DECIMAL(18,6) per row
+  * (order-independent — see graft.Exprs), top-k orderings carry explicit
+  * tiebreakers, and no query reads the wall clock.
+  */
 object SparkEntry {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** Shared decimal-sum SQL fragment for oracles. */
+  private def dsumSql(e: String): String =
+    s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private def vioSql(cond: String): String =
+    s"CAST(coalesce(sum(CASE WHEN $cond THEN 1 ELSE 0 END), 0) AS BIGINT)"
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is", "it")
+
+  private val dailyRevenueSelect =
+    s"""CAST(ts AS DATE) AS event_date, count(*) AS events_count,
+       | ${dsumSql("value")} AS total_value,
+       | ${dsumSql("value")} / count(*) AS avg_value,
+       | count(DISTINCT user_id) AS unique_users""".stripMargin
+
+  // ---- registry: (name, implementation, oracle SQL if expressible) ----
+  private val registry: Seq[(String, Q, Option[String])] = Seq(
+
+    // === aggregations (A1-A10) ==========================================
+
+    ("q01_pricing_summary", (s, d) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(disc).as("sum_disc_price"),
+          dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }, Some(s"""SELECT l_returnflag, l_linestatus,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | ${dsumSql("l_extendedprice")} AS sum_base_price,
+       | ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       | ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       | ${dsumSql("l_quantity")} / count(*) AS avg_qty,
+       | ${dsumSql("l_extendedprice")} / count(*) AS avg_price,
+       | ${dsumSql("l_discount")} / count(*) AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("q08_daily_revenue", (s, d) =>
+      Gold.dailyRevenue(t(s, d, "events"), "ts", "user_id", "value"),
+      Some(s"SELECT $dailyRevenueSelect FROM events GROUP BY 1")),
+
+    ("q09_product_catalog", (s, d) =>
+      Gold.productCatalog(t(s, d, "part"), "p_brand", "p_retailprice"),
+      Some(s"""SELECT p_brand, count(*) AS product_count,
+         | min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+         | ${dsumSql("p_retailprice")} / count(*) AS avg_price
+         |FROM part GROUP BY p_brand""".stripMargin)),
+
+    ("q10_finance_kpis", (s, d) =>
+      Gold.financeKpis(
+        t(s, d, "orders").filter(
+          col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00")),
+        "o_totalprice"),
+      Some(s"""SELECT ${dsumSql("o_totalprice")} AS total_revenue,
+         | ${dsumSql("o_totalprice")} / count(*) AS avg_order_value,
+         | count(*) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin)),
+
+    ("q11_sales_kpis", (s, d) => {
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      o.agg(count(lit(1)).as("orders_1997"),
+          countDistinct(col("o_custkey")).as("unique_customers_1997"))
+        .crossJoin(t(s, d, "part").agg(count(lit(1)).as("product_count")))
+        .crossJoin(t(s, d, "supplier").agg(count(lit(1)).as("supplier_count")))
+    }, Some("""SELECT
+       | (SELECT count(*) FROM orders
+       |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |     AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS orders_1997,
+       | (SELECT count(DISTINCT o_custkey) FROM orders
+       |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |     AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS unique_customers_1997,
+       | (SELECT count(*) FROM part) AS product_count,
+       | (SELECT count(*) FROM supplier) AS supplier_count""".stripMargin)),
+
+    ("q12_ops_kpis", (s, d) =>
+      t(s, d, "events").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"),
+          sum(when(col("event_type") === "purchase", col("value").cast(Money)))
+            .cast("double").as("sp"))
+        .select(
+          (col("np").cast("double") / col("n")).as("purchase_rate"),
+          (col("ne").cast("double") / col("n")).as("error_rate"),
+          coalesce(when(col("np") > 0, col("sp") / col("np")), lit(0.0))
+            .as("avg_purchase_value")),
+      Some("""SELECT CAST(np AS DOUBLE) / n AS purchase_rate,
+         | CAST(ne AS DOUBLE) / n AS error_rate,
+         | coalesce(CASE WHEN np > 0 THEN sp / np END, 0.0) AS avg_purchase_value
+         |FROM (SELECT count(*) AS n,
+         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne,
+         |  CAST(sum(CASE WHEN event_type = 'purchase'
+         |           THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sp
+         | FROM events)""".stripMargin)),
+
+    ("q13_top_events", (s, d) =>
+      t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type")).limit(3),
+      Some("""SELECT event_type, count(*) AS cnt FROM events
+         |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin)),
+
+    ("q14_date_histogram", (s, d) =>
+      t(s, d, "events").groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_date").desc).limit(10),
+      Some("""SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt FROM events
+         |GROUP BY 1 ORDER BY event_date DESC LIMIT 10""".stripMargin)),
+
+    ("q15_stats_summary", (s, d) =>
+      t(s, d, "documents").agg(
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("median_chars")),
+      Some("""SELECT min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         | CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+         | quantile_cont(n_chars, 0.5) AS median_chars
+         |FROM documents""".stripMargin)),
+
+    ("q16_value_counts", (s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("cnt")),
+      Some("SELECT lang, count(*) AS cnt FROM documents GROUP BY lang")),
+
+    // === dedup (D1-D3) ==================================================
+
+    ("q02_dedup_keep_latest", (s, d) =>
+      Dedup.keepLatest(t(s, d, "events"), Seq("user_id"), "ts",
+          Seq(col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "value", "ts"),
+      Some("""SELECT user_id, event_id, event_type, value, ts FROM events
+         |QUALIFY row_number() OVER
+         | (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin)),
+
+    ("q03_dedup_keep_earliest", (s, d) =>
+      Dedup.keepEarliest(t(s, d, "events"), Seq("user_id"), "ts",
+          Seq(col("event_id").asc))
+        .select("user_id", "event_id", "event_type", "value", "ts"),
+      Some("""SELECT user_id, event_id, event_type, value, ts FROM events
+         |QUALIFY row_number() OVER
+         | (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1""".stripMargin)),
+
+    ("q04_distinct_rows", (s, d) =>
+      Dedup.distinctRows(
+        t(s, d, "orders").select("o_orderstatus", "o_orderpriority")),
+      Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")),
+
+    // === upsert / merge (S9, S10, J2, J3) ===============================
+
+    ("q05_upsert_merge", (s, d) => {
+      val orders = t(s, d, "orders")
+      val updates = orders.filter(col("o_custkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      Upsert.merge(orders, updates, Seq("o_orderkey"))
+    }, Some("""WITH upd AS (
+       | SELECT o_orderkey, o_custkey, o_orderstatus,
+       |        o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+       | FROM orders WHERE o_custkey % 10 = 0)
+       |SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       |UNION ALL BY NAME SELECT * FROM upd""".stripMargin)),
+
+    ("q06_upsert_by_date", (s, d) => {
+      val ev = t(s, d, "events")
+      val mart = Gold.dailyRevenue(
+        ev.filter(col("event_type") =!= "error"), "ts", "user_id", "value")
+      val daily = Gold.dailyRevenue(
+        ev.filter(to_date(col("ts")) >= lit("2024-01-10").cast("date")),
+        "ts", "user_id", "value")
+      Upsert.upsertByDate(mart, daily, "event_date")
+    }, Some(s"""WITH mart AS (
+       | SELECT $dailyRevenueSelect FROM events WHERE event_type <> 'error' GROUP BY 1),
+       |daily AS (
+       | SELECT $dailyRevenueSelect FROM events
+       | WHERE CAST(ts AS DATE) >= DATE '2024-01-10' GROUP BY 1)
+       |SELECT * FROM mart WHERE event_date NOT IN (SELECT event_date FROM daily)
+       |UNION ALL BY NAME SELECT * FROM daily""".stripMargin)),
+
+    // === joins (J1) =====================================================
+
+    ("q07_user_activity", (s, d) =>
+      Gold.userActivity(
+        t(s, d, "customer").select("c_custkey", "c_name"),
+        t(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+      Some(s"""SELECT c_custkey, c_name,
+         | count(DISTINCT o_orderkey) AS order_count,
+         | ${dsumSql("coalesce(o_totalprice, 0)")} AS total_spend,
+         | max(o_orderdate) AS last_order_ts
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name""".stripMargin)),
+
+    // === quality predicates (V1-V12) ====================================
+
+    ("q17_quality_events", (s, d) =>
+      t(s, d, "events").agg(
+        Quality.nullCheck("user_id"),
+        Quality.negativeCheck("value"),
+        Quality.rangeCheck("value", 500),
+        Quality.domainCheck("event_type", Seq("click", "view", "purchase", "signup")),
+        Quality.formatCheck("event_type", "^[a-z]+$")),
+      Some(s"""SELECT
+         | ${vioSql("user_id IS NULL")} AS null_user_id,
+         | ${vioSql("value < 0")} AS negative_value,
+         | ${vioSql("value > 500")} AS range_value,
+         | ${vioSql("event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')")} AS domain_event_type,
+         | ${vioSql("event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$$')")} AS format_event_type
+         |FROM events""".stripMargin)),
+
+    ("q18_quality_docs", (s, d) =>
+      t(s, d, "documents").agg(
+        Quality.nullCheck("text"),
+        Quality.formatCheck("source", "^src[0-9]+$"),
+        Quality.domainCheck("lang", Seq("en", "fr", "es", "de", "zh")),
+        Quality.rangeCheck("n_chars", 100000)),
+      Some(s"""SELECT
+         | ${vioSql("text IS NULL")} AS null_text,
+         | ${vioSql("source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$$')")} AS format_source,
+         | ${vioSql("lang IS NOT NULL AND lang NOT IN ('en','fr','es','de','zh')")} AS domain_lang,
+         | ${vioSql("n_chars > 100000")} AS range_n_chars
+         |FROM documents""".stripMargin)),
+
+    ("q19_duplicate_keys", (s, d) =>
+      Quality.duplicateKeys(t(s, d, "events"), Seq("user_id")),
+      Some("""SELECT user_id, count(*) AS dup_count FROM events
+         |GROUP BY user_id HAVING count(*) > 1""".stripMargin)),
+
+    ("q34_quality_suite", (s, d) =>
+      t(s, d, "events")
+        .agg(Quality.nullCheck("user_id"), Quality.negativeCheck("value"),
+          Quality.rangeCheck("value", 500))
+        .select(expr(
+          """stack(3,
+            | 'null_user_id', null_user_id,
+            | 'negative_value', negative_value,
+            | 'range_value', range_value) AS (check_name, violations)""".stripMargin)),
+      Some(s"""WITH a AS (SELECT
+         | ${vioSql("user_id IS NULL")} AS null_user_id,
+         | ${vioSql("value < 0")} AS negative_value,
+         | ${vioSql("value > 500")} AS range_value FROM events)
+         |SELECT 'null_user_id' AS check_name, null_user_id AS violations FROM a
+         |UNION ALL SELECT 'negative_value', negative_value FROM a
+         |UNION ALL SELECT 'range_value', range_value FROM a""".stripMargin)),
+
+    // === projections / per-row transforms (P1-P14) ======================
+
+    ("q20_flatten_props", (s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k")),
+      Some("""SELECT event_id,
+         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+         |FROM events""".stripMargin)),
+
+    ("q21_to_json_payload", (s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        to_json(struct(col("user_id"), col("event_type"))).as("payload")),
+      Some("""SELECT event_id,
+         | to_json(struct_pack(user_id := user_id, event_type := event_type)) AS payload
+         |FROM events""".stripMargin)),
+
+    ("q22_string_normalize", (s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        lower(trim(col("c_name"))).as("norm_name"),
+        trim(concat_ws(" ", col("c_mktsegment"), col("c_name"))).as("label"),
+        regexp_replace(col("c_name"), "[^0-9]", "").as("digits")),
+      Some("""SELECT c_custkey, lower(trim(c_name)) AS norm_name,
+         | trim(concat_ws(' ', c_mktsegment, c_name)) AS label,
+         | regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+         |FROM customer""".stripMargin)),
+
+    ("q23_binning", (s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_acctbal"),
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 1000, "low")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("balance_band")),
+      Some("""SELECT c_custkey, c_acctbal,
+         | CASE WHEN c_acctbal < 0 THEN 'debt'
+         |      WHEN c_acctbal < 1000 THEN 'low'
+         |      WHEN c_acctbal < 5000 THEN 'mid'
+         |      ELSE 'high' END AS balance_band
+         |FROM customer""".stripMargin)),
+
+    ("q24_date_trunc", (s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        to_date(col("ts")).as("event_date"),
+        date_trunc("day", col("ts")).as("day_ts")),
+      Some("""SELECT event_id, CAST(ts AS DATE) AS event_date,
+         | CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts
+         |FROM events""".stripMargin)),
+
+    ("q25_monetary_round", (s, d) =>
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price_2dp")),
+      Some("""SELECT l_orderkey, l_linenumber,
+         | CAST(l_extendedprice AS DECIMAL(18,2)) AS price_2dp
+         |FROM lineitem""".stripMargin)),
+
+    ("q26_safe_division", (s, d) =>
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_extendedprice") > 0,
+          col("l_extendedprice") * col("l_discount") / col("l_extendedprice") * lit(100.0))
+          .otherwise(0.0).as("discount_pct")),
+      Some("""SELECT l_orderkey, l_linenumber,
+         | CASE WHEN l_extendedprice > 0
+         |      THEN l_extendedprice * l_discount / l_extendedprice * 100.0
+         |      ELSE 0.0 END AS discount_pct
+         |FROM lineitem""".stripMargin)),
+
+    ("q27_metadata_cols", (s, d) =>
+      Bronze.withIngestMeta(t(s, d, "events").select("event_id", "ts"),
+        "synthetic_api", "events", "events_raw", ts("2024-02-01 00:00:00")),
+      Some("""SELECT event_id, ts,
+         | TIMESTAMP '2024-02-01 00:00:00' AS _ingestion_timestamp,
+         | 'synthetic_api' AS _source_name, 'events' AS _endpoint,
+         | 'events_raw' AS _table_name
+         |FROM events""".stripMargin)),
+
+    ("q28_union_endpoints", (s, d) => {
+      val ev = t(s, d, "events")
+      Bronze.unionEndpoints(Seq(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "event_type"),
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "value", "event_type")))
+    }, Some("""SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+       |UNION ALL BY NAME
+       |SELECT event_id, value, event_type FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    ("q32_cast_project", (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").cast("string").as("customer_ref"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice").cast("double").as("total")),
+      Some("""SELECT o_orderkey AS order_id, CAST(o_custkey AS VARCHAR) AS customer_ref,
+         | CAST(o_orderdate AS DATE) AS order_date,
+         | CAST(o_totalprice AS DOUBLE) AS total
+         |FROM orders""".stripMargin)),
+
+    ("q33_drop_all_null", (s, d) =>
+      t(s, d, "events").select(col("event_id"),
+          when(col("event_type") =!= "error", col("event_type")).as("et"),
+          when(col("event_type") =!= "error", col("value")).as("v"))
+        .na.drop("all", Seq("et", "v")),
+      Some("""SELECT * FROM (
+         | SELECT event_id,
+         |  CASE WHEN event_type <> 'error' THEN event_type END AS et,
+         |  CASE WHEN event_type <> 'error' THEN value END AS v
+         | FROM events)
+         |WHERE NOT (et IS NULL AND v IS NULL)""".stripMargin)),
+
+    // === maintenance (S11-S13) ==========================================
+
+    ("q29_retention_filter", (s, d) =>
+      Retention.retain(t(s, d, "events"), "ts", ts("2024-01-08 00:00:00")),
+      Some("SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'")),
+
+    ("q30_archive_slice", (s, d) =>
+      Retention.archiveSlice(t(s, d, "events"), "ts",
+        ts("2024-01-08 00:00:00"), ts("2024-02-01 00:00:00")),
+      Some("""SELECT *, TIMESTAMP '2024-02-01 00:00:00' AS _archived_at
+         |FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)),
+
+    ("q31_backfill_window", (s, d) =>
+      Retention.backfillWindow(t(s, d, "events"), "ts",
+        ts("2024-01-10 00:00:00"), ts("2024-01-20 00:00:00")),
+      Some("""SELECT * FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)),
+
+    // === LLM-pipeline: dedup families ===================================
+
+    ("q40_exact_dedup_groups", (s, d) =>
+      Dedup.exactDedupKeepers(t(s, d, "documents"), "doc_id", Seq("text"))
+        .select("keeper_id", "group_size"),
+      Some("""SELECT min(doc_id) AS keeper_id, count(*) AS group_size
+         |FROM documents GROUP BY text""".stripMargin)),
+
+    ("q48_minhash_signatures", (s, d) =>
+      NearDup.minhashSignatures(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("m0"), element_at(col("sig"), 2).as("m1"),
+          element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3")),
+      None),
+
+    ("q49_near_dup_pairs", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      NearDup.nearDupPairs(docs.unionByName(mutated), "doc_id", "text",
+        threshold = 0.5, k = 64, bands = 16)
+    }, None),
+
+    ("q50_simhash_pairs", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      NearDup.simhashPairs(
+        NearDup.simhash(docs.unionByName(mutated), "doc_id", "text"),
+        "doc_id", maxHamming = 7, blocks = 8)
+    }, None),
+
+    // === LLM-pipeline: text analysis ====================================
+
+    ("q41_token_stats", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextOps.avgWordLen(col("text")).as("avg_word_len")),
+      Some("""SELECT doc_id, n_tokens, n_chars_calc,
+         | CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len
+         |FROM (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents)""".stripMargin)),
+
+    ("q42_text_quality", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.hitCount(col("text"), stopwords).as("stop_hits"),
+        TextOps.wordRatio(col("text"), stopwords).as("stop_ratio"),
+        TextOps.longWordCount(col("text"), 5).as("long_words")),
+      Some(s"""SELECT doc_id,
+         | CAST(len(list_filter(string_split(text, ' '),
+         |   w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS stop_hits,
+         | CAST(len(list_filter(string_split(text, ' '),
+         |   w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |   / len(string_split(text, ' ')) AS stop_ratio,
+         | CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS long_words
+         |FROM documents""".stripMargin)),
+
+    ("q43_lang_id", (s, d) => {
+      val base = t(s, d, "documents")
+        .select((col("doc_id") +: TextOps.langScores(col("text"))): _*)
+      base.withColumn("predicted_lang", TextOps.langIdFromScores)
+    }, Some {
+      val scores = TextOps.LangMarkers.map { case (lang, words) =>
+        s""" CAST(len(list_filter(string_split(text, ' '),
+           |   w -> w IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$lang""".stripMargin
+      }.mkString(",\n")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val caseArms = langs.init.map { lang =>
+        val conds = langs.filterNot(_ == lang)
+          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         | CASE $caseArms ELSE '${langs.last}' END AS predicted_lang
+         |FROM (SELECT doc_id,
+         |$scores
+         |FROM documents)""".stripMargin
+    }),
+
+    ("q44_doc_fingerprint", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint")),
+      Some("""SELECT doc_id,
+         | list_reduce(
+         |   list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         |FROM documents""".stripMargin)),
+
+    // === LLM-pipeline: similarity search ================================
+
+    ("q45_cosine_topk", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+    }, Some("""SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       | row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rnk
+       |FROM embeddings e
+       |JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q ON e.vec_id <> q.vec_id
+       |QUALIFY rnk <= 5""".stripMargin)),
+
+    ("q51_ann_lsh_topk", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, bits = 12, dim = 64)
+    }, None),
+
+    ("q47_embedding_norms", (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"),
+          Similarity.norm(Similarity.toDouble(col("embedding"))).cast(Money).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"), sum(col("nrm")).cast("double").as("total_norm")),
+      Some("""SELECT label, count(*) AS cnt,
+         | CAST(sum(CAST(sqrt(list_reduce(
+         |   list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |   (a, b) -> a + b)) AS DECIMAL(18,6))) AS DOUBLE) AS total_norm
+         |FROM embeddings GROUP BY label""".stripMargin)),
+
+    // === LLM-pipeline: multimodal plumbing ==============================
+
+    ("q46_multimodal_stats", (s, d) =>
+      Multimodal.mediaStats(
+        t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media"),
+      Some("""SELECT doc_id,
+         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_bytes,
+         | ascii(substr(text, 1, 1)) AS head_byte
+         |FROM documents""".stripMargin)),
+
+    ("q52_multimodal_features", (s, d) =>
+      Multimodal.extractFeatures(
+        t(s, d, "documents")
+          .select(col("doc_id").as("media_id"), col("text").cast("binary").as("media")))
+        .toDF().select("media_id", "n_bytes", "checksum"),
+      None),
+
+    ("q53_frame_sample_plan", (s, d) =>
+      Multimodal.frameSamplePlan(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media", stride = 64, maxFrames = 4),
+      Some("""SELECT doc_id, n_bytes,
+         | CAST(off // 64 AS INTEGER) AS frame_idx, off AS byte_offset
+         |FROM (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+         |      FROM documents),
+         | UNNEST(range(0, least(n_bytes - 1, 192) + 1, 64)) AS u(off)""".stripMargin))
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q08_daily_revenue")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = registry.map { case (n, f, _) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(o)) => n -> o }.toMap
 }

@@ -11,14 +11,27 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Write timestamps as NTZ (isAdjustedToUTC=false) so the dump
+        // carries the same naive µs values DuckDB produces from the
+        // sources — the session is UTC, so the wall clock is unchanged.
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        import org.apache.spark.sql.functions.col
+        val cols = out.schema.fields.map { f =>
+          if (f.dataType == TimestampType)
+            col(s"`${f.name}`").cast(TimestampNTZType).as(f.name)
+          else col(s"`${f.name}`")
+        }
+        out.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,64 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Exprs._
+
+/** Gold-layer KPI marts and analytic views (reference:
+  * database/layers/gold/publish_gold.py:25-84 and the three views in
+  * database/db_setup.py:341-399), generalized over column names so the
+  * same operators serve both the reference's e-commerce shapes and the
+  * harness's testdata tables.
+  *
+  * Scale notes: every mart/view is a single hash aggregation (partial
+  * map-side combine + one exchange on the group key). The day-grain
+  * marts group on a derived `to_date` column — at 100 TB, date-partition
+  * the input so the scan prunes to the day range first.
+  */
+object Gold {
+
+  /** vw_daily_revenue (db_setup.py:346-357): per-day count / sum / avg /
+    * distinct users.
+    */
+  def dailyRevenue(df: DataFrame, tsCol: String, userCol: String, valueCol: String): DataFrame =
+    df.groupBy(to_date(col(tsCol)).as("event_date"))
+      .agg(
+        count(lit(1)).as("events_count"),
+        dsum(col(valueCol)).as("total_value"),
+        davg(col(valueCol)).as("avg_value"),
+        countDistinct(col(userCol)).as("unique_users"))
+
+  /** vw_product_catalog (db_setup.py:360-370): per-category count and
+    * min/max/avg price.
+    */
+  def productCatalog(df: DataFrame, categoryCol: String, priceCol: String): DataFrame =
+    df.groupBy(col(categoryCol))
+      .agg(
+        count(lit(1)).as("product_count"),
+        min(col(priceCol)).as("min_price"),
+        max(col(priceCol)).as("max_price"),
+        davg(col(priceCol)).as("avg_price"))
+
+  /** vw_user_activity (db_setup.py:373-386): dimension LEFT JOIN facts,
+    * then per-user distinct-count / sum / latest. The dimension side is
+    * broadcast — at scale the fact table never shuffles for the join,
+    * only for the groupBy.
+    */
+  def userActivity(users: DataFrame, facts: DataFrame, userKey: String,
+                   factId: String, valueCol: String, tsCol: String): DataFrame =
+    broadcast(users).join(facts, Seq(userKey), "left")
+      .groupBy(users.columns.map(col).toIndexedSeq: _*)
+      .agg(
+        countDistinct(col(factId)).as("order_count"),
+        dsum(coalesce(col(valueCol), lit(0.0))).as("total_spend"),
+        max(col(tsCol)).as("last_order_ts"))
+
+  /** finance_mart KPIs for a pre-filtered day/window
+    * (publish_gold.py:28-34): revenue, average order value, count.
+    */
+  def financeKpis(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      dsum(col(valueCol)).as("total_revenue"),
+      davg(col(valueCol)).as("avg_order_value"),
+      count(lit(1)).as("order_count"))
+}

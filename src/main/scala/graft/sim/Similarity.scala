@@ -1,0 +1,99 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers, as a training-data pipeline needs:
+  *  - brute-force cosine top-k: the exact baseline. The query set is
+  *    broadcast, so the corpus streams once with no shuffle — correct
+  *    but O(N·Q); use it for small query batches or as ground truth.
+  *  - signed-random-projection LSH: corpus and queries hash to bucket
+  *    signatures; candidates come from an equi-join on the bucket key,
+  *    so at 100 TB the all-pairs product never forms. Probing also
+  *    flips each signature bit (Hamming-1 multi-probe) to recover
+  *    near-boundary neighbors.
+  *
+  * All arithmetic is codegen'd higher-order functions (`zip_with` +
+  * `aggregate`) over doubles — no UDF, deterministic fold order.
+  */
+object Similarity {
+
+  /** Elementwise float→double, so downstream math is double-precision. */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Sequential-fold dot product — deterministic for a given array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. `corpus` and
+    * `queries` carry (idCol, vecCol); vectors must be same length.
+    * Output: query_id, neighbor_id, rnk (1-based by descending cosine,
+    * neighbor id as deterministic tiebreak).
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Deterministic signed-random-projection hyperplanes: `bits` vectors
+    * of ±1 over `dim` dimensions, derived from a fixed-seed generator.
+    */
+  private def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** LSH bucket signature: sign bits of the projections packed into one
+    * long. A pure projection — computed in one scan, no shuffle.
+    */
+  def srpSignature(vec: Column, bits: Int, dim: Int): Column = {
+    val planes = hyperplanes(bits, dim)
+    (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, array(planes(b).map(lit).toIndexedSeq: _*), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates share an LSH bucket with the query
+    * (multi-probe: the query also probes all Hamming-1 buckets), then
+    * exact cosine ranks the candidates. One equi-join on the bucket
+    * key — never a cross product.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 12, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", srpSignature(col("cv"), bits, dim))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("sig", srpSignature(col("qv"), bits, dim))
+      .select(col("query_id"), col("qv"),
+        explode(concat(array(col("sig")),
+          expr(s"transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b))")))
+          .as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+}
