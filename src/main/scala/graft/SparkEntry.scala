@@ -521,7 +521,7 @@ object SparkEntry {
     ("q51_ann_lsh_topk", (s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, bits = 12, dim = 64)
+        k = 5, bits = 8, dim = 64, tables = 8)
     }, None),
 
     ("q47_embedding_norms", (s, d) =>

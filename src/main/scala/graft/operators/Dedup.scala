@@ -47,13 +47,17 @@ object Dedup {
     */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
 
-  /** 64-bit content digest over `contentCols`. Hashing the STRUCT (not a
-    * string concatenation) preserves null positions and column
-    * boundaries: ("a", null) and (null, "a") digest differently, and a
-    * value containing a separator byte cannot collide adjacent columns.
+  /** 64-bit content digest over `contentCols`. Hashing a STRUCT (not a
+    * string concatenation) keeps column boundaries — a value containing
+    * a separator byte cannot collide adjacent columns. Spark's hash
+    * functions SKIP null fields (the seed passes through unchanged), so
+    * ("a", null) and (null, "a") would still collide; appending explicit
+    * per-column null flags to the hashed struct restores null-position
+    * sensitivity.
     */
   def contentHash(contentCols: Seq[String]): Column =
-    xxhash64(struct(contentCols.map(col): _*))
+    xxhash64(struct(
+      (contentCols.map(col) ++ contentCols.map(c => isnull(col(c)))): _*))
 
   /** Exact content dedup by digest of selected columns: returns the
     * keeper row per content group (min id) plus the group size.

@@ -81,6 +81,19 @@ object Quality {
     CheckResult(table, "non_empty", if (empty) 1L else 0L, !empty)
   }
 
+  /** V11: table-driven check suite (reference quality_checks.py:52-78 —
+    * a PK map per table driving null + duplicate checks). One
+    * aggregation scan per table for the row checks plus one shuffle for
+    * uniqueness — not one query per check like the reference.
+    */
+  def suite(tables: Map[String, (DataFrame, Seq[String])]): Seq[CheckResult] =
+    tables.toSeq.flatMap { case (name, (df, pks)) =>
+      val structural = Seq(nonEmpty(df, name), requiredColumns(df, name, pks))
+      val rowChecks =
+        if (pks.isEmpty) Nil else runRowChecks(df, name, pks.map(nullCheck))
+      structural ++ rowChecks ++ pks.map(pk => uniqueCheck(df, name, Seq(pk)))
+    }
+
   /** Quality gate: throw if any check failed (reference Airflow gate,
     * orchestration/airflow/dags/doeecommerce_batch_pipeline.py:163-179).
     */

@@ -51,18 +51,19 @@ object Similarity {
   }
 
   /** Deterministic signed-random-projection hyperplanes: `bits` vectors
-    * of ±1 over `dim` dimensions, derived from a fixed-seed generator.
+    * of ±1 over `dim` dimensions, derived from a fixed-seed generator
+    * (seeded per hash table so tables are independent).
     */
-  private def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
   /** LSH bucket signature: sign bits of the projections packed into one
     * long. A pure projection — computed in one scan, no shuffle.
     */
-  def srpSignature(vec: Column, bits: Int, dim: Int): Column = {
-    val planes = hyperplanes(bits, dim)
+  def srpSignature(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(bits, dim, seed)
     (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(vec, array(planes(b).map(lit).toIndexedSeq: _*), (x, w) => x * w),
@@ -71,24 +72,36 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates share an LSH bucket with the query
-    * (multi-probe: the query also probes all Hamming-1 buckets), then
-    * exact cosine ranks the candidates. One equi-join on the bucket
-    * key — never a cross product.
+  /** (table_id, bucket) keys for multi-table SRP LSH: `tables`
+    * independent sign-hash tables of `bits` bits each. Standard LSH
+    * recall amplification — a near neighbor only needs to collide in
+    * ONE table. Emits `tables` rows per vector (the index-size/recall
+    * tradeoff; candidates still come from equi-joins, never a cross
+    * product).
+    */
+  private def lshKeys(vec: Column, bits: Int, dim: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("table_id"),
+        srpSignature(vec, bits, dim, seed = 1000L + t).as("bucket"))
+    }: _*)
+
+  /** Approximate top-k: candidates share an LSH bucket with the query in
+    * any of the hash tables, then exact cosine ranks them. The query
+    * side is broadcast; the corpus is scanned once and shuffles only the
+    * (table_id, bucket)-matched candidates.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 12, dim: Int = 64): DataFrame = {
+              vecCol: String, k: Int, bits: Int = 8, dim: Int = 64,
+              tables: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", srpSignature(col("cv"), bits, dim))
+      .select(col("neighbor_id"), col("cv"),
+        explode(lshKeys(col("cv"), bits, dim, tables)).as("key"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("sig", srpSignature(col("qv"), bits, dim))
       .select(col("query_id"), col("qv"),
-        explode(concat(array(col("sig")),
-          expr(s"transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b))")))
-          .as("bucket"))
+        explode(lshKeys(col("qv"), bits, dim, tables)).as("key"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(broadcast(q), Seq("key"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
       .distinct()

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame = Seq(
+    // (key, ts, payload)
+    (1L, 10L, "old"), (1L, 30L, "new"), (1L, 20L, "mid"),
+    (2L, 5L, "only"),
+    (3L, 7L, "tie-a"), (3L, 7L, "tie-b")
+  ).toDF("id", "ts", "payload")
+
+  test("keepLatest keeps exactly the max-ts row per key") {
+    val out = Dedup.keepLatest(frame, Seq("id"), "ts", Seq(col("payload").desc))
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(2) == "new")
+    assert(out(1).getString(2) == "only")
+  }
+
+  test("keepLatest tie-break is deterministic via tiebreaker column") {
+    val a = Dedup.keepLatest(frame, Seq("id"), "ts", Seq(col("payload").desc))
+      .filter($"id" === 3).collect().head.getString(2)
+    assert(a == "tie-b") // desc on payload
+    val b = Dedup.keepLatest(frame, Seq("id"), "ts", Seq(col("payload").asc))
+      .filter($"id" === 3).collect().head.getString(2)
+    assert(b == "tie-a")
+  }
+
+  test("keepEarliest keeps the min-ts row per key") {
+    val out = Dedup.keepEarliest(frame, Seq("id"), "ts", Seq(col("payload").asc))
+      .filter($"id" === 1).collect().head
+    assert(out.getString(2) == "old")
+  }
+
+  test("distinctRows removes full duplicates only") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b")).toDF("k", "v")
+    assert(Dedup.distinctRows(df).count() == 2)
+  }
+
+  test("exactDedup: null position matters — (a,null) != (null,a)") {
+    val df = Seq(
+      (1L, Some("a"), None: Option[String]),
+      (2L, None: Option[String], Some("a")),
+      (3L, Some("a"), None: Option[String])
+    ).toDF("id", "c1", "c2")
+    val groups = Dedup.exactDedupKeepers(df, "id", Seq("c1", "c2")).collect()
+    assert(groups.length == 2) // rows 1+3 merge; row 2 stays distinct
+    val keepers = Dedup.exactDedup(df, "id", Seq("c1", "c2"))
+      .select("id").as[Long].collect().sorted
+    assert(keepers.sameElements(Array(1L, 2L)))
+  }
+
+  test("exactDedup: separator bytes in values cannot collide columns") {
+    val df = Seq((1L, "a b", "c"), (2L, "a", "b c")).toDF("id", "c1", "c2")
+    assert(Dedup.exactDedupKeepers(df, "id", Seq("c1", "c2")).count() == 2)
+  }
+}

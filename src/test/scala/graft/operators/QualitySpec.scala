@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class QualitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def users = Seq(
+    (Some(1L), Some("a@x.com"), "male", 30),
+    (Some(2L), None, "female", 200),          // null email, age out of range
+    (Some(3L), Some("not-an-email"), "robot", -1), // bad format+domain+negative
+    (None, Some("b@y.org"), "male", 40),      // null id
+    (Some(1L), Some("c@z.io"), "female", 25)  // duplicate id
+  ).toDF("id", "email", "gender", "age")
+
+  test("one-pass row checks count violations per predicate") {
+    val res = Quality.runRowChecks(users, "users", Seq(
+      Quality.nullCheck("id"),
+      Quality.nullCheck("email"),
+      Quality.negativeCheck("age"),
+      Quality.rangeCheck("age", 150),
+      Quality.domainCheck("gender", Seq("male", "female")),
+      Quality.formatCheck("email", Quality.EmailRegex)))
+    val byName = res.map(r => r.check -> r.violations).toMap
+    assert(byName("null_id") == 1)
+    assert(byName("null_email") == 1)
+    assert(byName("negative_age") == 1)
+    assert(byName("range_age") == 1)
+    assert(byName("domain_gender") == 1)
+    assert(byName("format_email") == 1)
+  }
+
+  test("uniqueCheck flags duplicate PKs") {
+    val r = Quality.uniqueCheck(users, "users", Seq("id"))
+    assert(!r.passed && r.violations == 1)
+  }
+
+  test("requiredColumns is a pure schema check") {
+    assert(Quality.requiredColumns(users, "users", Seq("id", "email")).passed)
+    assert(!Quality.requiredColumns(users, "users", Seq("id", "missing")).passed)
+  }
+
+  test("suite runs the per-table PK map like the reference") {
+    val clean = Seq((1L, "x"), (2L, "y")).toDF("pk", "v")
+    val res = Quality.suite(Map(
+      "clean" -> (clean, Seq("pk")),
+      "users" -> (users, Seq("id"))))
+    assert(res.filter(_.table == "clean").forall(_.passed))
+    val bad = res.filter(r => r.table == "users" && !r.passed).map(_.check)
+    assert(bad.contains("null_id") && bad.contains("unique_id"))
+  }
+
+  test("gate throws iff a check failed") {
+    Quality.gate(Seq(Quality.CheckResult("t", "ok", 0, passed = true)))
+    val ex = intercept[IllegalStateException] {
+      Quality.gate(Seq(Quality.CheckResult("t", "bad", 3, passed = false)))
+    }
+    assert(ex.getMessage.contains("t.bad=3"))
+  }
+
+  test("nonEmpty") {
+    assert(Quality.nonEmpty(users, "users").passed)
+    assert(!Quality.nonEmpty(users.limit(0), "users").passed)
+  }
+}
