@@ -36,13 +36,20 @@ object NearDup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, shingleN: Int = 3): DataFrame = {
     val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)
-    // Materialize the base hashes (non-negative mod P so a*h+b stays in
-    // long range, ANSI-safe) as their own projection: the k min-hash
-    // aggregates each reference it, and CollapseProject keeps expensive
-    // aliases un-inlined — without this the tokenize→shingle→hash chain
-    // would be recomputed k times per row.
-    val hashed = df.select(col(idCol),
-      transform(sh, s => pmod(xxhash64(s), lit(P))).as("__hv"))
+    // Explode shingles and take k codegen'd min() aggregates rather than
+    // folding k times over an array column: higher-order-function
+    // lambdas fall out of whole-stage codegen, while explode + hash
+    // aggregation (with map-side partial mins) stays compiled. One
+    // shuffle on the doc id; the base hash is non-negative mod P so
+    // a*h+b never overflows a long (ANSI-safe).
+    // Repartition first: a small input (one file = one partition) would
+    // otherwise compute every signature on a single thread. Then one
+    // per-row pass: materialize the shingle hashes once (own projection
+    // so CollapseProject cannot inline the expensive chain k times) and
+    // fold k min-perms over them. No explode, no aggregation shuffle —
+    // a pure projection that scales embarrassingly parallel.
+    val hashed = df.repartition(col(idCol))
+      .select(col(idCol), transform(sh, s => pmod(xxhash64(s), lit(P))).as("__hv"))
     val sig = array((0 until k).map { i =>
       val (a, b) = perm(i)
       aggregate(col("__hv"), lit(Long.MaxValue),
@@ -83,7 +90,7 @@ object NearDup {
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = df.repartition(col(idCol)).select(col(idCol),
       array_distinct(TextOps.tokens(col(textCol))).as("toks"))
     pairs
       .join(toks.select(col(idCol).as("id1"), col("toks").as("t1")), Seq("id1"))
@@ -109,19 +116,24 @@ object NearDup {
   }
 
   /** 64-bit SimHash over tokens: per-bit vote of token-hash sign bits.
-    * Two row explosions (token, bit) feeding one hash aggregation —
-    * linear in corpus token count.
+    * One token explosion, then 64 codegen'd sum() aggregates (one per
+    * bit) in a single hash aggregation — no 64-way row blowup, one
+    * shuffle on the doc id, linear in corpus token count.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-      .select(col(idCol), posexplode(
-        expr("transform(sequence(0, 63), i -> IF((shiftright(h, i) & 1) = 1, 1, -1))")))
-      .groupBy(col(idCol), col("pos"))
-      .agg(sum(col("col")).as("vote"))
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val votes = (0 until 64).map { i =>
+      sum(expr(s"IF((shiftright(__h, $i) & 1) = 1, 1, -1)")).as(s"__v$i")
+    }
+    df.repartition(col(idCol))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, pos)")).otherwise(0L))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"__v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+          .as("simhash"))
+  }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`, using
     * the pigeonhole block trick: split 64 bits into `blocks` chunks; any
@@ -132,11 +144,14 @@ object NearDup {
                    blocks: Int = 4): DataFrame = {
     val width = 64 / blocks
     val mask = (1L << width) - 1L
+    // Persisted: the candidate self-join reads this twice; without the
+    // persist the full simhash aggregation upstream would run per side.
     val keyed = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> shiftright(simhash, b * $width) & ${mask}L)")))
       .withColumnRenamed("pos", "block_id")
       .withColumnRenamed("col", "block_val")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("block_id"), col("block_val"),
       col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("block_id"), col("block_val"),
