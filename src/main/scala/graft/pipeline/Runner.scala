@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.bronze.Bronze
+import graft.silver.Silver
+import graft.gold.Gold
+import graft.operators.{Quality, Upsert}
+import graft.audit.Audit
+
+/** Full-pipeline orchestration (reference scripts/run_pipeline.py:332-405
+  * `run_full_pipeline`: ingestion → silver → quality gate → gold →
+  * audit; the Airflow DAG runs the same stages,
+  * doeecommerce_batch_pipeline.py:258-359).
+  *
+  * One driver program, four stage functions over date-partitionable
+  * parquet layers. The quality gate between silver and gold throws —
+  * matching the DAG's hard failure (dag :163-179). "now" is injected
+  * for determinism (SURVEY §7.4).
+  */
+object Runner {
+
+  final case class Layout(bronze: String, silver: String, gold: String, audit: String)
+
+  final case class RunReport(runId: String, bronzeCounts: Map[String, Long],
+                             silverCounts: Map[String, Long],
+                             qualityResults: Seq[Quality.CheckResult],
+                             goldCounts: Map[String, Long])
+
+  /** Atomic-ish overwrite: write to a temp sibling, then swap. Needed
+    * because an upsert reads the live table it is about to replace.
+    */
+  private[pipeline] def overwriteSwapped(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), df.sparkSession.sparkContext.hadoopConfiguration)
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    fs.delete(livePath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Stage 1 — bronze: stamp lineage metadata, append to the raw layer
+    * (reference run_pipeline.py:135-198 over the three ingestors).
+    */
+  def stageBronze(spark: SparkSession, staged: Map[String, DataFrame],
+                  layout: Layout, source: String, now: Timestamp): Map[String, Long] =
+    staged.map { case (table, df) =>
+      val stamped = Bronze.withIngestMeta(df, source, table, s"${table}_raw", lit(now))
+      Bronze.writeLayer(stamped, s"${layout.bronze}/${table}_raw", "append")
+      table -> stamped.count()
+    }
+
+  /** Stage 2 — silver: transform each bronze entity and upsert by its
+    * PK (reference run_pipeline.py:200-267 + transform_silver.py).
+    */
+  def stageSilver(spark: SparkSession, layout: Layout): Map[String, Long] = {
+    val transforms: Map[String, (DataFrame => DataFrame, String)] = Map(
+      "products" -> (Silver.products _, "product_id"),
+      "carts" -> (Silver.carts _, "cart_id"),
+      "users" -> (Silver.users _, "email"),
+      "orders" -> (Silver.orders _, "order_id"))
+    transforms.flatMap { case (table, (fn, pk)) =>
+      val bronzePath = s"${layout.bronze}/${table}_raw"
+      if (!exists(spark, bronzePath)) None
+      else {
+        val fresh = fn(Bronze.readLayer(spark, bronzePath))
+        val silverPath = s"${layout.silver}/$table"
+        val merged =
+          if (exists(spark, silverPath))
+            Upsert.merge(spark.read.parquet(silverPath), fresh, Seq(pk))
+          else fresh
+        overwriteSwapped(merged, silverPath)
+        Some(table -> spark.read.parquet(silverPath).count())
+      }
+    }
+  }
+
+  /** Stage 3 — quality gate over silver PKs (reference
+    * quality_checks.py:52-78; gate semantics from the DAG).
+    */
+  def stageQuality(spark: SparkSession, layout: Layout): Seq[Quality.CheckResult] = {
+    val pkMap = Map("products" -> Seq("product_id"), "carts" -> Seq("cart_id"),
+      "users" -> Seq("email"), "orders" -> Seq("order_id"))
+    val present = pkMap.flatMap { case (table, pks) =>
+      val p = s"${layout.silver}/$table"
+      if (exists(spark, p)) Some(table -> ((spark.read.parquet(p), pks))) else None
+    }
+    val results = Quality.suite(present)
+    Quality.gate(results)
+    results
+  }
+
+  /** Stage 4 — gold marts: daily KPIs upserted by date (reference
+    * publish_gold.py:25-84).
+    */
+  def stageGold(spark: SparkSession, layout: Layout): Map[String, Long] = {
+    val cartsPath = s"${layout.silver}/carts"
+    if (!exists(spark, cartsPath)) Map.empty
+    else {
+      val carts = spark.read.parquet(cartsPath)
+      val daily = Gold.dailyRevenue(carts, "last_updated", "user_id", "total_value")
+      val martPath = s"${layout.gold}/finance_mart"
+      val merged =
+        if (exists(spark, martPath))
+          Upsert.upsertByDate(spark.read.parquet(martPath), daily, "event_date")
+        else daily
+      overwriteSwapped(merged, martPath)
+      Map("finance_mart" -> spark.read.parquet(martPath).count())
+    }
+  }
+
+  /** Full pipeline: ingestion → silver → quality → gold → audit. */
+  def runFull(spark: SparkSession, staged: Map[String, DataFrame],
+              layout: Layout, source: String, runId: String,
+              now: Timestamp): RunReport = {
+    val log = Audit.start(runId, source, "pipeline", now)
+    try {
+      val bronze = stageBronze(spark, staged, layout, source, now)
+      val silver = stageSilver(spark, layout)
+      val quality = stageQuality(spark, layout)
+      val gold = stageGold(spark, layout)
+      val fetched = bronze.values.sum
+      Audit.append(spark,
+        Seq(Audit.complete(log, fetched, fetched, 0L, now)), layout.audit)
+      RunReport(runId, bronze, silver, quality, gold)
+    } catch {
+      case e: Throwable =>
+        Audit.append(spark,
+          Seq(Audit.fail(log, e.getMessage, now)), layout.audit)
+        throw e
+    }
+  }
+}

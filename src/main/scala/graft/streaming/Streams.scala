@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming faces of the batch operators. The reference is
+  * batch-only on a daily cron (SURVEY §2.9); these give the same
+  * semantics continuously: windowed daily KPIs with a watermark,
+  * streaming dedup, and typed per-key session state via
+  * mapGroupsWithState — the three building blocks a continuous
+  * ingestion of the same e-commerce feed would need.
+  */
+object Streams {
+
+  /** Daily-revenue KPIs over an event-time window with late-data bound.
+    * `approx_count_distinct` replaces the batch `countDistinct` (exact
+    * distinct is unsupported in streaming aggregation; HLL is the
+    * at-scale answer anyway).
+    */
+  def windowedDailyKpis(events: DataFrame, tsCol: String, userCol: String,
+                        valueCol: String, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day").as("day"))
+      .agg(
+        count(lit(1)).as("events_count"),
+        sum(col(valueCol).cast(graft.Exprs.Money)).cast("double").as("total_value"),
+        approx_count_distinct(userCol).as("approx_unique_users"))
+      .select(col("day.start").as("event_date"), col("events_count"),
+        col("total_value"), col("approx_unique_users"))
+
+  /** Streaming keep-first dedup on a key within the watermark horizon
+    * (streaming face of D1/D2: duplicates arriving later than the
+    * watermark are the accepted tradeoff).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
+                  watermark: String = "1 day"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class UserSession(user_id: Long, events: Long, total: Double,
+                               lastSeen: Timestamp)
+
+  /** Typed running per-user state (custom stateful op the built-in aggs
+    * can't express: running totals emitted on every update).
+    */
+  def userSessions(events: Dataset[UserEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(
+            UserSession(userId, 0L, 0.0, new Timestamp(0L)))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            UserSession(userId, s.events + 1,
+              s.total + e.value,
+              if (e.ts.after(s.lastSeen)) e.ts else s.lastSeen)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+import graft.TestSpark
+
+class StreamsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedDailyKpis aggregates per event-time day with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val kpis = Streams.windowedDailyKpis(
+      input.toDF().toDF("ts", "user_id", "value"), "ts", "user_id", "value")
+    val q = kpis.writeStream.format("memory").queryName("kpis")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 10.0),
+        (ts("2024-01-01 11:00:00"), 1L, 20.0),
+        (ts("2024-01-02 09:00:00"), 2L, 5.0))
+      q.processAllAvailable()
+      val out = spark.table("kpis").orderBy("event_date")
+        .select("events_count", "total_value", "approx_unique_users")
+        .as[(Long, Double, Long)].collect()
+      assert(out.length == 2)
+      assert(out(0) == ((2L, 30.0, 1L)))
+      assert(out(1) == ((1L, 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops in-horizon duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = Streams.dedupStream(
+      input.toDF().toDF("ts", "event_id", "payload"), "ts", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:00:00"), 1L, "a-dup"),
+        (ts("2024-01-01 11:00:00"), 2L, "b"))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("userSessions accumulates typed per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.UserEvent]
+    val sessions = Streams.userSessions(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 10.0))
+      q.processAllAvailable()
+      input.addData(Streams.UserEvent(1L, ts("2024-01-01 11:00:00"), 5.0))
+      q.processAllAvailable()
+      val last = spark.table("sessions")
+        .orderBy($"events".desc).as[Streams.UserSession].collect().head
+      assert(last.events == 2 && last.total == 15.0)
+      assert(last.lastSeen == ts("2024-01-01 11:00:00"))
+    } finally q.stop()
+  }
+}
