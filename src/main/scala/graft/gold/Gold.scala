@@ -40,18 +40,28 @@ object Gold {
         davg(col(priceCol)).as("avg_price"))
 
   /** vw_user_activity (db_setup.py:373-386): dimension LEFT JOIN facts,
-    * then per-user distinct-count / sum / latest. The dimension side is
-    * broadcast — at scale the fact table never shuffles for the join,
-    * only for the groupBy.
+    * then per-user distinct-count / sum / latest.
+    *
+    * Shape chosen for scale: AGGREGATE FIRST, JOIN SECOND. A left-outer
+    * join cannot broadcast its preserved (dimension) side, so the naive
+    * join-then-group would broadcast — or worse, shuffle — the fact
+    * table. Pre-aggregating facts per user costs the one unavoidable
+    * shuffle; the per-user result is then small enough to broadcast
+    * against the dimension, which never shuffles at all.
     */
   def userActivity(users: DataFrame, facts: DataFrame, userKey: String,
-                   factId: String, valueCol: String, tsCol: String): DataFrame =
-    broadcast(users).join(facts, Seq(userKey), "left")
-      .groupBy(users.columns.map(col).toIndexedSeq: _*)
+                   factId: String, valueCol: String, tsCol: String): DataFrame = {
+    val perUser = facts.groupBy(col(userKey))
       .agg(
         countDistinct(col(factId)).as("order_count"),
-        dsum(coalesce(col(valueCol), lit(0.0))).as("total_spend"),
+        dsum(col(valueCol)).as("total_spend"),
         max(col(tsCol)).as("last_order_ts"))
+    users.join(broadcast(perUser), Seq(userKey), "left")
+      .select(users.columns.map(col).toIndexedSeq ++ Seq(
+        coalesce(col("order_count"), lit(0L)).as("order_count"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+        col("last_order_ts")): _*)
+  }
 
   /** finance_mart KPIs for a pre-filtered day/window
     * (publish_gold.py:28-34): revenue, average order value, count.

@@ -60,6 +60,13 @@ class QualitySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("t.bad=3"))
   }
 
+  test("numericCheck is a static schema check") {
+    val res = Quality.numericCheck(users, "users", Seq("id", "age", "email", "nope"))
+    val byName = res.map(r => r.check -> r.passed).toMap
+    assert(byName("numeric_id") && byName("numeric_age"))
+    assert(!byName("numeric_email") && !byName("numeric_nope"))
+  }
+
   test("nonEmpty") {
     assert(Quality.nonEmpty(users, "users").passed)
     assert(!Quality.nonEmpty(users.limit(0), "users").passed)
