@@ -286,6 +286,95 @@ object SparkEntry {
          |UNION ALL SELECT 'negative_value', negative_value FROM a
          |UNION ALL SELECT 'range_value', range_value FROM a""".stripMargin)),
 
+    // === silver entity transforms (transform_silver.py semantics over
+    // === adapted testdata frames) =======================================
+
+    ("q35_silver_products", (s, d) => {
+      val bronze = t(s, d, "events").select(
+        col("user_id").as("id"),
+        concat(lit("P-"), col("user_id").cast("string")).as("title"),
+        col("value").as("price"),
+        col("event_type").as("category"),
+        col("ts").as("_ingestion_timestamp"))
+      graft.silver.Silver.products(bronze)
+    }, Some("""WITH b AS (
+       | SELECT user_id AS id, 'P-' || CAST(user_id AS VARCHAR) AS title,
+       |        value AS price, event_type AS category, ts AS _ingestion_timestamp
+       | FROM events),
+       |d AS (SELECT * FROM b QUALIFY row_number() OVER
+       |  (PARTITION BY id ORDER BY _ingestion_timestamp DESC, id DESC) = 1)
+       |SELECT DISTINCT CAST(id AS BIGINT) AS product_id, title,
+       |  CAST(price AS DOUBLE) AS price, category,
+       |  coalesce(price > 0, false) AS is_available,
+       |  _ingestion_timestamp AS last_updated
+       |FROM d""".stripMargin)),
+
+    ("q36_silver_carts", (s, d) => {
+      val bronze = t(s, d, "events").select(
+        col("user_id").as("id"),
+        col("user_id").as("userId"),
+        col("value").as("total"),
+        (col("value") * 0.75).as("discountedTotal"),
+        col("ts").as("_ingestion_timestamp"))
+      graft.silver.Silver.carts(bronze)
+    }, Some("""WITH b AS (
+       | SELECT user_id AS id, user_id AS userId, value AS total,
+       |        value * 0.75 AS discountedTotal, ts AS _ingestion_timestamp
+       | FROM events),
+       |d AS (SELECT * FROM b QUALIFY row_number() OVER
+       |  (PARTITION BY id ORDER BY _ingestion_timestamp DESC, id DESC) = 1)
+       |SELECT DISTINCT CAST(id AS BIGINT) AS cart_id, CAST(userId AS BIGINT) AS user_id,
+       |  CAST(total AS DOUBLE) AS total_value,
+       |  CASE WHEN total > 0 THEN round((total - discountedTotal) / total * 100, 2)
+       |       ELSE 0.0 END AS discount_percentage,
+       |  _ingestion_timestamp AS last_updated
+       |FROM d""".stripMargin)),
+
+    ("q37_silver_users", (s, d) => {
+      val bronze = t(s, d, "customer").select(
+        col("c_custkey").as("id"),
+        concat(lit("u"), (col("c_custkey") % 50).cast("string"), lit("@x.com")).as("email"),
+        col("c_name").as("firstname"),
+        col("c_mktsegment").as("lastname"),
+        timestamp_micros(col("c_custkey") * lit(1000000L)).as("_ingestion_timestamp"))
+      graft.silver.Silver.users(bronze)
+    }, Some("""WITH b AS (
+       | SELECT c_custkey AS id,
+       |        'u' || CAST(c_custkey % 50 AS VARCHAR) || '@x.com' AS email,
+       |        c_name AS firstname, c_mktsegment AS lastname,
+       |        make_timestamp(CAST(c_custkey AS BIGINT) * 1000000) AS _ingestion_timestamp
+       | FROM customer),
+       |n AS (SELECT id, lower(trim(email)) AS email, firstname, lastname,
+       |             _ingestion_timestamp FROM b),
+       |d AS (SELECT * FROM n QUALIFY row_number() OVER
+       |  (PARTITION BY email ORDER BY _ingestion_timestamp DESC, email DESC) = 1)
+       |SELECT DISTINCT CAST(id AS BIGINT) AS user_id, email,
+       |  trim(concat_ws(' ', firstname, lastname)) AS full_name,
+       |  _ingestion_timestamp AS last_updated
+       |FROM d""".stripMargin)),
+
+    ("q38_silver_orders", (s, d) => {
+      val bronze = t(s, d, "orders").select(
+        (col("o_orderkey") % 1000).as("id"),
+        col("o_custkey").as("userId"),
+        col("o_totalprice").as("total_amount"),
+        when(col("o_orderstatus") === "F", col("o_totalprice") * 0.9).as("final_amount"),
+        timestamp_micros(col("o_orderkey") * lit(1000000L)).as("_ingestion_timestamp"))
+      graft.silver.Silver.orders(bronze)
+    }, Some("""WITH b AS (
+       | SELECT o_orderkey % 1000 AS id, o_custkey AS userId,
+       |        o_totalprice AS total_amount,
+       |        CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.9 END AS final_amount,
+       |        make_timestamp(CAST(o_orderkey AS BIGINT) * 1000000) AS _ingestion_timestamp
+       | FROM orders),
+       |d AS (SELECT * FROM b QUALIFY row_number() OVER
+       |  (PARTITION BY id ORDER BY _ingestion_timestamp DESC, id DESC) = 1)
+       |SELECT DISTINCT CAST(id AS BIGINT) AS order_id, CAST(userId AS BIGINT) AS user_id,
+       |  CAST(total_amount AS DOUBLE) AS total_amount,
+       |  CAST(coalesce(final_amount, total_amount) AS DOUBLE) AS final_amount,
+       |  _ingestion_timestamp AS last_updated
+       |FROM d""".stripMargin)),
+
     // === projections / per-row transforms (P1-P14) ======================
 
     ("q20_flatten_props", (s, d) =>
@@ -536,6 +625,15 @@ object SparkEntry {
          |     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
          |   (a, b) -> a + b)) AS DECIMAL(18,6))) AS DOUBLE) AS total_norm
          |FROM embeddings GROUP BY label""".stripMargin)),
+
+    ("q54_embedding_near_dup", (s, d) => {
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      // scaled copies keep cosine exactly 1 — guaranteed true near-dups
+      val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Similarity.cosineNearDupPairs(emb.unionByName(scaled), "vec_id", "embedding",
+        threshold = 0.999, bits = 8, dim = 64, tables = 8)
+    }, None),
 
     // === LLM-pipeline: multimodal plumbing ==============================
 

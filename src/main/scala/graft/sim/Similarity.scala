@@ -85,6 +85,31 @@ object Similarity {
         srpSignature(vec, bits, dim, seed = 1000L + t).as("bucket"))
     }: _*)
 
+  /** Embedding-cosine near-duplicate pairs: multi-table LSH candidates
+    * (equi-join on bucket keys — never all-pairs), candidate pairs
+    * deduplicated BEFORE the exact-cosine verify so each pair's cosine
+    * is computed once, then thresholded.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 8, dim: Int = 64,
+                         tables: Int = 8): DataFrame = {
+    val keyed = emb
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .select(col("id"),
+        explode(lshKeys(col("v"), bits, dim, tables)).as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = keyed.select(col("key"), col("id").as("id1"))
+      .join(keyed.select(col("key"), col("id").as("id2")), Seq("key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val vecs = emb.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("vv"))
+    cand
+      .join(vecs.select(col("vid").as("id1"), col("vv").as("v1")), Seq("id1"))
+      .join(vecs.select(col("vid").as("id2"), col("vv").as("v2")), Seq("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Approximate top-k: candidates share an LSH bucket with the query in
     * any of the hash tables, then exact cosine ranks them. The query
     * side is broadcast; the corpus is scanned once and shuffles only the

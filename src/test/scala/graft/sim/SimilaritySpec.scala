@@ -31,6 +31,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head._2 == 2L) // same bucket guaranteed: identical signs
   }
 
+  test("cosineNearDupPairs: finds scale-invariant duplicates, never unrelated") {
+    val withDup = emb.unionByName(
+      Seq((10L, Array(3.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val pairs = Similarity.cosineNearDupPairs(withDup, "vec_id", "embedding",
+        threshold = 0.999, bits = 8, dim = 4, tables = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // same direction
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, 10L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // orthogonal
+  }
+
   test("lshTopK agrees with brute force on clustered testdata sample") {
     val embeddings = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = embeddings.filter($"vec_id" < 3)
