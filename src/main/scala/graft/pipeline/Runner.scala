@@ -55,7 +55,11 @@ object Runner {
                   layout: Layout, source: String, now: Timestamp): Map[String, Long] =
     staged.map { case (table, df) =>
       val stamped = Bronze.withIngestMeta(df, source, table, s"${table}_raw", lit(now))
-      Bronze.writeLayer(stamped, s"${layout.bronze}/${table}_raw", "append")
+        // date-partitioned raw layer: retention/backfill become partition
+        // drops, and day-grain reads prune at the scan
+        .withColumn("_ingestion_date", to_date(lit(now)))
+      Bronze.writeLayer(stamped, s"${layout.bronze}/${table}_raw", "append",
+        partitionCols = Seq("_ingestion_date"))
       table -> stamped.count()
     }
 
