@@ -13,6 +13,7 @@ import graft.pipeline.Runner
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -13,49 +13,24 @@ import graft.text.TextOps
   */
 object NearDup {
 
-  /** Modulus for the MinHash permutation family: a prime small enough
-    * that a*h+b never overflows a long (ANSI-safe), large enough that
-    * collisions are negligible.
-    */
-  private val P = 1000000007L
-
-  /** Deterministic MinHash permutation constants in [1, P) — same
-    * signature for the same text on every run.
-    */
-  private def perm(i: Int): (Long, Long) = {
-    val a = ((0x9E3779B97F4A7C15L * (i + 1)) & Long.MaxValue) % (P - 1) + 1
-    val b = ((0xBF58476D1CE4E5B9L * (i + 3)) & Long.MaxValue) % P
-    (a, b)
-  }
+  import graft.functions.MinHashSignature
 
   /** MinHash signatures over token `n`-gram shingles: one row per doc,
-    * `sig` = array of k minima. Single projection pass — the shingle
-    * explosion happens inside a higher-order function per row, not as a
-    * row explosion, so nothing shuffles.
+    * `sig` = array of k minima. Single projection pass per row —
+    * nothing shuffles except the parallelism repartition.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, shingleN: Int = 3): DataFrame = {
     val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)
-    // Explode shingles and take k codegen'd min() aggregates rather than
-    // folding k times over an array column: higher-order-function
-    // lambdas fall out of whole-stage codegen, while explode + hash
-    // aggregation (with map-side partial mins) stays compiled. One
-    // shuffle on the doc id; the base hash is non-negative mod P so
-    // a*h+b never overflows a long (ANSI-safe).
     // Repartition first: a small input (one file = one partition) would
-    // otherwise compute every signature on a single thread. Then one
-    // per-row pass: materialize the shingle hashes once (own projection
-    // so CollapseProject cannot inline the expensive chain k times) and
-    // fold k min-perms over them. No explode, no aggregation shuffle —
-    // a pure projection that scales embarrassingly parallel.
-    val hashed = df.repartition(col(idCol))
-      .select(col(idCol), transform(sh, s => pmod(xxhash64(s), lit(P))).as("__hv"))
-    val sig = array((0 until k).map { i =>
-      val (a, b) = perm(i)
-      aggregate(col("__hv"), lit(Long.MaxValue),
-        (acc, h) => least(acc, (h * a + b) % P))
-    }: _*)
-    hashed.select(col(idCol), sig.as("sig"))
+    // otherwise compute every signature on a single thread. The
+    // signature itself is the native codegen'd MinHashSignature
+    // expression — one pass over the shingles, k minima per row, no
+    // explode, no aggregation shuffle (see graft.functions
+    // .MinHashSignature for why built-ins can't express this
+    // efficiently).
+    df.repartition(col(idCol))
+      .select(col(idCol), MinHashSignature.signature(sh, k).as("sig"))
   }
 
   /** LSH banding: split the k-wide signature into `bands` bands of
