@@ -504,6 +504,33 @@ object SparkEntry {
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)),
 
+    ("q55_salted_agg", (s, d) => {
+      // skew-safe two-phase aggregation must equal the plain aggregation
+      val ev = t(s, d, "events").withColumn("v", col("value").cast(Money))
+      graft.operators.Salt.saltedAgg(ev, Seq("event_type"), saltBuckets = 8, Map(
+          "total" -> ((col("v"), "sum")),
+          "cnt" -> ((col("v"), "count")),
+          "vmin" -> ((col("v"), "min")),
+          "vmax" -> ((col("v"), "max"))))
+        .select(col("event_type"), col("total").cast("double").as("total"),
+          col("cnt"), col("vmin").cast("double").as("vmin"),
+          col("vmax").cast("double").as("vmax"))
+    }, Some(s"""SELECT event_type,
+       | ${dsumSql("value")} AS total,
+       | count(value) AS cnt,
+       | CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vmin,
+       | CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vmax
+       |FROM events GROUP BY event_type""".stripMargin)),
+
+    ("q57_hll_distinct", (s, d) =>
+      // HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT):
+      // mergeable, fixed memory. Sketches differ across engines, so
+      // this is a rows-only check; the unit suite bounds the error.
+      t(s, d, "events").groupBy(to_date(col("ts")).as("event_date"))
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users")),
+      None),
+
     // === LLM-pipeline: dedup families ===================================
 
     ("q40_exact_dedup_groups", (s, d) =>

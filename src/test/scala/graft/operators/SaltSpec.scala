@@ -24,4 +24,13 @@ class SaltSpec extends AnyFunSuite {
     val p = plain.orderBy("user_id").collect().map(_.toSeq)
     assert(s.toSeq == p.toSeq)
   }
+
+  test("approx_count_distinct lands within 2% of exact on testdata") {
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.01", "events")
+    val r = ev.agg(
+      approx_count_distinct("user_id").as("approx"),
+      countDistinct(col("user_id")).as("exact")).collect().head
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
 }
