@@ -658,8 +658,10 @@ object SparkEntry {
       // scaled copies keep cosine exactly 1 — guaranteed true near-dups
       val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      // 16-bit buckets: near-identical vectors agree on every sign bit,
+      // so wider buckets cut random collisions without losing recall
       Similarity.cosineNearDupPairs(emb.unionByName(scaled), "vec_id", "embedding",
-        threshold = 0.999, bits = 8, dim = 64, tables = 8)
+        threshold = 0.999, bits = 16, dim = 64, tables = 8)
     }, None),
 
     // === LLM-pipeline: multimodal plumbing ==============================

@@ -126,7 +126,13 @@ object MinHashSignature {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(
@@ -135,10 +141,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       { exprs: Seq[Expression] =>
         exprs match {
-          case Seq(arr, Literal(kVal: Int, _)) => MinHashSignature(arr, kVal)
+          case Seq(arr, k) => MinHashSignature(arr, intLit(k, "k"))
           case Seq(arr) => MinHashSignature(arr, 64)
           case other => throw new IllegalArgumentException(
             s"graft_minhash(array<string>[, k literal]) — got ${other.size} args")
         }
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(
+        classOf[ArrayDot].getName, null, "graft_dot",
+        "graft_dot(a, b) - dot product of two array<double> vectors.", ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(a, b) => ArrayDot(a, b)
+          case other => throw new IllegalArgumentException(
+            s"graft_dot(a, b) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_buckets"),
+      new ExpressionInfo(
+        classOf[SrpSignatures].getName, null, "graft_srp_buckets",
+        "graft_srp_buckets(vec, bits, dim, tables) - multi-table SRP-LSH buckets.",
+        ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(vec, b, d, t) =>
+            SrpSignatures(vec, intLit(b, "bits"), intLit(d, "dim"), intLit(t, "tables"))
+          case other => throw new IllegalArgumentException(
+            s"graft_srp_buckets(vec, bits, dim, tables) — got ${other.size} args")
+        }
+      }))
+  }
 }

@@ -24,9 +24,11 @@ object Similarity {
   /** Elementwise float→double, so downstream math is double-precision. */
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Sequential-fold dot product — deterministic for a given array order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential dot product — deterministic for a given array order,
+    * computed by the native codegen'd [[graft.functions.ArrayDot]]
+    * (bit-identical to the interpreted left-fold it replaces).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -77,13 +79,17 @@ object Similarity {
     * recall amplification — a near neighbor only needs to collide in
     * ONE table. Emits `tables` rows per vector (the index-size/recall
     * tradeoff; candidates still come from equi-joins, never a cross
-    * product).
+    * product). All signatures come from the native codegen'd
+    * [[graft.functions.SrpSignatures]] expression — one fused pass over
+    * the vector instead of tables×bits interpreted folds.
     */
-  private def lshKeys(vec: Column, bits: Int, dim: Int, tables: Int): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("table_id"),
-        srpSignature(vec, bits, dim, seed = 1000L + t).as("bucket"))
-    }: _*)
+  private def lshKeys(vec: Column, bits: Int, dim: Int, tables: Int): Column = {
+    val buckets = graft.functions.SrpSignatures.buckets(vec, bits, dim, tables)
+    // zip table index with its bucket value
+    zip_with(
+      sequence(lit(0), lit(tables - 1)), buckets,
+      (t, b) => struct(t.as("table_id"), b.as("bucket")))
+  }
 
   /** Embedding-cosine near-duplicate pairs: multi-table LSH candidates
     * (equi-join on bucket keys — never all-pairs), candidate pairs

@@ -31,6 +31,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head._2 == 2L) // same bucket guaranteed: identical signs
   }
 
+  test("native ArrayDot matches a hand computation") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val d = df.select(Similarity.dot($"a", $"b")).as[Double].collect().head
+    assert(d == 1.0 * 4 + 2 * 5 + 3 * 6)
+  }
+
+  test("native SrpSignatures buckets equal the per-table srpSignature formulation") {
+    val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(20).select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+    val native = df.select($"vec_id",
+        graft.functions.SrpSignatures.buckets($"v", 8, 64, 3).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val reference = df.select($"vec_id",
+        (0 until 3).map(t =>
+          Similarity.srpSignature($"v", 8, 64, seed = 1000L + t).as(s"s$t")): _*)
+      .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(native == reference)
+  }
+
   test("cosineNearDupPairs: finds scale-invariant duplicates, never unrelated") {
     val withDup = emb.unionByName(
       Seq((10L, Array(3.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
