@@ -43,9 +43,8 @@ class SimilaritySpec extends AnyFunSuite {
     val native = df.select($"vec_id",
         graft.functions.SrpSignatures.buckets($"v", 8, 64, 3).as("bk"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val reference = df.select($"vec_id",
-        (0 until 3).map(t =>
-          Similarity.srpSignature($"v", 8, 64, seed = 1000L + t).as(s"s$t")): _*)
+    val reference = df.select(($"vec_id" +: (0 until 3).map(t =>
+          Similarity.srpSignature($"v", 8, 64, seed = 1000L + t).as(s"s$t"))): _*)
       .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(native == reference)
   }
