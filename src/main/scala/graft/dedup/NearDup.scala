@@ -20,18 +20,17 @@ object NearDup {
     * nothing shuffles except the parallelism repartition.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 64, shingleN: Int = 3): DataFrame = {
-    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)
+                        k: Int = 64, shingleN: Int = 3): DataFrame =
     // Repartition first: a small input (one file = one partition) would
     // otherwise compute every signature on a single thread. The
     // signature itself is the native codegen'd MinHashSignature
-    // expression — one pass over the shingles, k minima per row, no
-    // explode, no aggregation shuffle (see graft.functions
-    // .MinHashSignature for why built-ins can't express this
-    // efficiently).
+    // expression over the TOKEN array — shingles combine as rolling
+    // token hashes, never as strings; no explode, no aggregation
+    // shuffle (see graft.functions.MinHashSignature).
     df.repartition(col(idCol))
-      .select(col(idCol), MinHashSignature.signature(sh, k).as("sig"))
-  }
+      .select(col(idCol),
+        MinHashSignature.signature(TextOps.tokens(col(textCol)), k, shingleN)
+          .as("sig"))
 
   /** LSH banding: split the k-wide signature into `bands` bands of
     * `rowsPerBand` and emit (band_id, band_hash) bucket keys. Docs
