@@ -89,25 +89,17 @@ object NearDup {
     jaccardVerify(pairs, df, idCol, textCol).filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over tokens: per-bit vote of token-hash sign bits.
-    * One token explosion, then 64 codegen'd sum() aggregates (one per
-    * bit) in a single hash aggregation — no 64-way row blowup, one
-    * shuffle on the doc id, linear in corpus token count.
+  /** 64-bit SimHash over tokens: per-bit vote of token-hash sign bits,
+    * computed by the native codegen'd [[graft.functions.SimHash64]]
+    * expression — a pure projection, NO shuffle (the earlier explode +
+    * 64-aggregate formulation shuffled every token). Repartition only
+    * for parallelism on few-file inputs.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val votes = (0 until 64).map { i =>
-      sum(expr(s"IF((shiftright(__h, $i) & 1) = 1, 1, -1)")).as(s"__v$i")
-    }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.repartition(col(idCol))
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
-      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
-      .groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(i =>
-          when(col(s"__v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+        graft.functions.SimHash64.simhash(TextOps.tokens(col(textCol)))
           .as("simhash"))
-  }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`, using
     * the pigeonhole block trick: split 64 bits into `blocks` chunks; any
