@@ -18,9 +18,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen/scheduler so the alphabetically-first
-    // query isn't charged session startup.
+    // Warm up the JVM/codegen/scheduler and the parquet reader path so
+    // the alphabetically-first query isn't charged session startup.
     spark.range(1000000).selectExpr("sum(id) s").collect()
+    graft.Tables.t(spark, sfDir, "region").count()
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -13,9 +13,12 @@ import graft.operators.Dedup
 object Silver {
 
   private def latest(df: DataFrame, key: String): DataFrame =
-    // pandas keep='last' tie-breaks by input order; we make the total
-    // order explicit with the key itself as tiebreaker (SURVEY §7.4).
-    Dedup.keepLatest(df, Seq(key), "_ingestion_timestamp", Seq(col(key).desc))
+    // pandas keep='last' tie-breaks by input order, which has no
+    // distributed equivalent; a content-hash tiebreaker makes equal
+    // (key, timestamp) rows resolve deterministically on any cluster
+    // (SURVEY §7.4).
+    Dedup.keepLatest(df, Seq(key), "_ingestion_timestamp",
+      Seq(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).desc))
 
   /** silver.products (transform_silver.py:24-34): dedup by id, cast,
     * availability flag, project.
