@@ -640,6 +640,12 @@ object SparkEntry {
         k = 5, bits = 8, dim = 64, tables = 8)
     }, None),
 
+    ("q56_ann_ivf_topk", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+    }, None),
+
     ("q47_embedding_norms", (s, d) =>
       t(s, d, "embeddings")
         .select(col("label"),

@@ -71,4 +71,25 @@ object Gold {
       dsum(col(valueCol)).as("total_revenue"),
       davg(col(valueCol)).as("avg_order_value"),
       count(lit(1)).as("order_count"))
+
+  /** sales_mart daily rows (publish_gold.py:52-64): cart count and
+    * distinct customers per day, with the (day-constant) product count
+    * cross-joined in — the scalar-subquery shape of the reference.
+    */
+  def salesMart(carts: DataFrame, products: DataFrame, tsCol: String,
+                userCol: String): DataFrame =
+    carts.groupBy(to_date(col(tsCol)).as("event_date"))
+      .agg(
+        count(lit(1)).as("total_carts"),
+        countDistinct(col(userCol)).as("customer_count"))
+      .crossJoin(broadcast(products.agg(count(lit(1)).as("product_count"))))
+
+  /** operations_mart daily rows (publish_gold.py:75-84):
+    * COALESCE(AVG(discount_percentage), 0) per day.
+    */
+  def operationsMart(carts: DataFrame, tsCol: String,
+                     discountCol: String): DataFrame =
+    carts.groupBy(to_date(col(tsCol)).as("event_date"))
+      .agg(coalesce(davg(col(discountCol)), lit(0.0)).as("avg_discount_percentage"),
+        count(lit(1)).as("carts_processed"))
 }

@@ -103,22 +103,33 @@ object Runner {
     results
   }
 
-  /** Stage 4 — gold marts: daily KPIs upserted by date (reference
-    * publish_gold.py:25-84).
+  /** Stage 4 — gold marts: the reference's three daily KPI marts
+    * (publish_gold.py:25-84), each upserted by date.
     */
   def stageGold(spark: SparkSession, layout: Layout): Map[String, Long] = {
     val cartsPath = s"${layout.silver}/carts"
     if (!exists(spark, cartsPath)) Map.empty
     else {
       val carts = spark.read.parquet(cartsPath)
-      val daily = Gold.dailyRevenue(carts, "last_updated", "user_id", "total_value")
-      val martPath = s"${layout.gold}/finance_mart"
-      val merged =
-        if (exists(spark, martPath))
-          Upsert.upsertByDate(spark.read.parquet(martPath), daily, "event_date")
-        else daily
-      overwriteSwapped(merged, martPath)
-      Map("finance_mart" -> spark.read.parquet(martPath).count())
+      val marts = Map(
+        "finance_mart" ->
+          Gold.dailyRevenue(carts, "last_updated", "user_id", "total_value"),
+        "operations_mart" ->
+          Gold.operationsMart(carts, "last_updated", "discount_percentage")) ++
+        (if (exists(spark, s"${layout.silver}/products"))
+          Map("sales_mart" -> Gold.salesMart(carts,
+            spark.read.parquet(s"${layout.silver}/products"),
+            "last_updated", "user_id"))
+        else Map.empty)
+      marts.map { case (name, daily) =>
+        val martPath = s"${layout.gold}/$name"
+        val merged =
+          if (exists(spark, martPath))
+            Upsert.upsertByDate(spark.read.parquet(martPath), daily, "event_date")
+          else daily
+        overwriteSwapped(merged, martPath)
+        name -> spark.read.parquet(martPath).count()
+      }
     }
   }
 

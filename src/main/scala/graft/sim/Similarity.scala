@@ -91,6 +91,59 @@ object Similarity {
       (t, b) => struct(t.as("table_id"), b.as("bucket")))
   }
 
+  /** IVF-style approximate top-k: an inverted-file index over
+    * `nlist` coarse centroids. Centroids are a deterministic hash-order
+    * sample of the corpus (collected to the driver — nlist is small;
+    * swap in offline k-means without changing the query path). Every
+    * corpus vector is assigned to its max-cosine centroid (one
+    * projection pass — the per-centroid dots run through the native
+    * ArrayDot); each query probes its `nprobe` closest lists and ranks
+    * candidates by exact cosine. Candidates come from an equi-join on
+    * the cluster id — never a cross product — and at 100 TB the
+    * cluster assignment is a write-once partitioning of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    // deterministic centroid sample: smallest xxhash64(id)
+    val centroids: Array[(Int, Array[Double], Double)] = c
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Double](1).toArray
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+
+    // score_i = dot(v, centroid_i) / |centroid_i|  (|v| is rank-invariant)
+    def scores(v: Column): Column = array(centroids.map { case (_, cv, n) =>
+      dot(v, array(cv.map(lit).toIndexedSeq: _*)) / lit(n)
+    }.toIndexedSeq: _*)
+
+    val corpusAssigned = c
+      .withColumn("sc", scores(col("cv")))
+      .withColumn("cluster", expr("array_position(sc, array_max(sc))").cast("int"))
+      .drop("sc")
+
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("sc", scores(col("qv")))
+      .select(col("query_id"), col("qv"), posexplode(col("sc")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("col").desc, col("pos"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), (col("pos") + 1).cast("int").as("cluster"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpusAssigned.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table LSH candidates
     * (equi-join on bucket keys — never all-pairs), candidate pairs
     * deduplicated BEFORE the exact-cosine verify so each pair's cosine

@@ -34,6 +34,8 @@ class RunnerSpec extends AnyFunSuite {
     assert(r1.silverCounts("products") == 2)
     assert(r1.qualityResults.forall(_.passed))
     assert(r1.goldCounts("finance_mart") == 1) // one day
+    assert(r1.goldCounts("sales_mart") == 1)
+    assert(r1.goldCounts("operations_mart") == 1)
 
     // second run: same keys, later ingestion -> silver replaced not duplicated
     val r2 = Runner.runFull(spark, staged("v2"), lay, "test_api", "run2",
@@ -43,6 +45,11 @@ class RunnerSpec extends AnyFunSuite {
       .select("title").as[String].collect().toSet
     assert(titles == Set("Widget v2", "Gadget v2")) // latest won
     assert(r2.goldCounts("finance_mart") == 2) // both days present
+    assert(r2.goldCounts("sales_mart") == 2)
+    val ops = spark.read.parquet(s"${lay.gold}/operations_mart")
+      .orderBy("event_date").collect()
+    assert(ops.length == 2)
+    assert(ops.forall(_.getAs[Double]("avg_discount_percentage") >= 0.0))
 
     val audit = Audit.read(spark, lay.audit).collect()
     assert(audit.length == 2 && audit.forall(_.status == "success"))

@@ -60,6 +60,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // orthogonal
   }
 
+  test("ivfTopK finds the identical-direction vector and overlaps brute force") {
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 1), "vec_id",
+        "embedding", k = 3, nlist = 2, nprobe = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty && out.head._2 == 2L) // same-direction vector ranks first
+    val embeddings = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = embeddings.filter($"vec_id" < 3)
+    val brute = Similarity.bruteTopK(embeddings, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embeddings, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty && (brute intersect ivf).nonEmpty)
+  }
+
   test("lshTopK agrees with brute force on clustered testdata sample") {
     val embeddings = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = embeddings.filter($"vec_id" < 3)
