@@ -563,6 +563,21 @@ object SparkEntry {
         "doc_id", maxHamming = 7, blocks = 8)
     }, None),
 
+    ("q58_ngram_jaccard", (s, d) => {
+      // exact token-set Jaccard over a deterministic pair list
+      // (adjacent doc ids) — the verify primitive of the LSH pipeline
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2")),
+          Seq("id1"))
+      graft.dedup.NearDup.jaccardVerify(pairs, docs, "doc_id", "text")
+    }, Some("""SELECT a.doc_id AS id1, b.doc_id AS id2,
+       | CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+       |                         list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+       |   / len(list_distinct(list_concat(string_split(a.text, ' '),
+       |                                   string_split(b.text, ' ')))) AS jaccard
+       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
     // === LLM-pipeline: text analysis ====================================
 
     ("q41_token_stats", (s, d) =>

@@ -60,4 +60,15 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq((1L, "a b", "c"), (2L, "a", "b c")).toDF("id", "c1", "c2")
     assert(Dedup.exactDedupKeepers(df, "id", Seq("c1", "c2")).count() == 2)
   }
+
+  test("property: keepLatest is input-order-insensitive (union order)") {
+    val rows = Seq((1L, 10L, "a"), (1L, 30L, "b"), (2L, 5L, "c"), (2L, 5L, "d"))
+    def run(rs: Seq[(Long, Long, String)]) =
+      Dedup.keepLatest(rs.toDF("id", "ts", "v"), Seq("id"), "ts",
+          Seq(col("v").desc))
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    val base = run(rows)
+    assert(run(rows.reverse) == base)
+    assert(run(scala.util.Random.shuffle(rows)) == base)
+  }
 }
