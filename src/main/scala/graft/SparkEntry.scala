@@ -234,6 +234,24 @@ object SparkEntry {
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey, c_name""".stripMargin)),
 
+    ("q59_asof_join", (s, d) => {
+      // join each event to the user's most recent end-of-day snapshot
+      // at-or-before the event time
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value", "ts")
+      val daySnaps = Dedup.keepFirstBy(
+          ev.withColumn("__day", to_date(col("ts"))),
+          Seq("user_id", "__day"), Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("ts").as("snap_ts"), col("value").as("snap_value"))
+      graft.operators.AsOfJoin.asOf(ev, daySnaps, Seq("user_id"), "ts", "snap_ts")
+    }, Some("""WITH snaps AS (
+       | SELECT user_id, ts AS snap_ts, value AS snap_value FROM events
+       | QUALIFY row_number() OVER
+       |   (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) = 1)
+       |SELECT e.event_id, e.user_id, e.event_type, e.value, e.ts,
+       |       s.snap_ts, s.snap_value
+       |FROM events e ASOF LEFT JOIN snaps s
+       |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin)),
+
     // === quality predicates (V1-V12) ====================================
 
     ("q17_quality_events", (s, d) =>
