@@ -234,6 +234,26 @@ object SparkEntry {
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey, c_name""".stripMargin)),
 
+    ("q60_range_join", (s, d) => {
+      // events falling inside each low-id user's first active week —
+      // containment match via time-bucket equi-join, never a cross product
+      val ev = t(s, d, "events")
+      val intervals = ev.filter(col("user_id") < 20)
+        .groupBy(col("user_id").as("interval_user"))
+        .agg(min(col("ts")).as("start_ts"))
+        .withColumn("end_ts", col("start_ts") + expr("INTERVAL 7 DAYS"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev.select(col("event_id"), col("ts")), intervals,
+          "ts", "start_ts", "end_ts")
+        .select("interval_user", "event_id")
+    }, Some("""WITH intervals AS (
+       | SELECT user_id AS interval_user, min(ts) AS start_ts,
+       |        min(ts) + INTERVAL 7 DAY AS end_ts
+       | FROM events WHERE user_id < 20 GROUP BY user_id)
+       |SELECT i.interval_user, e.event_id
+       |FROM intervals i JOIN events e
+       |  ON e.ts >= i.start_ts AND e.ts < i.end_ts""".stripMargin)),
+
     ("q59_asof_join", (s, d) => {
       // join each event to the user's most recent end-of-day snapshot
       // at-or-before the event time
