@@ -463,10 +463,15 @@ object SparkEntry {
          |FROM events""".stripMargin)),
 
     ("q25_monetary_round", (s, d) =>
+      // rounding happens in DECIMAL(18,2) (exact HALF_UP money semantics),
+      // but the emitted column is its canonical string: Spark's decimal
+      // parquet encoding (fixed-len byte array) hashes differently from
+      // DuckDB's even when every value matches, so the dump must carry a
+      // representation both engines spell identically
       t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast(DecimalType(18, 2)).as("price_2dp")),
+        col("l_extendedprice").cast(DecimalType(18, 2)).cast("string").as("price_2dp")),
       Some("""SELECT l_orderkey, l_linenumber,
-         | CAST(l_extendedprice AS DECIMAL(18,2)) AS price_2dp
+         | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_2dp
          |FROM lineitem""".stripMargin)),
 
     ("q26_safe_division", (s, d) =>
@@ -563,11 +568,20 @@ object SparkEntry {
     ("q57_hll_distinct", (s, d) =>
       // HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT):
       // mergeable, fixed memory. Sketches differ across engines, so
-      // this is a rows-only check; the unit suite bounds the error.
+      // the approx column is a rows-only check; the unit suite bounds
+      // the error and q61 oracles the exact half.
       t(s, d, "events").groupBy(to_date(col("ts")).as("event_date"))
-        .agg(approx_count_distinct("user_id").as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users")),
+        .agg(approx_count_distinct("user_id").as("approx_users")),
       None),
+
+    ("q61_exact_distinct_daily", (s, d) =>
+      // the exact COUNT(DISTINCT) twin of q57 — oracle-checked, so the
+      // sketch query's shape has a hard correctness anchor
+      t(s, d, "events").groupBy(to_date(col("ts")).as("event_date"))
+        .agg(countDistinct(col("user_id")).as("exact_users")),
+      Some("""SELECT CAST(ts AS DATE) AS event_date,
+         | count(DISTINCT user_id) AS exact_users
+         |FROM events GROUP BY 1""".stripMargin)),
 
     // === LLM-pipeline: dedup families ===================================
 
@@ -596,9 +610,9 @@ object SparkEntry {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
-      NearDup.simhashPairs(
+      NearDup.simhashPairsBlocked(
         NearDup.simhash(docs.unionByName(mutated), "doc_id", "text"),
-        "doc_id", maxHamming = 7, blocks = 8)
+        "doc_id", maxHamming = 7)
     }, None),
 
     ("q58_ngram_jaccard", (s, d) => {
@@ -718,10 +732,22 @@ object SparkEntry {
       val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
       // 16-bit buckets: near-identical vectors agree on every sign bit,
-      // so wider buckets cut random collisions without losing recall
+      // so wider buckets cut random collisions without losing recall.
+      // Only the pair ids are emitted (cosine's last double bit differs
+      // between engines); the oracle is DuckDB's brute-force truth set,
+      // which at this corpus is exactly the 500 scaled pairs.
       Similarity.cosineNearDupPairs(emb.unionByName(scaled), "vec_id", "embedding",
         threshold = 0.999, bits = 16, dim = 64, tables = 8)
-    }, None),
+        .select("id1", "id2")
+    }, Some("""WITH u AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + 1000000,
+       |        list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+       | FROM embeddings)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2
+       |FROM u a JOIN u b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""".stripMargin)),
 
     // === LLM-pipeline: multimodal plumbing ==============================
 
@@ -739,7 +765,15 @@ object SparkEntry {
         t(s, d, "documents")
           .select(col("doc_id").as("media_id"), col("text").cast("binary").as("media")))
         .toDF().select("media_id", "n_bytes", "checksum"),
-      None),
+      // byte-level rolling hash == char-level for this ASCII corpus, so
+      // the q44 fingerprint formula doubles as the checksum oracle
+      Some("""SELECT doc_id AS media_id,
+         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         | list_reduce(
+         |   list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |   (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+         |FROM documents""".stripMargin)),
 
     ("q53_frame_sample_plan", (s, d) =>
       Multimodal.frameSamplePlan(

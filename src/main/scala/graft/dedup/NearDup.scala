@@ -15,19 +15,29 @@ object NearDup {
 
   import graft.functions.MinHashSignature
 
+  /** Repartition only when the input is under-parallel (a small local
+    * input reads as one file = one partition = one thread). At scale the
+    * file splits already give parallelism and the shuffle would be a
+    * pure waste, so a well-split input passes through untouched.
+    */
+  private[graft] def ensureParallel(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target, key)
+  }
+
   /** MinHash signatures over token `n`-gram shingles: one row per doc,
     * `sig` = array of k minima. Single projection pass per row —
     * nothing shuffles except the parallelism repartition.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, shingleN: Int = 3): DataFrame =
-    // Repartition first: a small input (one file = one partition) would
-    // otherwise compute every signature on a single thread. The
-    // signature itself is the native codegen'd MinHashSignature
-    // expression over the TOKEN array — shingles combine as rolling
-    // token hashes, never as strings; no explode, no aggregation
-    // shuffle (see graft.functions.MinHashSignature).
-    df.repartition(col(idCol))
+    // Parallelize first if needed: a small input (one file = one
+    // partition) would otherwise compute every signature on a single
+    // thread. The signature itself is the native codegen'd
+    // MinHashSignature expression over the TOKEN array — shingles
+    // combine as rolling token hashes, never as strings; no explode, no
+    // aggregation shuffle (see graft.functions.MinHashSignature).
+    ensureParallel(df, col(idCol))
       .select(col(idCol),
         MinHashSignature.signature(TextOps.tokens(col(textCol)), k, shingleN)
           .as("sig"))
@@ -64,7 +74,7 @@ object NearDup {
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val toks = df.repartition(col(idCol)).select(col(idCol),
+    val toks = ensureParallel(df, col(idCol)).select(col(idCol),
       array_distinct(TextOps.tokens(col(textCol))).as("toks"))
     pairs
       .join(toks.select(col(idCol).as("id1"), col("toks").as("t1")), Seq("id1"))
@@ -92,11 +102,11 @@ object NearDup {
   /** 64-bit SimHash over tokens: per-bit vote of token-hash sign bits,
     * computed by the native codegen'd [[graft.functions.SimHash64]]
     * expression — a pure projection, NO shuffle (the earlier explode +
-    * 64-aggregate formulation shuffled every token). Repartition only
-    * for parallelism on few-file inputs.
+    * 64-aggregate formulation shuffled every token). Repartitions only
+    * when the input is under-parallel (few-file local inputs).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.repartition(col(idCol))
+    ensureParallel(df, col(idCol))
       .select(col(idCol),
         graft.functions.SimHash64.simhash(TextOps.tokens(col(textCol)))
           .as("simhash"))
@@ -123,6 +133,48 @@ object NearDup {
     val b = keyed.select(col("block_id"), col("block_val"),
       col(idCol).as("id2"), col("simhash").as("s2"))
     a.join(b, Seq("block_id", "block_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(s1 ^ s2)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs via block-PAIR keys — the scale-safe
+    * blocking. Single-block pigeonhole needs `maxHamming + 1` blocks, so
+    * d=7 forces 8-bit blocks: 256 buckets per block and candidate pairs
+    * growing ~N²/256. Instead split into `maxHamming + 2` chunks: a pair
+    * within distance d dirties ≤ d chunks, leaving ≥ 2 clean — so it
+    * agrees exactly on at least one of the C(B,2) chunk PAIRS. The join
+    * key concatenates two chunks (~14 bits for d=7), squaring the bucket
+    * space; candidates stay near-linear where single-block blocking goes
+    * quadratic. The guarantee is still absolute, so the output EQUALS
+    * the brute-force pair set at the same threshold (unit-tested).
+    */
+  def simhashPairsBlocked(sigs: DataFrame, idCol: String,
+                          maxHamming: Int = 7): DataFrame = {
+    val blocks = maxHamming + 2
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    val widths = Array.tabulate(blocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def chunk(i: Int): Column =
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val pairKeys = for {
+      i <- 0 until blocks
+      j <- (i + 1) until blocks
+    } yield struct(
+      lit(i * blocks + j).as("pk"),
+      shiftleft(chunk(i), 32).bitwiseOR(chunk(j)).as("pv"))
+    // Persisted: the candidate self-join reads the keyed exploded rows
+    // twice; without it the upstream simhash would compute per side.
+    val keyed = sigs
+      .select(col(idCol), col("simhash"),
+        explode(array(pairKeys: _*)).as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = keyed.select(col("key"), col(idCol).as("id1"), col("simhash").as("s1"))
+    val b = keyed.select(col("key"), col(idCol).as("id2"), col("simhash").as("s2"))
+    a.join(b, Seq("key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(s1 ^ s2)").as("hamming"))

@@ -46,8 +46,9 @@ object Gold {
     * join cannot broadcast its preserved (dimension) side, so the naive
     * join-then-group would broadcast — or worse, shuffle — the fact
     * table. Pre-aggregating facts per user costs the one unavoidable
-    * shuffle; the per-user result is then small enough to broadcast
-    * against the dimension, which never shuffles at all.
+    * shuffle. No broadcast hint on the aggregate: it has one row per
+    * distinct user — unbounded — so a forced broadcast would OOM at
+    * scale; AQE picks broadcast-vs-shuffle from the actual runtime size.
     */
   def userActivity(users: DataFrame, facts: DataFrame, userKey: String,
                    factId: String, valueCol: String, tsCol: String): DataFrame = {
@@ -56,7 +57,7 @@ object Gold {
         countDistinct(col(factId)).as("order_count"),
         dsum(col(valueCol)).as("total_spend"),
         max(col(tsCol)).as("last_order_ts"))
-    users.join(broadcast(perUser), Seq(userKey), "left")
+    users.join(perUser, Seq(userKey), "left")
       .select(users.columns.map(col).toIndexedSeq ++ Seq(
         coalesce(col("order_count"), lit(0L)).as("order_count"),
         coalesce(col("total_spend"), lit(0.0)).as("total_spend"),

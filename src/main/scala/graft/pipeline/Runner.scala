@@ -58,9 +58,13 @@ object Runner {
         // date-partitioned raw layer: retention/backfill become partition
         // drops, and day-grain reads prune at the scan
         .withColumn("_ingestion_date", to_date(lit(now)))
-      Bronze.writeLayer(stamped, s"${layout.bronze}/${table}_raw", "append",
+      // Observation collects the row count DURING the write — one pass
+      // over the batch, not a write plus a second full evaluation.
+      val obs = org.apache.spark.sql.Observation(s"bronze_$table")
+      Bronze.writeLayer(stamped.observe(obs, count(lit(1)).as("n")),
+        s"${layout.bronze}/${table}_raw", "append",
         partitionCols = Seq("_ingestion_date"))
-      table -> stamped.count()
+      table -> obs.get("n").asInstanceOf[Long]
     }
 
   /** Stage 2 — silver: transform each bronze entity and upsert by its
