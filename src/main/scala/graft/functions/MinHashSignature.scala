@@ -207,6 +207,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_centroid_scores"),
+      new ExpressionInfo(
+        classOf[CentroidScores].getName, null, "graft_centroid_scores",
+        "graft_centroid_scores(vec, matrix) - per-centroid normalized dot " +
+          "scores of a vector against a literal centroid matrix.",
+        ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(vec, m) => CentroidScores(vec, m)
+          case other => throw new IllegalArgumentException(
+            s"graft_centroid_scores(vec, matrix) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_srp_buckets"),
       new ExpressionInfo(
         classOf[SrpSignatures].getName, null, "graft_srp_buckets",

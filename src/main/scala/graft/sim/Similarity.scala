@@ -91,57 +91,72 @@ object Similarity {
       (t, b) => struct(t.as("table_id"), b.as("bucket")))
   }
 
-  /** IVF-style approximate top-k: an inverted-file index over
-    * `nlist` coarse centroids. Centroids are a deterministic hash-order
-    * sample of the corpus (collected to the driver — nlist is small;
-    * swap in offline k-means without changing the query path). Every
-    * corpus vector is assigned to its max-cosine centroid (one
-    * projection pass — the per-centroid dots run through the native
-    * ArrayDot); each query probes its `nprobe` closest lists and ranks
-    * candidates by exact cosine. Candidates come from an equi-join on
-    * the cluster id — never a cross product — and at 100 TB the
-    * cluster assignment is a write-once partitioning of the corpus.
+  /** IVF index build: deterministic centroid sample (smallest
+    * xxhash64(id) — swap in offline k-means without changing the query
+    * path) plus the corpus assigned to its max-cosine centroid. Returns
+    * (assigned corpus, literal centroid matrix column). The assigned
+    * corpus is cached: at 100 TB this is the write-once partitioning of
+    * the corpus — build it once, serve every query batch from it (the
+    * cache also means the one-shot path reads the parquet exactly once).
+    * All centroid scoring runs through the native fused
+    * [[graft.functions.CentroidScores]] — one `nlist × dim` codegen loop
+    * per row instead of `nlist` separate dot-against-literal-array
+    * expressions (a 1024-literal tree at the default 16×64).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16): (DataFrame, Column) = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-    // deterministic centroid sample: smallest xxhash64(id)
-    val centroids: Array[(Int, Array[Double], Double)] = c
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids: Seq[Seq[Double]] = c
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(nlist)
       .collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        val v = r.getSeq[Double](1).toArray
-        (i, v, math.sqrt(v.map(x => x * x).sum))
-      }
-
-    // score_i = dot(v, centroid_i) / |centroid_i|  (|v| is rank-invariant)
-    def scores(v: Column): Column = array(centroids.map { case (_, cv, n) =>
-      dot(v, array(cv.map(lit).toIndexedSeq: _*)) / lit(n)
-    }.toIndexedSeq: _*)
-
-    val corpusAssigned = c
-      .withColumn("sc", scores(col("cv")))
+      .toSeq.map(_.getSeq[Double](1).toSeq)
+    val matrix = typedlit(centroids)
+    val assigned = c
+      .withColumn("sc", graft.functions.CentroidScores.scores(col("cv"), matrix))
       .withColumn("cluster", expr("array_position(sc, array_max(sc))").cast("int"))
       .drop("sc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (assigned, matrix)
+  }
 
+  /** IVF query path against a prebuilt index: each query probes its
+    * `nprobe` closest lists and ranks candidates by exact cosine.
+    * Probe selection is a pure projection (sort the small score array,
+    * slice nprobe) — no window, no shuffle on the query side before the
+    * broadcast. Candidates come from an equi-join on the cluster id —
+    * never a cross product.
+    */
+  def ivfQuery(assigned: DataFrame, matrix: Column, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val nlist = size(matrix)
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("sc", scores(col("qv")))
-      .select(col("query_id"), col("qv"), posexplode(col("sc")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("col").desc, col("pos"))))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qv"), (col("pos") + 1).cast("int").as("cluster"))
+      .withColumn("probe", explode(slice(array_sort(zip_with(
+        graft.functions.CentroidScores.scores(col("qv"), matrix),
+        sequence(lit(0), nlist - 1),
+        (sc, i) => struct((-sc).as("ns"), i.as("pos")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"),
+        (col("probe.pos") + 1).cast("int").as("cluster"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    corpusAssigned.join(broadcast(q), Seq("cluster"))
+    assigned.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** IVF-style approximate top-k: an inverted-file index over `nlist`
+    * coarse centroids ([[ivfBuild]]) served by [[ivfQuery]]. One-shot
+    * convenience; reuse the built index across query batches at scale.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (assigned, matrix) = ivfBuild(corpus, idCol, vecCol, nlist)
+    ivfQuery(assigned, matrix, queries, idCol, vecCol, k, nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs: multi-table LSH candidates
