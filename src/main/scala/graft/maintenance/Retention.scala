@@ -43,4 +43,27 @@ object Retention {
     try replacement.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
+
+  /** Metadata-level partition drop: delete every `partitionCol=<date>`
+    * directory strictly before `cutoff`. This is the 100 TB half of an
+    * archive move — the kept data is never rewritten; a 7-day purge
+    * touches 7 directories. Returns the dropped partition values.
+    */
+  def dropPartitionsBefore(spark: SparkSession, path: String, partitionCol: String,
+                           cutoff: java.time.LocalDate): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"$partitionCol="))
+      .flatMap { p =>
+        val value = p.getName.stripPrefix(s"$partitionCol=")
+        scala.util.Try(java.time.LocalDate.parse(value)).toOption
+          .filter(_.isBefore(cutoff))
+          .map { _ => fs.delete(p, true); value }
+      }
+  }
 }

@@ -137,6 +137,76 @@ object Runner {
     }
   }
 
+  /** Ranged bronze backfill (reference scripts/backfill.py:198-246
+    * `backfill_date_range`): chunk `[start, end)` into
+    * `batchSizeDays`-day batches; for each batch, fetch every day's
+    * staged frames, stamp them exactly like [[stageBronze]] with that
+    * day's ingestion date, and dynamic-partition-overwrite the touched
+    * day partitions. The reference's DELETE-range-then-reinsert becomes
+    * one idempotent partition overwrite — re-running the same window
+    * reproduces the same state, and untouched days are never read or
+    * written. Returns re-ingested row counts per table.
+    */
+  def backfillBronze(spark: SparkSession,
+                     fetch: java.time.LocalDate => Map[String, DataFrame],
+                     layout: Layout, source: String,
+                     start: java.time.LocalDate, end: java.time.LocalDate,
+                     batchSizeDays: Int = 1): Map[String, Long] = {
+    require(batchSizeDays >= 1, s"batchSizeDays must be >= 1, got $batchSizeDays")
+    val days = Iterator.iterate(start)(_.plusDays(1)).takeWhile(_.isBefore(end)).toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    days.grouped(batchSizeDays).zipWithIndex.foreach { case (batch, bi) =>
+      val perTable = batch
+        .flatMap { day =>
+          val dayTs = Timestamp.valueOf(day.atStartOfDay)
+          fetch(day).map { case (table, df) =>
+            table -> Bronze.withIngestMeta(df, source, table, s"${table}_raw", lit(dayTs))
+              .withColumn("_ingestion_date", to_date(lit(day.toString)))
+          }
+        }
+        .groupBy(_._1)
+        .map { case (table, frames) => table -> frames.map(_._2).reduce(_ unionByName _) }
+      perTable.foreach { case (table, df) =>
+        val obs = org.apache.spark.sql.Observation(s"backfill_${table}_$bi")
+        graft.maintenance.Retention.overwritePartitions(
+          df.observe(obs, count(lit(1)).as("n")),
+          s"${layout.bronze}/${table}_raw", "_ingestion_date")
+        counts(table) += obs.get("n").asInstanceOf[Long]
+      }
+    }
+    counts.toMap
+  }
+
+  /** Archive stage (reference scripts/cleanup.py:88-135
+    * `archive_old_data`: DELETE..RETURNING into `{table}_archive`): move
+    * bronze partitions older than `cutoff` into the archive table. The
+    * move is two partition-level steps — (1) overwrite the same day
+    * partitions in the archive with the slice (stamped `_archived_at`),
+    * (2) drop the live partition directories — so the kept data is never
+    * rewritten and a crash between the steps re-runs cleanly: step 1 is
+    * a dynamic partition overwrite (idempotent), step 2 only deletes
+    * what step 1 already copied. Returns the archived row count.
+    */
+  def stageArchive(spark: SparkSession, layout: Layout, table: String,
+                   cutoff: java.time.LocalDate, now: Timestamp): Long = {
+    val livePath = s"${layout.bronze}/${table}_raw"
+    val archivePath = s"${layout.bronze}/${table}_archive"
+    if (!exists(spark, livePath)) 0L
+    else {
+      val slice = Bronze.readLayer(spark, livePath)
+        .filter(col("_ingestion_date") < lit(cutoff.toString).cast("date"))
+        .withColumn("_archived_at", lit(now))
+      val obs = org.apache.spark.sql.Observation(
+        s"archive_${table}_${System.identityHashCode(slice)}")
+      graft.maintenance.Retention.overwritePartitions(
+        slice.observe(obs, count(lit(1)).as("n")), archivePath, "_ingestion_date")
+      val archived = obs.get("n").asInstanceOf[Long]
+      graft.maintenance.Retention.dropPartitionsBefore(
+        spark, livePath, "_ingestion_date", cutoff)
+      archived
+    }
+  }
+
   /** Full pipeline: ingestion → silver → quality → gold → audit. */
   def runFull(spark: SparkSession, staged: Map[String, DataFrame],
               layout: Layout, source: String, runId: String,

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 import graft.TestSpark
@@ -53,6 +54,66 @@ class RunnerSpec extends AnyFunSuite {
 
     val audit = Audit.read(spark, lay.audit).collect()
     assert(audit.length == 2 && audit.forall(_.status == "success"))
+  }
+
+  test("backfillBronze re-ingests day batches idempotently via partition overwrite") {
+    val lay = layout()
+    val day1 = java.time.LocalDate.parse("2024-01-01")
+    val day4 = java.time.LocalDate.parse("2024-01-04")
+    def fetch(tag: String)(day: java.time.LocalDate): Map[String, DataFrame] = Map(
+      "products" -> Seq(
+        (day.getDayOfMonth, s"Item $tag ${day.getDayOfMonth}", 1.0, "c"),
+        (100 + day.getDayOfMonth, s"Other $tag", 2.0, "c"))
+        .toDF("id", "title", "price", "category"))
+
+    val c1 = Runner.backfillBronze(spark, fetch("v1"), lay, "test_api", day1, day4,
+      batchSizeDays = 2)
+    assert(c1 == Map("products" -> 6)) // 3 days x 2 rows
+    val live = spark.read.parquet(s"${lay.bronze}/products_raw")
+    assert(live.count() == 6)
+    assert(live.select("_ingestion_date").distinct().count() == 3)
+
+    // re-run a sub-window with new data: only those days replaced
+    val c2 = Runner.backfillBronze(spark, fetch("v2"), lay, "test_api", day1,
+      day1.plusDays(1))
+    assert(c2 == Map("products" -> 2))
+    val titles = spark.read.parquet(s"${lay.bronze}/products_raw")
+      .select("title").as[String].collect()
+    assert(titles.count(_.startsWith("Item v2")) == 1)   // day 1 replaced
+    assert(titles.count(_.startsWith("Item v1")) == 2)   // days 2,3 untouched
+    assert(titles.length == 6)                           // no growth
+
+    // same window + same data twice = same state
+    Runner.backfillBronze(spark, fetch("v2"), lay, "test_api", day1, day1.plusDays(1))
+    assert(spark.read.parquet(s"${lay.bronze}/products_raw").count() == 6)
+  }
+
+  test("stageArchive moves old partitions to the archive table, idempotently") {
+    val lay = layout()
+    val day1 = java.time.LocalDate.parse("2024-01-01")
+    def fetch(day: java.time.LocalDate): Map[String, DataFrame] = Map(
+      "orders" -> Seq((day.getDayOfMonth * 10, 100, 5.0, Some(5.0)))
+        .toDF("id", "userId", "total_amount", "final_amount"))
+    Runner.backfillBronze(spark, fetch, lay, "test_api", day1, day1.plusDays(3))
+
+    val cutoff = java.time.LocalDate.parse("2024-01-03")
+    val archived = Runner.stageArchive(spark, lay, "orders", cutoff,
+      ts("2024-02-01 00:00:00"))
+    assert(archived == 2) // days 1 and 2 moved
+    val live = spark.read.parquet(s"${lay.bronze}/orders_raw")
+    assert(live.count() == 1)
+    assert(live.select("_ingestion_date").as[java.sql.Date].collect()
+      .forall(_.toString == "2024-01-03"))
+    val arch = spark.read.parquet(s"${lay.bronze}/orders_archive")
+    assert(arch.count() == 2)
+    assert(arch.columns.contains("_archived_at"))
+
+    // re-run: nothing left to move, archive unchanged
+    val again = Runner.stageArchive(spark, lay, "orders", cutoff,
+      ts("2024-02-02 00:00:00"))
+    assert(again == 0)
+    assert(spark.read.parquet(s"${lay.bronze}/orders_archive").count() == 2)
+    assert(spark.read.parquet(s"${lay.bronze}/orders_raw").count() == 1)
   }
 
   test("quality gate failure aborts before gold and audits the failure") {
