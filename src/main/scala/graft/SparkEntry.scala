@@ -583,6 +583,24 @@ object SparkEntry {
          | count(DISTINCT user_id) AS exact_users
          |FROM events GROUP BY 1""".stripMargin)),
 
+    ("q62_top_products_daily", (s, d) =>
+      // sales_mart.top_products (db_setup.py:271 — declared VARCHAR(500),
+      // never populated by the reference): per-day top-3 products by
+      // summed quantity, concatenated as a csv string
+      Gold.topProductsDaily(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey")),
+        col("o_orderdate"), col("l_partkey"), col("l_quantity"), k = 3),
+      Some("""SELECT event_date,
+         | string_agg(CAST(product_id AS VARCHAR), ',' ORDER BY rk) AS top_products
+         |FROM (
+         |  SELECT o_orderdate AS event_date, l_partkey AS product_id,
+         |    row_number() OVER (PARTITION BY o_orderdate
+         |      ORDER BY sum(CAST(l_quantity AS DECIMAL(18,6))) DESC, l_partkey) AS rk
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY o_orderdate, l_partkey)
+         |WHERE rk <= 3 GROUP BY event_date""".stripMargin)),
+
     // === LLM-pipeline: dedup families ===================================
 
     ("q40_exact_dedup_groups", (s, d) =>

@@ -85,6 +85,34 @@ object Gold {
         countDistinct(col(userCol)).as("customer_count"))
       .crossJoin(broadcast(products.agg(count(lit(1)).as("product_count"))))
 
+  /** sales_mart's declared-but-never-populated `top_products
+    * VARCHAR(500)` (db_setup.py:271), realized as a per-day top-k over
+    * product-level fact rows: rank products within each day by summed
+    * quantity (product id ascending breaks ties deterministically) and
+    * concatenate the top `k` ids into one comma-separated string.
+    *
+    * Scale: one hash aggregation on (day, product) — the only full
+    * shuffle — then `WindowGroupLimit` keeps k rows per day before the
+    * day-grain exchange, so the window never sorts more than the
+    * per-partition top-k. The final string agg sees k rows per day.
+    */
+  def topProductsDaily(detail: DataFrame, dateCol: Column, productCol: Column,
+                       qtyCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = detail
+      .groupBy(dateCol.as("event_date"), productCol.as("product_id"))
+      .agg(dsum(qtyCol).as("qty"))
+    val ranked = perDay.withColumn("rk",
+      row_number().over(Window.partitionBy(col("event_date"))
+        .orderBy(col("qty").desc, col("product_id"))))
+      .filter(col("rk") <= k)
+    ranked.groupBy(col("event_date"))
+      .agg(concat_ws(",",
+        transform(
+          array_sort(collect_list(struct(col("rk"), col("product_id")))),
+          e => e.getField("product_id").cast("string"))).as("top_products"))
+  }
+
   /** operations_mart daily rows (publish_gold.py:75-84):
     * COALESCE(AVG(discount_percentage), 0) per day.
     */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Keyed merge/upsert semantics, re-expressed as anti-join + union.
@@ -40,4 +40,33 @@ object Upsert {
     */
   def upsertByDate(mart: DataFrame, daily: DataFrame, dateCol: String = "date"): DataFrame =
     merge(mart, daily, Seq(dateCol))
+
+  /** First publish of a bookkept mart: both audit stamps are `now`
+    * (reference db_setup.py:258-262 `created_at/updated_at TIMESTAMP
+    * DEFAULT CURRENT_TIMESTAMP`).
+    */
+  def stampNew(daily: DataFrame, now: Column): DataFrame =
+    daily.withColumn("created_at", now).withColumn("updated_at", now)
+
+  /** Bookkept upsert (reference publish_gold.py:37-41 `ON CONFLICT ...
+    * DO UPDATE SET ..., updated_at = CURRENT_TIMESTAMP`): rows whose key
+    * already exists in `mart` keep their original `created_at` and get a
+    * fresh `updated_at`; brand-new keys get both stamps = `now`;
+    * untouched mart rows are carried through unchanged.
+    *
+    * Scale: the carried-stamp lookup joins `daily` against a two-column
+    * projection of the mart (key, created_at) — day-grain marts are tiny
+    * and AQE broadcasts the projection; the anti-join half is the same
+    * single shuffle as [[merge]].
+    */
+  def upsertStamped(mart: DataFrame, daily: DataFrame, now: Column,
+                    keys: Seq[String]): DataFrame = {
+    val prev = mart.select(keys.map(col) :+ col("created_at").as("_prev_created_at"): _*)
+    val stamped = daily
+      .join(prev, keys, "left")
+      .withColumn("created_at", coalesce(col("_prev_created_at"), now))
+      .withColumn("updated_at", now)
+      .drop("_prev_created_at")
+    merge(mart, stamped, keys)
+  }
 }

@@ -108,9 +108,12 @@ object Runner {
   }
 
   /** Stage 4 — gold marts: the reference's three daily KPI marts
-    * (publish_gold.py:25-84), each upserted by date.
+    * (publish_gold.py:25-84), each upserted by date with the reference's
+    * bookkeeping stamps (db_setup.py:258-262): `created_at` survives
+    * re-publish, `updated_at` refreshes on every conflict update.
     */
-  def stageGold(spark: SparkSession, layout: Layout): Map[String, Long] = {
+  def stageGold(spark: SparkSession, layout: Layout,
+                now: Timestamp): Map[String, Long] = {
     val cartsPath = s"${layout.silver}/carts"
     if (!exists(spark, cartsPath)) Map.empty
     else {
@@ -129,8 +132,9 @@ object Runner {
         val martPath = s"${layout.gold}/$name"
         val merged =
           if (exists(spark, martPath))
-            Upsert.upsertByDate(spark.read.parquet(martPath), daily, "event_date")
-          else daily
+            Upsert.upsertStamped(spark.read.parquet(martPath), daily, lit(now),
+              Seq("event_date"))
+          else Upsert.stampNew(daily, lit(now))
         overwriteSwapped(merged, martPath)
         name -> spark.read.parquet(martPath).count()
       }
@@ -216,7 +220,7 @@ object Runner {
       val bronze = stageBronze(spark, staged, layout, source, now)
       val silver = stageSilver(spark, layout)
       val quality = stageQuality(spark, layout)
-      val gold = stageGold(spark, layout)
+      val gold = stageGold(spark, layout, now)
       val fetched = bronze.values.sum
       Audit.append(spark,
         Seq(Audit.complete(log, fetched, fetched, 0L, now)), layout.audit)

@@ -36,6 +36,21 @@ class GoldSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("avg_price") == 2.0)
   }
 
+  test("topProductsDaily ranks by qty desc, product id asc, concatenates top-k") {
+    import org.apache.spark.sql.functions.col
+    val detail = Seq(
+      // day 1: p2 qty 8, p1 qty 5, p3 qty 5, p4 qty 1 -> top3 "2,1,3"
+      ("2024-01-01", 1L, 5.0), ("2024-01-01", 2L, 8.0),
+      ("2024-01-01", 3L, 3.0), ("2024-01-01", 3L, 2.0),
+      ("2024-01-01", 4L, 1.0),
+      // day 2: only one product
+      ("2024-01-02", 7L, 2.0)
+    ).toDF("d", "pid", "qty")
+    val out = Gold.topProductsDaily(detail, col("d"), col("pid"), col("qty"), k = 3)
+      .orderBy("event_date").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("2024-01-01", "2,1,3"), ("2024-01-02", "7")))
+  }
+
   test("userActivity: left join keeps order-less users with zero totals") {
     val users = Seq((100L, "u1"), (300L, "u3")).toDF("user_id", "name")
     val facts = events.withColumnRenamed("event_id", "fact_id")

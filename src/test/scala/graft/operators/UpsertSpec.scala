@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.lit
 import graft.TestSpark
 
 class UpsertSpec extends AnyFunSuite {
@@ -41,5 +42,34 @@ class UpsertSpec extends AnyFunSuite {
       .orderBy("date").as[(String, Long)].collect()
     assert(out.toSeq == Seq(
       ("2024-01-01", 10L), ("2024-01-02", 99L), ("2024-01-03", 30L)))
+  }
+
+  test("upsertStamped keeps created_at on conflict and refreshes updated_at") {
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-05 00:00:00")
+    val mart = Upsert.stampNew(
+      Seq(("2024-01-01", 10L), ("2024-01-02", 20L)).toDF("date", "kpi"), lit(t1))
+    val daily = Seq(("2024-01-02", 99L), ("2024-01-03", 30L)).toDF("date", "kpi")
+    val out = Upsert.upsertStamped(mart, daily, lit(t2), Seq("date"))
+      .orderBy("date")
+      .as[(String, Long, Timestamp, Timestamp)].collect()
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 10L, t1, t1),  // untouched: both stamps original
+      ("2024-01-02", 99L, t1, t2),  // conflict: created kept, updated fresh
+      ("2024-01-03", 30L, t2, t2))) // new key: both stamps now
+  }
+
+  test("upsertStamped is idempotent at fixed now") {
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-05 00:00:00")
+    val mart = Upsert.stampNew(
+      Seq(("2024-01-01", 10L)).toDF("date", "kpi"), lit(t1))
+    val daily = Seq(("2024-01-01", 99L), ("2024-01-02", 30L)).toDF("date", "kpi")
+    val once = Upsert.upsertStamped(mart, daily, lit(t2), Seq("date"))
+    val twice = Upsert.upsertStamped(once, daily, lit(t2), Seq("date"))
+    assert(once.orderBy("date").collect().toSeq ==
+      twice.orderBy("date").collect().toSeq)
   }
 }

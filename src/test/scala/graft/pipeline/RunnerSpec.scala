@@ -52,8 +52,22 @@ class RunnerSpec extends AnyFunSuite {
     assert(ops.length == 2)
     assert(ops.forall(_.getAs[Double]("avg_discount_percentage") >= 0.0))
 
+    // third run, same calendar day as run 2: the day-2 mart row is a
+    // conflict update -> created_at survives, updated_at refreshes
+    Runner.runFull(spark, staged("v3"), lay, "test_api", "run3",
+      ts("2024-01-02 18:00:00"))
+    val fin = spark.read.parquet(s"${lay.gold}/finance_mart")
+      .orderBy("event_date").collect()
+    assert(fin.length == 2)
+    val day2 = fin(1)
+    assert(day2.getAs[Timestamp]("created_at") == ts("2024-01-02 12:00:00"))
+    assert(day2.getAs[Timestamp]("updated_at") == ts("2024-01-02 18:00:00"))
+    val day1 = fin(0)
+    assert(day1.getAs[Timestamp]("created_at") == ts("2024-01-01 12:00:00"))
+    assert(day1.getAs[Timestamp]("updated_at") == ts("2024-01-01 12:00:00"))
+
     val audit = Audit.read(spark, lay.audit).collect()
-    assert(audit.length == 2 && audit.forall(_.status == "success"))
+    assert(audit.length == 3 && audit.forall(_.status == "success"))
   }
 
   test("backfillBronze re-ingests day batches idempotently via partition overwrite") {
