@@ -44,6 +44,42 @@ object Retention {
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
 
+  /** Small-file compaction: rewrite `path` so its data sits in
+    * ~`targetBytes` files instead of whatever fragment count incremental
+    * appends left behind. At 100 TB the scan cost of a layer is driven
+    * by file count (footer reads, task scheduling, no intra-file
+    * parallelism below the split size) — a daily-append bronze table
+    * accretes thousands of tiny files per partition and compaction is
+    * the standing maintenance op that keeps scans linear. When
+    * `partitionCol` is set the repartition keys on it, so each day's
+    * rows land together and the writer preserves the partition layout.
+    * Returns (files before, files after).
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
+              partitionCol: Option[String] = None): (Long, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) buf += f }
+      buf.toSeq
+    }
+    val before = dataFiles()
+    val nOut = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val (compacted, parts) = partitionCol match {
+      case Some(pc) => (df.repartition(nOut, col(pc)), Seq(pc))
+      case None     => (df.repartition(nOut), Seq.empty[String])
+    }
+    val tmp = path + ".compact"
+    val writer = compacted.write.mode("overwrite")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    (before.size.toLong, dataFiles().size.toLong)
+  }
+
   /** Metadata-level partition drop: delete every `partitionCol=<date>`
     * directory strictly before `cutoff`. This is the 100 TB half of an
     * archive move — the kept data is never rewritten; a 7-day purge

@@ -32,7 +32,7 @@ object Runner {
   /** Atomic-ish overwrite: write to a temp sibling, then swap. Needed
     * because an upsert reads the live table it is about to replace.
     */
-  private[pipeline] def overwriteSwapped(df: DataFrame, path: String): Unit = {
+  private[graft] def overwriteSwapped(df: DataFrame, path: String): Unit = {
     val tmp = path + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(

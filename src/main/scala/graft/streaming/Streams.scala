@@ -40,6 +40,35 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Continuous keyed upsert into a parquet table — the streaming face
+    * of the silver-layer merge (reference transform_silver.py:82-122,
+    * batch twin [[graft.operators.Upsert.merge]]). Each micro-batch is
+    * first reduced to one row per key (latest `tsCol` wins, so a batch
+    * carrying several versions of a key is safe), then anti-join-merged
+    * into the live table. foreachBatch is the right tool: the merge
+    * reads the table it replaces, which no streaming sink expresses
+    * declaratively, and checkpointing makes replays idempotent — the
+    * same batch merged twice produces the same table.
+    */
+  def upsertSink(updates: DataFrame, path: String, keys: Seq[String],
+                 tsCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val latest = graft.operators.Dedup.keepLatest(batch, keys, tsCol)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            graft.operators.Upsert.merge(spark.read.parquet(path), latest, keys)
+          else latest
+        graft.pipeline.Runner.overwriteSwapped(merged, path)
+      }
+      .start()
+
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserSession(user_id: Long, events: Long, total: Double,
                                lastSeen: Timestamp)

@@ -33,6 +33,34 @@ class RetentionSpec extends AnyFunSuite {
     assert(w.select("id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("compact bin-packs small files without changing the data") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/table"
+    // 3 appends x 8 partitions = 24 tiny files
+    (1 to 3).foreach { i =>
+      spark.range(i * 1000, i * 1000 + 100).toDF("v")
+        .withColumn("day", (col("v") % 2).cast("string"))
+        .repartition(8)
+        .write.mode("append").partitionBy("day").parquet(dir)
+    }
+    val beforeData = spark.read.parquet(dir)
+      .select("v", "day").as[(Long, String)].collect().toSet
+    val (before, after) = Retention.compact(spark, dir,
+      targetBytes = 128L << 20, partitionCol = Some("day"))
+    assert(before >= 24)
+    assert(after <= 2) // one output slot, split across the 2 day dirs
+    val afterData = spark.read.parquet(dir)
+      .select("v", "day").as[(Long, String)].collect().toSet
+    assert(afterData == beforeData)
+  }
+
+  test("compact works on unpartitioned tables") {
+    val dir = java.nio.file.Files.createTempDirectory("compactu").toString + "/table"
+    spark.range(0, 1000).toDF("v").repartition(16).write.parquet(dir)
+    val (before, after) = Retention.compact(spark, dir)
+    assert(before == 16 && after == 1)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("overwritePartitions rewrites only touched partitions, idempotently") {
     val dir = java.nio.file.Files.createTempDirectory("retention").toString + "/table"
     val full = Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L))

@@ -50,6 +50,35 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertSink merges each micro-batch by key, latest version wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("upsink").toString
+    val path = s"$root/silver"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.upsertSink(
+      input.toDF().toDF("id", "payload", "ts"), path,
+      keys = Seq("id"), tsCol = "ts", checkpoint = s"$root/ckpt")
+    try {
+      // batch 1: two keys, one carrying two versions in the same batch
+      input.addData(
+        (1L, "a-v1", ts("2024-01-01 10:00:00")),
+        (1L, "a-v2", ts("2024-01-01 11:00:00")),
+        (2L, "b-v1", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(path)
+        .select("id", "payload").as[(Long, String)].collect().toSet
+      assert(after1 == Set((1L, "a-v2"), (2L, "b-v1")))
+      // batch 2: update one key, add a third -> merge, not append
+      input.addData(
+        (2L, "b-v2", ts("2024-01-02 09:00:00")),
+        (3L, "c-v1", ts("2024-01-02 09:00:00")))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(path)
+        .select("id", "payload").as[(Long, String)].collect().toSet
+      assert(after2 == Set((1L, "a-v2"), (2L, "b-v2"), (3L, "c-v1")))
+    } finally q.stop()
+  }
+
   test("userSessions accumulates typed per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.UserEvent]
