@@ -601,6 +601,46 @@ object SparkEntry {
          |  GROUP BY o_orderdate, l_partkey)
          |WHERE rk <= 3 GROUP BY event_date""".stripMargin)),
 
+    ("q63_clean_corpus", (s, d) =>
+      // the C4-style cleaning composite over a corpus with planted
+      // exact duplicates: score -> language/fluency/length gates ->
+      // exact dedup keeping the lowest id
+      graft.text.CorpusClean.cleanCorpus(
+        t(s, d, "documents").select("doc_id", "text").unionByName(
+          t(s, d, "documents").select(
+            (col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+        "doc_id", "text", lang = "en", stopwords = stopwords,
+        minStopRatio = 0.03, minTokens = 20L, maxTokens = 90L),
+      Some {
+        val langs = TextOps.LangMarkers.map(_._1)
+        val scores = TextOps.LangMarkers.map { case (lang, words) =>
+          s""" CAST(len(list_filter(string_split(text, ' '),
+             |   w -> w IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$lang""".stripMargin
+        }.mkString(",\n")
+        val caseArms = langs.init.map { lang =>
+          val conds = langs.filterNot(_ == lang)
+            .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents
+           |), scored AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+           |      / len(string_split(text, ' ')) AS stop_ratio,
+           |$scores
+           |  FROM u)
+           |SELECT doc_id, n_tokens, stop_ratio
+           |FROM scored
+           |WHERE (CASE $caseArms ELSE '${langs.last}' END) = 'en'
+           |  AND stop_ratio >= 0.03 AND n_tokens BETWEEN 20 AND 90
+           |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin
+      }),
+
     // === LLM-pipeline: dedup families ===================================
 
     ("q40_exact_dedup_groups", (s, d) =>

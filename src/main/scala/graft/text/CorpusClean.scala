@@ -1,0 +1,42 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** The C4-style corpus cleaning composite: score every document
+  * (tokens, stopword density, language), keep the ones a training run
+  * would want, then drop exact duplicates keeping the lowest id. This
+  * is the operator a 100 TB pre-training pipeline runs first, built
+  * entirely from the oracled primitives in [[TextOps]] and
+  * [[graft.operators.Dedup]].
+  *
+  * Scale shape: scoring is one codegen'd projection pass (no shuffle);
+  * the filter runs before the dedup so only surviving docs shuffle; the
+  * dedup shuffles (64-bit content digest, id) pairs — never the text —
+  * and joins the keeper ids back as a semi join.
+  */
+object CorpusClean {
+
+  /** Documents that pass the language / fluency / length gates, exact
+    * duplicates removed (min id per identical text wins). Output keeps
+    * the score columns so downstream sampling can stratify on them.
+    */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  lang: String, stopwords: Seq[String],
+                  minStopRatio: Double, minTokens: Long,
+                  maxTokens: Long): DataFrame = {
+    val scored = docs.select(
+      Seq(col(idCol), col(textCol),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"),
+        TextOps.wordRatio(col(textCol), stopwords).as("stop_ratio")) ++
+        TextOps.langScores(col(textCol)): _*)
+      .withColumn("predicted_lang", TextOps.langIdFromScores)
+    val kept = scored.filter(
+      col("predicted_lang") === lang &&
+        col("stop_ratio") >= minStopRatio &&
+        col("n_tokens").between(minTokens, maxTokens))
+    Dedup.exactDedup(kept, idCol, Seq(textCol))
+      .select(col(idCol), col("n_tokens"), col("stop_ratio"))
+  }
+}

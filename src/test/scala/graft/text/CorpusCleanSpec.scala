@@ -1,0 +1,30 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CorpusCleanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cleanCorpus gates on language, stop ratio, length; dedups keeping min id") {
+    val en = "the cat sat on the mat and it is a fine day in town"   // 14 tokens
+    val fr = "le chat est sur le tapis et la vie est une belle chose" // french markers
+    val dry = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // no stopwords
+    val docs = Seq(
+      (1L, en),     // keeper
+      (2L, en),     // exact dup of 1 -> dropped
+      (3L, fr),     // wrong language -> dropped
+      (4L, dry),    // stop_ratio 0 -> dropped
+      (5L, "the a"),// too short -> dropped
+      (6L, "the sun is up and the sky is blue it is warm") // keeper, 11 tokens
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.cleanCorpus(docs, "doc_id", "text",
+      lang = "en", stopwords = Seq("the", "a", "of", "and", "in", "to", "is", "it"),
+      minStopRatio = 0.1, minTokens = 5L, maxTokens = 100L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 6L))
+    assert(out(0).getAs[Long]("n_tokens") == 14L)
+    assert(out(0).getAs[Double]("stop_ratio") > 0.1)
+  }
+}
