@@ -73,9 +73,26 @@ object Dedup {
   /** Exact dedup as a filter: keep only the keeper row per content group.
     * Joins the keeper set back on the id — broadcast-able when the
     * duplicate groups are few, else a shuffled semi join on the id.
+    * Right shape when rows are WIDE (the text itself never shuffles —
+    * only (digest, id) pairs move).
     */
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
     df.join(
       exactDedupKeepers(df, idCol, contentCols).select(col("keeper_id").as(idCol)),
       Seq(idCol), "left_semi")
+
+  /** Exact dedup as one window pass: min-id row per content digest.
+    * Right shape when the surviving rows are NARROW (already projected):
+    * Spark plans it as `WindowGroupLimit` — partial top-1 per digest
+    * map-side, so the single exchange carries at most one row per
+    * (digest, input partition) and nothing is computed twice, where the
+    * semi-join formulation re-evaluates its keeper aggregate per union
+    * branch.
+    */
+  def exactDedupWindowed(df: DataFrame, idCol: String,
+                         contentCols: Seq[String]): DataFrame = {
+    val h = "__graft_content_hash"
+    keepFirstBy(df.withColumn(h, contentHash(contentCols)), Seq(h),
+      Seq(col(idCol).asc)).drop(h)
+  }
 }

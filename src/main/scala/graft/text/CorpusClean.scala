@@ -13,8 +13,9 @@ import graft.operators.Dedup
   *
   * Scale shape: scoring is one codegen'd projection pass (no shuffle);
   * the filter runs before the dedup so only surviving docs shuffle; the
-  * dedup shuffles (64-bit content digest, id) pairs — never the text —
-  * and joins the keeper ids back as a semi join.
+  * dedup is one `WindowGroupLimit` pass over the NARROW projection
+  * (id, digest, scores) — partial top-1 per digest map-side, text never
+  * shuffles, nothing evaluates twice.
   */
 object CorpusClean {
 
@@ -36,7 +37,9 @@ object CorpusClean {
       col("predicted_lang") === lang &&
         col("stop_ratio") >= minStopRatio &&
         col("n_tokens").between(minTokens, maxTokens))
-    Dedup.exactDedup(kept, idCol, Seq(textCol))
+    Dedup.exactDedupWindowed(
+      kept.select(col(idCol), col(textCol), col("n_tokens"), col("stop_ratio")),
+      idCol, Seq(textCol))
       .select(col(idCol), col("n_tokens"), col("stop_ratio"))
   }
 }
