@@ -641,6 +641,32 @@ object SparkEntry {
            |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin
       }),
 
+    ("q64_topk_per_group", (s, d) =>
+      // per-group quota (top-2 events per type by value): WindowGroupLimit
+      // keeps each map task's local top-k before the exchange
+      Dedup.topKPerKey(t(s, d, "events"), Seq("event_type"),
+        Seq(col("value").desc_nulls_last, col("ts").asc, col("event_id").asc), 2)
+        .select("event_type", "event_id", "value"),
+      Some("""SELECT event_type, event_id, value FROM events
+         |QUALIFY row_number() OVER (PARTITION BY event_type
+         |  ORDER BY value DESC NULLS LAST, ts, event_id) <= 2""".stripMargin)),
+
+    ("q65_decontaminate", (s, d) => {
+      // benchmark decontamination: every 10th doc plays the eval set;
+      // training docs sharing a content fingerprint with it are dropped
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      graft.text.CorpusClean.decontaminate(
+        docs, docs.filter(col("doc_id") % 10 === 0), "text")
+        .select("doc_id")
+    }, Some("""WITH fp AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS f
+         |  FROM documents)
+         |SELECT t.doc_id FROM fp t
+         |ANTI JOIN (SELECT f FROM fp WHERE doc_id % 10 = 0) e ON t.f = e.f""".stripMargin)),
+
     // === LLM-pipeline: dedup families ===================================
 
     ("q40_exact_dedup_groups", (s, d) =>

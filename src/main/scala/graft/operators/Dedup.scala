@@ -21,9 +21,19 @@ object Dedup {
   private val Rn = "__graft_rn"
 
   /** Keep exactly one row per key: the first under `ordering`. */
-  def keepFirstBy(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+  def keepFirstBy(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame =
+    topKPerKey(df, keys, ordering, 1)
+
+  /** Per-group top-k under `ordering` (quota sampling / per-source
+    * caps / per-key leaderboards). Spark plans the row_number filter as
+    * `WindowGroupLimit`: each map task keeps only its local top-k per
+    * key BEFORE the exchange, so the shuffle carries ≤ k rows per
+    * (key, input partition) no matter how skewed the groups are.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column],
+                 k: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    df.withColumn(Rn, row_number().over(w)).filter(col(Rn) === 1).drop(Rn)
+    df.withColumn(Rn, row_number().over(w)).filter(col(Rn) <= k).drop(Rn)
   }
 
   /** Keep the newest row per key (reference `keep='last'` after an

@@ -42,4 +42,21 @@ object CorpusClean {
       idCol, Seq(textCol))
       .select(col(idCol), col("n_tokens"), col("stop_ratio"))
   }
+
+  /** Benchmark decontamination: drop training documents whose content
+    * fingerprint appears in the eval set. The anti join runs on the
+    * rolling-hash fingerprint ([[TextOps.fingerprint]], oracled in
+    * q44), so the build side is one long per eval doc — an eval suite
+    * is thousands of rows against billions of training docs, so the
+    * fingerprint set broadcasts and the training corpus never shuffles.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    textCol: String): DataFrame = {
+    val fp = "__graft_fp"
+    val evalFps = evalSet
+      .select(TextOps.fingerprint(col(textCol)).as(fp)).distinct()
+    train.withColumn(fp, TextOps.fingerprint(col(textCol)))
+      .join(evalFps, Seq(fp), "left_anti")
+      .drop(fp)
+  }
 }

@@ -38,6 +38,17 @@ class DedupSpec extends AnyFunSuite {
     assert(out.getString(2) == "old")
   }
 
+  test("topKPerKey keeps k rows per key in order") {
+    val out = Dedup.topKPerKey(frame, Seq("id"),
+      Seq(col("ts").desc, col("payload").asc), 2)
+      .orderBy(col("id"), col("ts").desc)
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "new"), (1L, "mid"),
+      (2L, "only"),
+      (3L, "tie-a"), (3L, "tie-b")))
+  }
+
   test("distinctRows removes full duplicates only") {
     val df = Seq((1, "a"), (1, "a"), (1, "b")).toDF("k", "v")
     assert(Dedup.distinctRows(df).count() == 2)

@@ -27,4 +27,18 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_tokens") == 14L)
     assert(out(0).getAs[Double]("stop_ratio") > 0.1)
   }
+
+  test("decontaminate drops exactly the train docs matching an eval fingerprint") {
+    val train = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota"),
+      (4L, "alpha beta gamma")   // same content as doc 1
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma"), (101L, "unseen text here"))
+      .toDF("doc_id", "text")
+    val out = CorpusClean.decontaminate(train, evalSet, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L)) // both copies of the contaminated text gone
+  }
 }
