@@ -667,6 +667,78 @@ object SparkEntry {
          |SELECT t.doc_id FROM fp t
          |ANTI JOIN (SELECT f FROM fp WHERE doc_id % 10 = 0) e ON t.f = e.f""".stripMargin)),
 
+    ("q66_sessionize", (s, d) =>
+      // 30-min-gap clickstream sessions: one shuffle on user_id shared by
+      // the lag window, the running sum, and the session rollup
+      graft.operators.Sessionize.sessionStats(
+        t(s, d, "events"), "user_id", "ts", "value", 1800L,
+        Seq(col("event_id").asc)),
+      Some(s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, session_seq, min(ts) AS session_start,
+         |  max(ts) AS session_end, count(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value
+         |FROM sess GROUP BY user_id, session_seq""".stripMargin)),
+
+    ("q67_rolling_revenue", (s, d) =>
+      Gold.rollingRevenue(t(s, d, "events"), "ts", "user_id", "value", days = 7),
+      Some(s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    ${dsumSql("value")} AS total_value
+         |  FROM events GROUP BY 1)
+         |SELECT event_date, total_value,
+         |  CAST(sum(CAST(total_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |    AS rolling_sum,
+         |  CAST(sum(CAST(total_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |    / count(*) OVER w AS rolling_avg
+         |FROM daily WINDOW w AS (ORDER BY event_date
+         |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    ("q68_rollup_qty", (s, d) =>
+      // subtotal lattice in one pass: Expand + single hash aggregate, no
+      // self-union of the input
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+         | ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    ("q69_pivot_events", (s, d) =>
+      // explicit pivot values: skips the extra distinct-scan pass and
+      // fixes the column order for the hash compare
+      t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value"))),
+      Some({
+        def cell(v: String) =
+          s"""CAST(sum(CASE WHEN event_type = '$v'
+             |  THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS "$v"""".stripMargin
+        s"""SELECT CAST(ts AS DATE) AS event_date,
+           | ${Seq("click", "error", "purchase", "signup", "view").map(cell).mkString(",\n ")}
+           |FROM events GROUP BY 1""".stripMargin
+      })),
+
+    ("q70_stratified_sample", (s, d) =>
+      // reproducible corpus downsampling: 10% of clicks, 5% of views,
+      // everything else dropped — a pure narrow filter, no shuffle, no RNG
+      graft.operators.Sample.stratifiedHashSample(
+        t(s, d, "events"), "event_id", "event_type",
+        Map("click" -> 100, "view" -> 50))
+        .select("event_id", "event_type", "user_id"),
+      Some("""SELECT event_id, event_type, user_id FROM events
+         |WHERE ((event_id % 100000007) * 2654435761) % 1000 <
+         |  CASE event_type WHEN 'click' THEN 100 WHEN 'view' THEN 50 ELSE 0 END""".stripMargin)),
+
     // === LLM-pipeline: dedup families ===================================
 
     ("q40_exact_dedup_groups", (s, d) =>

@@ -28,6 +28,27 @@ object Gold {
         davg(col(valueCol)).as("avg_value"),
         countDistinct(col(userCol)).as("unique_users"))
 
+  /** Rolling `days`-day revenue over the daily mart (trend view on top
+    * of vw_daily_revenue). The window input is one row per calendar day
+    * — bounded by the calendar, not the corpus — so the global orderBy
+    * window (single partition) is safe at any data scale: the heavy
+    * lifting happened in the distributed daily aggregate. Sums go
+    * through DECIMAL so frame-combination order can't perturb doubles;
+    * the average divides the decimal sum as a double by the exact frame
+    * count.
+    */
+  def rollingRevenue(df: DataFrame, tsCol: String, userCol: String,
+                     valueCol: String, days: Int = 7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(unix_date(col("event_date")))
+      .rangeBetween(-(days - 1), 0)
+    val winSum = sum(col("total_value").cast(Money)).over(w).cast("double")
+    dailyRevenue(df, tsCol, userCol, valueCol)
+      .select(col("event_date"), col("total_value"))
+      .withColumn("rolling_sum", winSum)
+      .withColumn("rolling_avg", winSum / count(lit(1)).over(w))
+  }
+
   /** vw_product_catalog (db_setup.py:360-370): per-category count and
     * min/max/avg price.
     */

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation. `df.sample` draws
+  * from a partition-seeded RNG, so its output changes whenever the file
+  * layout or partitioning does — useless for reproducible corpus builds
+  * or cross-engine verification. These samplers decide per ROW from the
+  * row's own id via multiplicative integer hashing, so the sample is a
+  * pure narrow filter: same rows kept on any cluster size, any file
+  * split, any engine that can do 64-bit arithmetic (the DuckDB oracle
+  * runs the identical expression).
+  */
+object Sample {
+
+  /** Knuth's multiplicative constant (2^32 / phi). The id is reduced mod
+    * a large prime FIRST so the product stays far below 2^63 — Spark 4
+    * runs ANSI mode, where a silent overflow would instead be a runtime
+    * error at scale.
+    */
+  private val Mult = 2654435761L
+  private val Prime = 100000007L
+
+  /** Per-row permille bucket in [0, 1000): stable hash of the id. */
+  def bucket1000(id: Column): Column = pmod((id % Prime) * Mult, lit(1000L))
+
+  /** Keep ~`permille`/1000 of rows, uniformly and deterministically. */
+  def hashSample(df: DataFrame, idCol: String, permille: Int): DataFrame =
+    df.filter(bucket1000(col(idCol)) < permille)
+
+  /** Stratified variant: an independent rate per stratum value (e.g.
+    * downsample boilerplate-heavy sources harder than curated ones).
+    * Strata absent from the map are dropped (quota 0).
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+                           permille: Map[String, Int]): DataFrame = {
+    val quota = permille.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket1000(col(idCol)) < quota)
+  }
+}

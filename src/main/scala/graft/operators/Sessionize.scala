@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: split each user's event stream into
+  * sessions wherever the gap between consecutive events exceeds a
+  * threshold. The classic clickstream operator the reference's daily
+  * marts stop short of (its `user_activity` mart counts events per user;
+  * sessions are the natural next aggregate — reference
+  * database/layers/gold/publish_gold.py:63-87 is the closest analogue).
+  *
+  * Scale shape: ONE shuffle on the user column. Both windows (the lag
+  * and the running sum) share the same `partitionBy(user)` sort, and the
+  * session-level aggregate's clustering keys `(user, session_seq)` are a
+  * superset of that partitioning, so `EnsureRequirements` adds no second
+  * exchange — lag, cumsum, and groupBy all run in the same stage. Skewed
+  * power users are bounded by per-user event counts, not corpus size.
+  */
+object Sessionize {
+
+  private val NewFlag = "__graft_new_session"
+
+  /** Tag every event with a per-user `session_seq` (1-based, in time
+    * order). `tiebreak` makes the ordering total so re-runs and the
+    * DuckDB oracle agree on equal timestamps.
+    */
+  def withSessionSeq(df: DataFrame, userCol: String, tsCol: String,
+                     gapSeconds: Long, tiebreak: Seq[Column]): DataFrame = {
+    val order = col(tsCol).asc +: tiebreak
+    val w = Window.partitionBy(userCol).orderBy(order: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    // compare at microsecond precision (both Spark and the DuckDB oracle
+    // store timestamps as micros) — unix_timestamp would truncate to
+    // whole seconds and misclassify sub-second gaps at the boundary
+    val isNew = when(prev.isNull
+      .or(unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L), 1L)
+      .otherwise(0L)
+    df.withColumn(NewFlag, isNew)
+      .withColumn("session_seq",
+        sum(col(NewFlag)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop(NewFlag)
+  }
+
+  /** Session-level rollup: bounds, event count, decimal-summed value. */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String,
+                   valueCol: String, gapSeconds: Long,
+                   tiebreak: Seq[Column]): DataFrame =
+    withSessionSeq(df, userCol, tsCol, gapSeconds, tiebreak)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.Exprs.dsum(col(valueCol)).as("total_value"))
+}
