@@ -22,8 +22,9 @@ object Profile {
     if (args.contains("explain")) df.explain("formatted")
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"PROFILE $name run$i rows=$n secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      // noop sink, matching Bench: count() would prune every projection
+      df.write.format("noop").mode("overwrite").save()
+      println(f"PROFILE $name run$i secs=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()
   }

@@ -38,6 +38,30 @@ object SparkEntry {
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is", "it")
 
+  /** Oracle fragment: per-language marker-hit scores from `documents`
+    * (mirrors [[TextOps.langScores]]); shared by q43 and q74.
+    */
+  private def langScoresSql: String = {
+    val scores = TextOps.LangMarkers.map { case (lang, words) =>
+      s""" CAST(len(list_filter(string_split(text, ' '),
+         |   w -> w IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$lang""".stripMargin
+    }.mkString(",\n")
+    s"SELECT doc_id, text,\n$scores\nFROM documents"
+  }
+
+  /** Oracle fragment: arg-max language with the deterministic tie order
+    * of [[TextOps.langIdFromScores]]; expects score_* columns in scope.
+    */
+  private def langIdCaseSql: String = {
+    val langs = TextOps.LangMarkers.map(_._1)
+    val caseArms = langs.init.map { lang =>
+      val conds = langs.filterNot(_ == lang)
+        .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $caseArms ELSE '${langs.last}' END"
+  }
+
   private val dailyRevenueSelect =
     s"""CAST(ts AS DATE) AS event_date, count(*) AS events_count,
        | ${dsumSql("value")} AS total_value,
@@ -739,6 +763,32 @@ object SparkEntry {
          |WHERE ((event_id % 100000007) * 2654435761) % 1000 <
          |  CASE event_type WHEN 'click' THEN 100 WHEN 'view' THEN 50 ELSE 0 END""".stripMargin)),
 
+    ("q71_dedup_clusters", (s, d) => {
+      // pairwise near-dup verdicts -> dedup clusters: exact Jaccard >= 0.5
+      // over the q58 adjacent-pair list, then large-star/small-star CC.
+      // The oracle replays it as a recursive transitive closure + min.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2")),
+          Seq("id1"))
+      val edges = graft.dedup.NearDup.jaccardVerify(pairs, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      graft.operators.ConnectedComponents.components(edges, "id1", "id2")
+    }, Some("""WITH RECURSIVE
+       |e AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+       |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(string_split(a.text, ' '),
+       |                                    string_split(b.text, ' ')))) >= 0.5),
+       |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |lab AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id)
+       |SELECT id, min(comp) AS component FROM lab GROUP BY id""".stripMargin)),
+
     // === LLM-pipeline: dedup families ===================================
 
     ("q40_exact_dedup_groups", (s, d) =>
@@ -818,21 +868,10 @@ object SparkEntry {
         .select((col("doc_id") +: TextOps.langScores(col("text"))): _*)
       base.withColumn("predicted_lang", TextOps.langIdFromScores)
     }, Some {
-      val scores = TextOps.LangMarkers.map { case (lang, words) =>
-        s""" CAST(len(list_filter(string_split(text, ' '),
-           |   w -> w IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$lang""".stripMargin
-      }.mkString(",\n")
       val langs = TextOps.LangMarkers.map(_._1)
-      val caseArms = langs.init.map { lang =>
-        val conds = langs.filterNot(_ == lang)
-          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }.mkString(" ")
       s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
-         | CASE $caseArms ELSE '${langs.last}' END AS predicted_lang
-         |FROM (SELECT doc_id,
-         |$scores
-         |FROM documents)""".stripMargin
+         | $langIdCaseSql AS predicted_lang
+         |FROM ($langScoresSql)""".stripMargin
     }),
 
     ("q44_doc_fingerprint", (s, d) =>
@@ -844,6 +883,87 @@ object SparkEntry {
          |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
          |   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
          |FROM documents""".stripMargin)),
+
+    ("q72_repetition_filters", (s, d) =>
+      // Gopher-style repetition signals, token/n-gram granularity: the
+      // quality gates a corpus build runs before training. Tokens are
+      // projected to a real column first so the n-gram lambdas reference
+      // an attribute, not a re-evaluated split (see TextOps scaladoc).
+      t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("tlen"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextOps.dupTokenFrac(col("toks")).as("dup_token_frac"),
+          TextOps.topNgramCharFrac(col("toks"), col("tlen"), 2).as("top2_char_frac"),
+          TextOps.topNgramCharFrac(col("toks"), col("tlen"), 3).as("top3_char_frac"),
+          TextOps.dupNgramFrac(col("toks"), 5).as("dup5_frac")),
+      Some({
+        def grams(n: Int) =
+          s"""list_transform(range(greatest(len(toks) - ${n - 1}, 0)),
+             |   i -> array_to_string(list_slice(toks, i+1, i+$n), ' '))""".stripMargin
+        def topFrac(g: String) =
+          s"""CASE WHEN len($g) = 0 THEN 0.0 ELSE
+             |  CAST(list_max(list_transform($g, x ->
+             |    len(list_filter($g, y -> y = x)) * len(x))) AS DOUBLE) / len(text)
+             |END""".stripMargin
+        s"""WITH base AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           |g AS (
+           |  SELECT doc_id, text, toks, ${grams(2)} AS g2, ${grams(3)} AS g3,
+           |    ${grams(5)} AS g5
+           |  FROM base)
+           |SELECT doc_id,
+           |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           |    AS dup_token_frac,
+           |  ${topFrac("g2")} AS top2_char_frac,
+           |  ${topFrac("g3")} AS top3_char_frac,
+           |  CASE WHEN len(g5) = 0 THEN 0.0 ELSE
+           |    CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
+           |  END AS dup5_frac
+           |FROM g""".stripMargin
+      })),
+
+    ("q73_pack_plan", (s, d) =>
+      // concat-and-chunk sequence packing: which 512-token window does
+      // each doc start in, at what offset — per-shard running sums, one
+      // shuffle, deterministic on any cluster size
+      graft.operators.Pack.packPlan(t(s, d, "documents"), "doc_id",
+        TextOps.tokenCount(col("text")), nShards = 8, ctxTokens = 512),
+      Some("""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ((doc_id % 100000007) * 2654435761) % 8 AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+         |  FROM toks)
+         |SELECT doc_id, shard, n_tokens, start // 512 AS pack_seq,
+         |  start % 512 AS pack_offset
+         |FROM c""".stripMargin)),
+
+    ("q74_group_percentiles", (s, d) => {
+      // stratum-aware quality thresholds: percentile + decile of doc
+      // length WITHIN each predicted language, so per-language filters
+      // ("top 80% per lang") don't let a dominant language set the bar
+      val scored = t(s, d, "documents")
+        .select(col("doc_id") +: TextOps.tokenCount(col("text")).as("n_tokens") +:
+          TextOps.langScores(col("text")): _*)
+        .withColumn("lang", TextOps.langIdFromScores)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_tokens").asc, col("doc_id").asc)
+      scored.select(col("doc_id"), col("lang"), col("n_tokens"),
+        percent_rank().over(w).as("pct_rank"),
+        ntile(10).over(w).cast("long").as("decile"))
+    }, Some(s"""WITH lang AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $langIdCaseSql AS lang
+       |  FROM ($langScoresSql))
+       |SELECT doc_id, lang, n_tokens,
+       |  percent_rank() OVER w AS pct_rank,
+       |  CAST(ntile(10) OVER w AS BIGINT) AS decile
+       |FROM lang WINDOW w AS (PARTITION BY lang ORDER BY n_tokens, doc_id)""".stripMargin)),
 
     // === LLM-pipeline: similarity search ================================
 

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step that
+  * turns pairwise "A ~ B" verdicts into dedup CLUSTERS so a corpus build
+  * can keep one representative per group (the reference stops at
+  * row-level dedup; cluster-level dedup is what an LLM corpus needs once
+  * near-dup pairs exist).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * published shuffle-native CC algorithm. Each round is a bounded
+  * aggregate-and-join on the node key; the edge set converges to stars
+  * (node → component minimum) in O(log²) rounds regardless of component
+  * diameter, unlike naive label propagation whose round count is the
+  * diameter (a 1M-doc chain would need 1M rounds; this needs ~20).
+  *
+  * Scale shape per round: one groupBy(u) + one join on u — same key, so
+  * the exchange is shared — over the CURRENT edge set, which only
+  * shrinks toward one edge per node. No all-pairs step anywhere.
+  * `localCheckpoint` cuts the growing lineage each round; on a real
+  * cluster with a checkpoint dir, `checkpoint()` is the durable
+  * equivalent.
+  */
+object ConnectedComponents {
+
+  /** Map every node that appears in `edges` to its component id (the
+    * minimum node id in the component). Nodes absent from `edges`
+    * (singletons) are the caller's to add back — typically
+    * `docs.join(result, ..., "left").withColumn(coalesce(component, id))`.
+    */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxIter: Int = 30): DataFrame = {
+    // canonical undirected edges, self-loops dropped
+    var e = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+              least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var sig = signature(e)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+
+    // converged edge set is a star forest oriented child(u) -> root(v)
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** large-star: every neighbor v > u links to min(N(u) ∪ {u}). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(m, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star: every smaller neighbor (and u itself) links to the
+    * minimum of u's smaller neighborhood. Input/output edges are
+    * oriented u > v, which largeStar's output already guarantees.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("u").agg(min(col("v")).as("m"))
+    val joined = e.join(m, Seq("u"))
+    joined.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(joined.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Order-insensitive fingerprint of an edge set for the convergence
+    * check: (count, additive hash). The hash accumulates in
+    * DECIMAL(38,0) — a BIGINT sum of full-range xxhash64 values would
+    * overflow, and Spark's ANSI mode makes that a runtime error, not a
+    * wraparound. One cheap job per round.
+    */
+  private def signature(e: DataFrame): (Long, String) = {
+    val row = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"))
+      .head()
+    (row.getLong(0), String.valueOf(row.get(1)))
+  }
+}

@@ -22,8 +22,13 @@ object Sample {
   private val Mult = 2654435761L
   private val Prime = 100000007L
 
+  /** Stable per-row hash of the id reduced mod `m` — the shared
+    * engine-portable primitive behind sampling and shard assignment.
+    */
+  def hashMod(id: Column, m: Long): Column = pmod((id % Prime) * Mult, lit(m))
+
   /** Per-row permille bucket in [0, 1000): stable hash of the id. */
-  def bucket1000(id: Column): Column = pmod((id % Prime) * Mult, lit(1000L))
+  def bucket1000(id: Column): Column = hashMod(id, 1000L)
 
   /** Keep ~`permille`/1000 of rows, uniformly and deterministically. */
   def hashSample(df: DataFrame, idCol: String, permille: Int): DataFrame =

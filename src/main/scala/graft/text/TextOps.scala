@@ -84,6 +84,61 @@ object TextOps {
       lit(0L),
       (acc, x) => (acc * 31L + x) % 1000000007L)
 
+  /** Strict token n-grams: empty when the doc has fewer than n tokens
+    * (unlike [[shingles]], which degrades to one whole-doc shingle so
+    * MinHash always has input).
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
+  /** Fraction of token instances that repeat an earlier token — the
+    * token-granularity analogue of Gopher's duplicate-line fraction
+    * (Rae et al. 2021, appendix A1.1; the corpus here is single-line,
+    * so lines degenerate and tokens/n-grams carry the signal).
+    *
+    * `toks` MUST be a projected attribute column (`.select(tokens(text)
+    * .as("toks"))` first), not an inline `tokens(text)` tree: a lambda
+    * can't hoist outer subexpressions, so an inline tree re-runs the
+    * regex split once per array ELEMENT — measured 8-20× slower here
+    * and 400× on the nested form. Same rule for the n-gram metrics
+    * below.
+    */
+  def dupTokenFrac(toks: Column): Column =
+    (size(toks) - size(array_distinct(toks))).cast("double") / size(toks)
+
+  /** Chars covered by the "heaviest" n-gram (max over grams of
+    * occurrences × gram length) relative to doc length — Gopher's
+    * top-n-gram character fraction. Counted by sorting the grams and
+    * folding run lengths — O(B log B) per row, a pure projection: no
+    * explode, no shuffle, linear in corpus size. (The naive per-gram
+    * count — filter the gram list for each gram — is O(B²) nested-
+    * lambda work; it measured 417 s where this measures ~1 s at sf0.1.)
+    */
+  def topNgramCharFrac(toks: Column, textLen: Column, n: Int): Column = {
+    val grams = array_sort(ngrams(toks, n))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val best = aggregate(grams, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run * length(x)).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(toks) < n, lit(0.0))
+      .otherwise(best.cast("double") / textLen)
+  }
+
+  /** Fraction of n-gram instances that are repeats (Gopher's duplicate
+    * n-gram family, instance-level).
+    */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val grams = ngrams(toks, n)
+    when(size(toks) < n, lit(0.0)).otherwise(
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+  }
+
   /** Token n-gram shingles ("w1 w2 w3" strings) — the MinHash unit. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference union-find on the driver for cross-checking. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize roots to the component minimum
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+  }
+
+  test("a long chain collapses to one component labeled by its minimum") {
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 40L).toSet)
+  }
+
+  test("disjoint components, a cycle, and duplicate/reversed edges") {
+    val edges = Seq(
+      (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), // cycle {1,2,3}
+      (10L, 11L),                             // pair {10,11}
+      (7L, 7L),                               // self-loop: no-op
+      (20L, 21L), (21L, 22L), (22L, 20L))     // cycle {20,21,22}
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("matches driver-side union-find on a pseudo-random graph") {
+    // deterministic LCG so the test is reproducible
+    var state = 123456789L
+    def next(bound: Int): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(state >>> 33, bound.toLong)
+    }
+    val edges = Seq.fill(120)((next(80), next(80))).filter(e => e._1 != e._2)
+    assert(run(edges) == unionFind(edges))
+  }
+}
