@@ -965,6 +965,49 @@ object SparkEntry {
        |  CAST(ntile(10) OVER w AS BIGINT) AS decile
        |FROM lang WINDOW w AS (PARTITION BY lang ORDER BY n_tokens, doc_id)""".stripMargin)),
 
+    ("q75_vocab_freq", (s, d) =>
+      // tokenizer-training precursor: corpus vocabulary with occurrence
+      // and document frequencies, one explode + one partial-agg shuffle
+      graft.text.Vocab.vocab(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT token, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |      FROM documents)
+         |GROUP BY token""".stripMargin)),
+
+    ("q76_tfidf_top_term", (s, d) =>
+      // score rounded to 9 dp for the compare: JVM Math.log and libm ln
+      // agree only to ~1 ULP, and the driver hashes exact bytes
+      graft.text.Vocab.topTfidfTerm(t(s, d, "documents"), "doc_id", "text")
+        .withColumn("score", round(col("score"), 9)),
+      Some("""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf,
+         |    CAST(tf.tf AS DOUBLE) * ln(CAST(n_total AS DOUBLE) / df) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) * ln(CAST(n_total AS DOUBLE) / df) DESC,
+         |        tf.token) AS rn
+         |  FROM tf JOIN dfr USING (token) CROSS JOIN tot)
+         |SELECT doc_id, token, tf, round(score, 9) AS score
+         |FROM scored WHERE rn = 1""".stripMargin)),
+
+    ("q77_group_quantiles", (s, d) =>
+      // exact interpolated per-group tail quantiles (the SLA/eval-report
+      // shape); exact, not approx_percentile, so the oracle can match
+      t(s, d, "events").groupBy("event_type").agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n")),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+         |  quantile_cont(value, 0.95) AS p95,
+         |  quantile_cont(value, 0.99) AS p99, count(*) AS n
+         |FROM events GROUP BY event_type""".stripMargin)),
+
     // === LLM-pipeline: similarity search ================================
 
     ("q45_cosine_topk", (s, d) => {
