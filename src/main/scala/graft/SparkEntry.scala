@@ -789,6 +789,47 @@ object SparkEntry {
        |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id)
        |SELECT id, min(comp) AS component FROM lab GROUP BY id""".stripMargin)),
 
+    ("q78_zorder_key", (s, d) =>
+      // Morton key over (user, day): the sort dimension that makes
+      // parquet min/max stats selective for BOTH user and time-range
+      // predicates (see maintenance/Layout.clusterByZorder)
+      t(s, d, "events").select(col("event_id"),
+        graft.maintenance.Layout.zorder2(
+          col("user_id"), unix_date(to_date(col("ts")))).as("zkey")),
+      Some("""WITH b AS (
+         |  SELECT event_id, (user_id & 65535) AS ax,
+         |    ((CAST(ts AS DATE) - DATE '1970-01-01') & 65535) AS bx
+         |  FROM events),
+         |s1 AS (SELECT event_id, ((ax | (ax << 8)) & 16711935) AS ax,
+         |  ((bx | (bx << 8)) & 16711935) AS bx FROM b),
+         |s2 AS (SELECT event_id, ((ax | (ax << 4)) & 252645135) AS ax,
+         |  ((bx | (bx << 4)) & 252645135) AS bx FROM s1),
+         |s3 AS (SELECT event_id, ((ax | (ax << 2)) & 858993459) AS ax,
+         |  ((bx | (bx << 2)) & 858993459) AS bx FROM s2),
+         |s4 AS (SELECT event_id, ((ax | (ax << 1)) & 1431655765) AS ax,
+         |  ((bx | (bx << 1)) & 1431655765) AS bx FROM s3)
+         |SELECT event_id, (ax | (bx << 1)) AS zkey FROM s4""".stripMargin)),
+
+    ("q79_mixture_sample", (s, d) =>
+      // domain mixing: downsample event strata to a 60/30/10 target mix
+      // at the maximum volume the counts allow, deterministically
+      graft.operators.Sample.mixtureSample(
+        t(s, d, "events"), "event_id", "event_type",
+        Map("click" -> 0.6, "view" -> 0.3, "purchase" -> 0.1))
+        .select("event_id", "event_type", "user_id"),
+      Some("""WITH c AS (
+         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM events GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('click', 0.6), ('view', 0.3),
+         |  ('purchase', 0.1)) AS t(event_type, w)),
+         |j AS (SELECT c.event_type, cnt, w FROM c JOIN w USING (event_type)),
+         |t AS (SELECT min(cnt / w) AS tmax FROM j),
+         |r AS (SELECT event_type, floor(1000 * w * tmax / cnt) AS permille
+         |  FROM j CROSS JOIN t)
+         |SELECT e.event_id, e.event_type, e.user_id
+         |FROM events e JOIN r USING (event_type)
+         |WHERE ((event_id % 100000007) * 2654435761) % 1000 < permille""".stripMargin)),
+
     // === LLM-pipeline: dedup families ===================================
 
     ("q40_exact_dedup_groups", (s, d) =>

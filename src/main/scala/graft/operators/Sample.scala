@@ -45,4 +45,33 @@ object Sample {
     }
     df.filter(bucket1000(col(idCol)) < quota)
   }
+
+  /** Domain mixing: downsample strata so the output matches the target
+    * weight distribution at the maximum achievable volume. The largest
+    * total T satisfying `weight(s)·T <= count(s)` for every stratum is
+    * `T = min_s count(s)/weight(s)`; each stratum then keeps
+    * `floor(1000·w·T/count)` permille of its rows via the deterministic
+    * id hash. Fully declarative: stratum counts are an aggregate, the
+    * global minimum is a one-row cross join, and the rates join back on
+    * the stratum key (strata counts are small — AQE broadcasts them) —
+    * no driver-side collect, so it composes lazily into larger plans.
+    * Strata without a target weight are dropped.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(stratumCol, "__w")
+    val counts = df.groupBy(stratumCol)
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .join(w, stratumCol)
+    val tmax = counts.agg(min(col("__cnt") / col("__w")).as("__tmax"))
+    val rates = counts.crossJoin(tmax)
+      .select(col(stratumCol),
+        floor(lit(1000) * col("__w") * col("__tmax") / col("__cnt"))
+          .as("__permille"))
+    df.join(rates, stratumCol)
+      .filter(bucket1000(col(idCol)) < col("__permille"))
+      .drop("__permille")
+  }
 }
