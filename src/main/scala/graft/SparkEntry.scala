@@ -789,6 +789,61 @@ object SparkEntry {
        |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id)
        |SELECT id, min(comp) AS component FROM lab GROUP BY id""".stripMargin)),
 
+    ("q80_cluster_dedup", (s, d) => {
+      // end-to-end near-dup cluster dedup: pairs -> components -> keep
+      // the minimum doc of each cluster plus all unclustered docs
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2")),
+          Seq("id1"))
+      val edges = graft.dedup.NearDup.jaccardVerify(pairs, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      val comps = graft.operators.ConnectedComponents.components(edges, "id1", "id2")
+      graft.operators.ConnectedComponents.keepRepresentatives(
+        docs.select("doc_id"), "doc_id", comps)
+    }, Some("""WITH RECURSIVE
+       |e AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+       |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(string_split(a.text, ' '),
+       |                                    string_split(b.text, ' ')))) >= 0.5),
+       |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |lab AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id),
+       |comp AS (SELECT id, min(comp) AS component FROM lab GROUP BY id)
+       |SELECT d.doc_id FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+       |WHERE coalesce(component, d.doc_id) = d.doc_id""".stripMargin)),
+
+    ("q81_skew_report", (s, d) => {
+      // the 100 TB tuning diagnostic: heavy-hitter keys with their share
+      // of the table and skew ratio (n / mean-per-key) — what decides
+      // whether a join needs salting or AQE skew handling
+      val counts = t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("user_id").asc)
+      counts.crossJoin(tot)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5)
+        .select(col("user_id"), col("n"),
+          (col("n").cast("double") / col("total")).as("share"),
+          (col("n").cast("double") * col("n_keys") / col("total")).as("skew"))
+    }, Some("""WITH c AS (
+       |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c),
+       |r AS (SELECT user_id, n, total, n_keys,
+       |  row_number() OVER (ORDER BY n DESC, user_id) AS rn
+       |  FROM c CROSS JOIN t)
+       |SELECT user_id, n, CAST(n AS DOUBLE) / total AS share,
+       |  CAST(n AS DOUBLE) * n_keys / total AS skew
+       |FROM r WHERE rn <= 5""".stripMargin)),
+
     ("q78_zorder_key", (s, d) =>
       // Morton key over (user, day): the sort dimension that makes
       // parquet min/max stats selective for BOTH user and time-range

@@ -41,6 +41,9 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    // one materialization per round: largeStar flows lazily into
+    // smallStar (lineage depth 2), and the convergence signature reads
+    // the already-checkpointed result, so each round costs two jobs
     var converged = false
     var iter = 0
     var sig = signature(e)
@@ -59,6 +62,18 @@ object ConnectedComponents {
       .union(e.select(col("v").as("id"), col("v").as("component")))
       .distinct()
   }
+
+  /** The cluster-dedup payoff: keep one representative per component
+    * (the component minimum) plus every row that is in no component.
+    * `comps` is the (id, component) output of [[components]]; a left
+    * join + coalesce filter, so singletons never shuffle through the
+    * graph machinery.
+    */
+  def keepRepresentatives(df: DataFrame, idCol: String,
+                          comps: DataFrame): DataFrame =
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(coalesce(col("component"), col(idCol)) === col(idCol))
+      .drop("component")
 
   /** large-star: every neighbor v > u links to min(N(u) ∪ {u}). */
   private def largeStar(e: DataFrame): DataFrame = {
