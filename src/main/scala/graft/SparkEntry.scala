@@ -789,6 +789,36 @@ object SparkEntry {
        |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id)
        |SELECT id, min(comp) AS component FROM lab GROUP BY id""".stripMargin)),
 
+    ("q82_zscore_outliers", (s, d) => {
+      // per-stratum outlier flagging with DECIMAL-EXACT moments: the
+      // sums behind mean/stddev go through DECIMAL(18,6) per row, so
+      // every engine and every partitioning derives bit-identical
+      // mean/std (stddev_samp's streaming merge would differ in the
+      // last ulp); sqrt and division are IEEE-exact, so no rounding
+      // fudge is needed anywhere
+      val ev = t(s, d, "events")
+      val stats = ev.groupBy("event_type").agg(
+        dsum(col("value")).as("s1"),
+        dsum(col("value") * col("value")).as("s2"),
+        count(lit(1)).as("n"))
+      ev.join(stats, "event_type")
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("std", sqrt(
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+        .filter(abs(col("value") - col("mean")) > lit(3) * col("std"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("mean")) / col("std")).as("z"))
+    }, Some(s"""WITH stats AS (
+       |  SELECT event_type, ${dsumSql("value")} AS s1,
+       |    ${dsumSql("value*value")} AS s2, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |j AS (
+       |  SELECT event_id, e.event_type, value, s1 / n AS mean,
+       |    sqrt((s2 - s1*s1/n) / (n - 1)) AS std
+       |  FROM events e JOIN stats USING (event_type))
+       |SELECT event_id, event_type, value, (value - mean) / std AS z
+       |FROM j WHERE abs(value - mean) > 3 * std""".stripMargin)),
+
     ("q80_cluster_dedup", (s, d) => {
       // end-to-end near-dup cluster dedup: pairs -> components -> keep
       // the minimum doc of each cluster plus all unclustered docs
