@@ -1171,6 +1171,75 @@ object SparkEntry {
          |   (a, b) -> a + b)) AS DECIMAL(18,6))) AS DOUBLE) AS total_norm
          |FROM embeddings GROUP BY label""".stripMargin)),
 
+    ("q83_label_centroids", (s, d) =>
+      // per-label mean embedding (the IVF/k-means training primitive):
+      // posexplode -> (label, dim) decimal-sum -> re-assemble ordered;
+      // the shuffle carries label×dim aggregate rows, not vectors
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+        .groupBy("label", "pos")
+        .agg(dsum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", col("s") / col("n"))
+        .groupBy("label")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid")),
+      Some("""WITH x AS (
+         |  SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+         |  FROM embeddings, range(0, 64) t(i)),
+         |m AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+         |  FROM x GROUP BY 1, 2)
+         |SELECT label, array_agg(m ORDER BY pos) AS centroid
+         |FROM m GROUP BY label""".stripMargin)),
+
+    ("q84_winsorized_stats", (s, d) => {
+      // robust per-stratum stats: clip to [p05, p95] (exact interpolated
+      // bounds, IEEE-identical cross-engine) then decimal-exact means —
+      // the outlier-insensitive aggregate a quality dashboard wants
+      val ev = t(s, d, "events")
+      val bounds = ev.groupBy("event_type").agg(
+        percentile(col("value"), lit(0.05)).as("lo"),
+        percentile(col("value"), lit(0.95)).as("hi"))
+      ev.join(bounds, "event_type")
+        .select(col("event_type"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
+        .groupBy("event_type")
+        .agg(davg(col("value")).as("raw_mean"),
+          davg(col("clipped")).as("winsorized_mean"),
+          count(lit(1)).as("n"))
+    }, Some(s"""WITH b AS (
+       |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+       |    quantile_cont(value, 0.95) AS hi
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT e.event_type, value,
+       |    least(greatest(value, lo), hi) AS clipped
+       |  FROM events e JOIN b USING (event_type))
+       |SELECT event_type, ${dsumSql("value")} / count(*) AS raw_mean,
+       |  ${dsumSql("clipped")} / count(*) AS winsorized_mean,
+       |  count(*) AS n
+       |FROM c GROUP BY event_type""".stripMargin)),
+
+    ("q85_edit_distance", (s, d) => {
+      // character-level near-dup verify over the adjacent-pair list:
+      // exact Levenshtein (codegen'd built-in) + normalized similarity
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      docs.select(col("doc_id").as("id1"), col("text").as("t1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"),
+          col("doc_id").as("id2"), col("text").as("t2")), Seq("id1"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
+          (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double") /
+            greatest(length(col("t1")), length(col("t2")))).as("similarity"))
+    }, Some("""SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+       |    greatest(len(a.text), len(b.text)) AS similarity
+       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
     ("q54_embedding_near_dup", (s, d) => {
       val emb = t(s, d, "embeddings").select("vec_id", "embedding")
       // scaled copies keep cosine exactly 1 — guaranteed true near-dups
