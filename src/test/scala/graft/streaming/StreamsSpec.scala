@@ -96,4 +96,34 @@ class StreamsSpec extends AnyFunSuite {
       assert(last.lastSeen == ts("2024-01-01 11:00:00"))
     } finally q.stop()
   }
+
+  test("hash sampling is replay-stable: batch split doesn't change the sample") {
+    // df.sample draws from partition-seeded RNG, so a streaming replay
+    // or re-batching changes which rows survive — Sample.hashSample
+    // decides per row from the id, so any micro-batch split selects
+    // exactly the batch sample (the property exactly-once pipelines need)
+    implicit val sqlCtx = spark.sqlContext
+    val ids = (1L to 1000L).map(i => i * 31 % 997)
+    val batchKept = graft.operators.Sample
+      .hashSample(ids.toDF("id"), "id", permille = 300)
+      .as[Long].collect().toSet
+
+    def runSplit(name: String, chunks: Seq[Seq[Long]]): Set[Long] = {
+      val input = MemoryStream[Long]
+      val sampled = graft.operators.Sample
+        .hashSample(input.toDF().toDF("id"), "id", permille = 300)
+      val q = sampled.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+        spark.table(name).as[Long].collect().toSet
+      } finally q.stop()
+    }
+
+    val twoBatches = runSplit("sample2", Seq(ids.take(400), ids.drop(400)))
+    val fiveBatches = runSplit("sample5", ids.grouped(200).toSeq)
+    assert(twoBatches == batchKept)
+    assert(fiveBatches == batchKept)
+    assert(batchKept.nonEmpty && batchKept.size < ids.toSet.size)
+  }
 }
