@@ -789,6 +789,30 @@ object SparkEntry {
        |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id)
        |SELECT id, min(comp) AS component FROM lab GROUP BY id""".stripMargin)),
 
+    ("q86_rolling_distinct_users", (s, d) =>
+      // WAU-per-day: a window frame can't hold DISTINCT, so each
+      // distinct (day,user) pair is exploded to the 7 windows it serves
+      // — the blowup applies to the reduced pair set, not raw events
+      Gold.rollingDistinctUsers(t(s, d, "events"), "ts", "user_id", days = 7),
+      Some("""WITH pairs AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+         |ad AS (SELECT DISTINCT day AS event_date FROM pairs),
+         |x AS (SELECT u, day + CAST(i AS INTEGER) AS event_date
+         |  FROM pairs, range(0, 7) t(i))
+         |SELECT event_date, count(DISTINCT u) AS rolling_7d_users
+         |FROM x JOIN ad USING (event_date)
+         |GROUP BY event_date""".stripMargin)),
+
+    ("q87_retention_cohorts", (s, d) =>
+      Gold.retentionCohorts(t(s, d, "events"), "ts", "user_id"),
+      Some("""WITH pairs AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+         |c AS (SELECT u, min(day) AS cohort_day FROM pairs GROUP BY u)
+         |SELECT cohort_day, day - cohort_day AS day_offset,
+         |  count(DISTINCT u) AS returning_users
+         |FROM pairs JOIN c USING (u)
+         |GROUP BY 1, 2""".stripMargin)),
+
     ("q82_zscore_outliers", (s, d) => {
       // per-stratum outlier flagging with DECIMAL-EXACT moments: the
       // sums behind mean/stddev go through DECIMAL(18,6) per row, so

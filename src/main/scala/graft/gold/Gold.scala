@@ -49,6 +49,47 @@ object Gold {
       .withColumn("rolling_avg", winSum / count(lit(1)).over(w))
   }
 
+  /** Rolling `days`-day distinct users per active day (the WAU-per-day
+    * trend). A window frame can't hold a DISTINCT, so this uses the
+    * contribution explode: each distinct (day, user) pair contributes to
+    * the `days` window endpoints it falls inside, then one
+    * countDistinct per endpoint. The explode factor is the window
+    * length over ALREADY-DISTINCT day-user pairs (bounded by
+    * days × users, not by event volume), so the heavy reduction happens
+    * first and the ×`days` blowup applies only to the reduced set.
+    */
+  def rollingDistinctUsers(df: DataFrame, tsCol: String, userCol: String,
+                           days: Int = 7): DataFrame = {
+    val pairs = df
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val activeDays = pairs.select(col("day").as("event_date")).distinct()
+    pairs
+      .select(col("u"),
+        explode(sequence(col("day"), date_add(col("day"), days - 1)))
+          .as("event_date"))
+      .join(activeDays, Seq("event_date"))
+      .groupBy("event_date")
+      .agg(countDistinct(col("u")).as(s"rolling_${days}d_users"))
+  }
+
+  /** Retention cohort matrix: users grouped by first-seen day, counted
+    * per day-offset at which they return. Two aggregates — first-seen
+    * per user, then distinct returners per (cohort, offset) — and one
+    * join, each shuffling on aggregate-sized data (users, then
+    * cohort×offset cells).
+    */
+  def retentionCohorts(df: DataFrame, tsCol: String, userCol: String): DataFrame = {
+    val pairs = df
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val cohorts = pairs.groupBy("u").agg(min(col("day")).as("cohort_day"))
+    pairs.join(cohorts, Seq("u"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("u")).as("returning_users"))
+  }
+
   /** vw_product_catalog (db_setup.py:360-370): per-category count and
     * min/max/avg price.
     */
