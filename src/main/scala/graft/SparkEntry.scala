@@ -789,6 +789,57 @@ object SparkEntry {
        |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id)
        |SELECT id, min(comp) AS component FROM lab GROUP BY id""".stripMargin)),
 
+    ("q88_funnel", (s, d) => {
+      // view -> click -> purchase conversion: first-touch per stage per
+      // user in ONE aggregate (min of a conditional), then one global
+      // rollup — two shuffles, both on aggregate-sized data
+      val firsts = t(s, d, "events").groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      firsts.agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_click") >= col("t_view"), 1L).otherwise(0L))
+          .as("n_view_then_click"),
+        sum(when(col("t_click") >= col("t_view")
+          && col("t_purchase") >= col("t_click"), 1L).otherwise(0L))
+          .as("n_full_funnel"))
+    }, Some("""WITH f AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+       |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+       |  FROM events GROUP BY user_id)
+       |SELECT
+       |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_view,
+       |  CAST(sum(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_view_then_click,
+       |  CAST(sum(CASE WHEN t_click >= t_view AND t_purchase >= t_click
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+       |FROM f""".stripMargin)),
+
+    ("q89_event_transitions", (s, d) => {
+      // next-event transition counts (the Markov matrix of the
+      // clickstream): lead() over the per-user time order, then count
+      // per (from, to) — one window shuffle + one aggregate
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+    }, Some("""WITH x AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS next_type
+       |  FROM events)
+       |SELECT event_type, next_type, count(*) AS n
+       |FROM x WHERE next_type IS NOT NULL
+       |GROUP BY 1, 2""".stripMargin)),
+
     ("q86_rolling_distinct_users", (s, d) =>
       // WAU-per-day: a window frame can't hold DISTINCT, so each
       // distinct (day,user) pair is exploded to the 7 windows it serves
