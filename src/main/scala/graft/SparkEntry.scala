@@ -789,6 +789,58 @@ object SparkEntry {
        |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id)
        |SELECT id, min(comp) AS component FROM lab GROUP BY id""".stripMargin)),
 
+    ("q90_revenue_concentration", (s, d) => {
+      // Lorenz/Pareto view: share of total revenue by user decile
+      // (ranked by spend). Per-user totals first (the only event-scale
+      // shuffle), then decile bucketing and share arithmetic on the
+      // user-sized aggregate
+      val perUser = t(s, d, "events").groupBy("user_id")
+        .agg(dsum(col("value")).as("user_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("user_total").desc, col("user_id").asc)
+      val tot = perUser.agg(dsum(col("user_total")).as("grand_total"))
+      perUser
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(dsum(col("user_total")).as("decile_total"),
+          count(lit(1)).as("n_users"))
+        .crossJoin(tot)
+        .select(col("decile"), col("n_users"),
+          col("decile_total"),
+          (col("decile_total") / col("grand_total")).as("revenue_share"))
+    }, Some(s"""WITH p AS (
+       |  SELECT user_id, ${dsumSql("value")} AS user_total
+       |  FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT user_id, user_total,
+       |    CAST(ntile(10) OVER (ORDER BY user_total DESC, user_id) AS BIGINT)
+       |      AS decile
+       |  FROM p),
+       |t AS (SELECT ${dsumSql("user_total")} AS grand_total FROM p),
+       |g AS (
+       |  SELECT decile, count(*) AS n_users,
+       |    ${dsumSql("user_total")} AS decile_total
+       |  FROM r GROUP BY decile)
+       |SELECT decile, n_users, decile_total,
+       |  decile_total / grand_total AS revenue_share
+       |FROM g CROSS JOIN t""".stripMargin)),
+
+    ("q91_banded_edit_distance", (s, d) => {
+      // the at-scale variant of q85: Spark's threshold form early-exits
+      // the O(len²) DP once distance exceeds the band (O(k·len) work),
+      // returning -1 — exactly what a verify step wants when anything
+      // beyond the band is "not a duplicate" anyway
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      docs.select(col("doc_id").as("id1"), col("text").as("t1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"),
+          col("doc_id").as("id2"), col("text").as("t2")), Seq("id1"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("t2"), 40).cast("long").as("banded_dist"))
+    }, Some("""SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CASE WHEN levenshtein(a.text, b.text) > 40 THEN -1
+       |    ELSE levenshtein(a.text, b.text) END AS banded_dist
+       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
     ("q88_funnel", (s, d) => {
       // view -> click -> purchase conversion: first-touch per stage per
       // user in ONE aggregate (min of a conditional), then one global
