@@ -841,6 +841,34 @@ object SparkEntry {
        |    ELSE levenshtein(a.text, b.text) END AS banded_dist
        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
+    ("q92_time_to_convert", (s, d) => {
+      // conversion-latency distribution: per-user first view -> first
+      // purchase delta, then exact interpolated quantiles over the
+      // converting users (microsecond integers, so interpolation is
+      // IEEE-identical cross-engine)
+      val firsts = t(s, d, "events").groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      firsts
+        .filter(col("t_purchase") >= col("t_view"))
+        .select((unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          .as("micros"))
+        .agg(count(lit(1)).as("n_converted"),
+          percentile(col("micros"), lit(0.5)).as("p50_micros"),
+          percentile(col("micros"), lit(0.9)).as("p90_micros"))
+    }, Some("""WITH f AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+       |  FROM events GROUP BY user_id),
+       |c AS (
+       |  SELECT epoch_us(t_purchase) - epoch_us(t_view) AS micros
+       |  FROM f WHERE t_purchase >= t_view)
+       |SELECT count(*) AS n_converted,
+       |  quantile_cont(micros, 0.5) AS p50_micros,
+       |  quantile_cont(micros, 0.9) AS p90_micros
+       |FROM c""".stripMargin)),
+
     ("q88_funnel", (s, d) => {
       // view -> click -> purchase conversion: first-touch per stage per
       // user in ONE aggregate (min of a conditional), then one global
