@@ -841,6 +841,36 @@ object SparkEntry {
        |    ELSE levenshtein(a.text, b.text) END AS banded_dist
        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
+    ("q93_mad_outliers", (s, d) => {
+      // median-absolute-deviation outliers: the robust counterpart of
+      // q82's z-score (immune to the outliers it hunts). Two exact
+      // medians per stratum — each interpolation is IEEE-identical
+      // cross-engine — then a modified-z filter at 3.5 (Iglewicz-
+      // Hoaglin constant 0.6745)
+      val ev = t(s, d, "events")
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val mad = ev.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      ev.join(mad, "event_type")
+        .withColumn("mz", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .filter(abs(col("mz")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("mz"))
+    }, Some("""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |mad AS (
+       |  SELECT e.event_type, med,
+       |    quantile_cont(abs(value - med), 0.5) AS mad
+       |  FROM events e JOIN med USING (event_type) GROUP BY 1, 2),
+       |z AS (
+       |  SELECT event_id, e.event_type, value,
+       |    0.6745 * (value - med) / mad AS mz
+       |  FROM events e JOIN mad USING (event_type))
+       |SELECT event_id, event_type, value, mz
+       |FROM z WHERE abs(mz) > 3.5""".stripMargin)),
+
     ("q92_time_to_convert", (s, d) => {
       // conversion-latency distribution: per-user first view -> first
       // purchase delta, then exact interpolated quantiles over the

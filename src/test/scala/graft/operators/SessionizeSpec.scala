@@ -53,9 +53,9 @@ class SessionizeSpec extends AnyFunSuite {
   }
 
   test("session rollup adds no exchange beyond the user_id window shuffle") {
-    val plan = Sessionize.sessionStats(events, "user_id", "ts", "value", 1800L,
-      Seq(col("event_id").asc))
-      .queryExecution.executedPlan.toString
-    assert(plan.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$plan")
+    graft.audit.PlanGuard.assertMaxExchanges(
+      Sessionize.sessionStats(events, "user_id", "ts", "value", 1800L,
+        Seq(col("event_id").asc)),
+      max = 1)
   }
 }
