@@ -790,40 +790,49 @@ object SparkEntry {
        |SELECT id, min(comp) AS component FROM lab GROUP BY id""".stripMargin)),
 
     ("q90_revenue_concentration", (s, d) => {
-      // Lorenz/Pareto view: share of total revenue by user decile
-      // (ranked by spend). Per-user totals first (the only event-scale
-      // shuffle), then decile bucketing and share arithmetic on the
-      // user-sized aggregate
+      // Lorenz/Pareto view: share of total revenue by user spend-decile.
+      // Deciles are VALUE-based (quantile cut points + comparisons), not
+      // ntile: ntile needs one global sort of every user on a single
+      // partition — the textbook scale bottleneck — while quantile cuts
+      // broadcast as 9 doubles and bucketing stays embarrassingly
+      // parallel. decile 1 = top spenders.
       val perUser = t(s, d, "events").groupBy("user_id")
         .agg(dsum(col("value")).as("user_total"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("user_total").desc, col("user_id").asc)
-      val tot = perUser.agg(dsum(col("user_total")).as("grand_total"))
-      perUser
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      val qs = (1 to 9).map(_ / 10.0)
+      val cuts = perUser.agg(
+        percentile(col("user_total"), typedLit(qs)).as("cuts"),
+        dsum(col("user_total")).as("grand_total"))
+      perUser.crossJoin(cuts)
+        .withColumn("decile",
+          (lit(10) - size(filter(col("cuts"), c => col("user_total") >= c)))
+            .cast("long"))
         .groupBy("decile")
-        .agg(dsum(col("user_total")).as("decile_total"),
-          count(lit(1)).as("n_users"))
-        .crossJoin(tot)
-        .select(col("decile"), col("n_users"),
-          col("decile_total"),
+        .agg(count(lit(1)).as("n_users"),
+          dsum(col("user_total")).as("decile_total"),
+          first(col("grand_total")).as("grand_total"))
+        .select(col("decile"), col("n_users"), col("decile_total"),
           (col("decile_total") / col("grand_total")).as("revenue_share"))
     }, Some(s"""WITH p AS (
        |  SELECT user_id, ${dsumSql("value")} AS user_total
        |  FROM events GROUP BY 1),
-       |r AS (
-       |  SELECT user_id, user_total,
-       |    CAST(ntile(10) OVER (ORDER BY user_total DESC, user_id) AS BIGINT)
-       |      AS decile
+       |c AS (
+       |  SELECT quantile_cont(user_total,
+       |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts,
+       |    ${dsumSql("user_total")} AS grand_total
        |  FROM p),
-       |t AS (SELECT ${dsumSql("user_total")} AS grand_total FROM p),
+       |r AS (
+       |  SELECT user_total,
+       |    10 - len(list_filter(cuts, x -> user_total >= x)) AS decile,
+       |    grand_total
+       |  FROM p CROSS JOIN c),
        |g AS (
        |  SELECT decile, count(*) AS n_users,
-       |    ${dsumSql("user_total")} AS decile_total
+       |    ${dsumSql("user_total")} AS decile_total,
+       |    first(grand_total) AS grand_total
        |  FROM r GROUP BY decile)
        |SELECT decile, n_users, decile_total,
        |  decile_total / grand_total AS revenue_share
-       |FROM g CROSS JOIN t""".stripMargin)),
+       |FROM g""".stripMargin)),
 
     ("q91_banded_edit_distance", (s, d) => {
       // the at-scale variant of q85: Spark's threshold form early-exits
