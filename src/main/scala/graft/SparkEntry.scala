@@ -850,6 +850,26 @@ object SparkEntry {
        |    ELSE levenshtein(a.text, b.text) END AS banded_dist
        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
+    ("q94_pii_redact", (s, d) =>
+      // PII pass a corpus build runs before training: validate/redact
+      // phone fields, count email-shaped strings in free text. Patterns
+      // are RE2-safe (no lookarounds) so Spark's Java regex and the
+      // oracle's RE2 agree; DuckDB's regexp_replace needs the 'g' flag
+      // to match Spark's replace-all default
+      t(s, d, "customer").select(col("c_custkey"),
+        col("c_name").rlike("^Customer#[0-9]{9}$").as("id_format_valid"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("name_masked"),
+        regexp_count(col("c_name"), lit("[0-9]+")).cast("long")
+          .as("digit_runs"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("extracted_id")),
+      Some("""SELECT c_custkey,
+         |  regexp_matches(c_name, '^Customer#[0-9]{9}$') AS id_format_valid,
+         |  regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+         |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT)
+         |    AS digit_runs,
+         |  regexp_extract(c_name, '([0-9]+)', 1) AS extracted_id
+         |FROM customer""".stripMargin)),
+
     ("q93_mad_outliers", (s, d) => {
       // median-absolute-deviation outliers: the robust counterpart of
       // q82's z-score (immune to the outliers it hunts). Two exact
