@@ -736,6 +736,15 @@ object SparkEntry {
          | ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    ("q95_cube_qty", (s, d) =>
+      // full subtotal lattice (all 4 grouping combinations) — same
+      // single Expand + hash-aggregate plan as rollup, 2^k grouping sets
+      t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+         | ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
     ("q69_pivot_events", (s, d) =>
       // explicit pivot values: skips the extra distinct-scan pass and
       // fixes the column order for the hash compare
