@@ -736,6 +736,20 @@ object SparkEntry {
          | ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    ("q96_tumbling_windows", (s, d) =>
+      // 6-hour tumbling event-time windows in batch — same window()
+      // operator the streaming face uses, so batch backfill and the
+      // live stream share one definition. Epoch-aligned buckets match
+      // DuckDB's time_bucket for divisors of 24h
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("n"),
+          col("total_value")),
+      Some(s"""SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+         |  count(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1""".stripMargin)),
+
     ("q95_cube_qty", (s, d) =>
       // full subtotal lattice (all 4 grouping combinations) — same
       // single Expand + hash-aggregate plan as rollup, 2^k grouping sets
