@@ -750,6 +750,21 @@ object SparkEntry {
          |  count(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events GROUP BY 1""".stripMargin)),
 
+    ("q97_hopping_windows", (s, d) =>
+      // 6-hour windows sliding every 2 hours: each event lands in 3
+      // overlapping windows (Spark's window() expands them inline —
+      // same contribution-explode shape as q86, factor = size/slide)
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "6 hours", "2 hours"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("n"),
+          col("total_value")),
+      Some(s"""SELECT time_bucket(INTERVAL '2 hours', ts)
+         |    - CAST(i AS INTEGER) * INTERVAL '2 hours' AS bucket_start,
+         |  count(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events, range(0, 3) t(i)
+         |GROUP BY 1""".stripMargin)),
+
     ("q95_cube_qty", (s, d) =>
       // full subtotal lattice (all 4 grouping combinations) — same
       // single Expand + hash-aggregate plan as rollup, 2^k grouping sets
