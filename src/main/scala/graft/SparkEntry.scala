@@ -736,6 +736,42 @@ object SparkEntry {
          | ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    ("q98_set_ops", (s, d) => {
+      // INTERSECT / EXCEPT surface: users who both clicked and
+      // purchased, and users who clicked but never purchased, as one
+      // labeled union. Spark plans both as aggregate + semi/anti join
+      // on the distinct sets — no sort-based set operator needed
+      val ev = t(s, d, "events")
+      def users(et: String) =
+        ev.filter(col("event_type") === et).select("user_id")
+      users("click").intersect(users("purchase"))
+        .withColumn("segment", lit("click_and_purchase"))
+        .unionByName(
+          users("click").except(users("purchase"))
+            .withColumn("segment", lit("click_no_purchase")))
+    }, Some("""SELECT user_id, 'click_and_purchase' AS segment FROM (
+       |  SELECT user_id FROM events WHERE event_type = 'click'
+       |  INTERSECT
+       |  SELECT user_id FROM events WHERE event_type = 'purchase')
+       |UNION ALL
+       |SELECT user_id, 'click_no_purchase' AS segment FROM (
+       |  SELECT user_id FROM events WHERE event_type = 'click'
+       |  EXCEPT
+       |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin)),
+
+    ("q99_semi_join", (s, d) =>
+      // EXISTS / left-semi surface: orders having at least one
+      // high-quantity lineitem — the probe side streams, the build side
+      // is the distinct key set, and no lineitem columns survive
+      t(s, d, "orders").join(
+        t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         |WHERE EXISTS (SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin)),
+
     ("q96_tumbling_windows", (s, d) =>
       // 6-hour tumbling event-time windows in batch — same window()
       // operator the streaming face uses, so batch backfill and the
