@@ -736,6 +736,31 @@ object SparkEntry {
          | ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    ("q100_shipping_priority", (s, d) =>
+      // TPC-H Q3 shape: 3-table join with filters on all three inputs,
+      // revenue aggregate, top-10. Catalyst pushes each filter to its
+      // scan and AQE picks broadcast for the pruned customer side; the
+      // top-10 plans as TakeOrderedAndProject, never a global sort
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders").filter(col("o_orderdate") < ts("1998-07-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").filter(col("l_shipdate") > ts("1998-07-01 00:00:00")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10),
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     ("q98_set_ops", (s, d) => {
       // INTERSECT / EXCEPT surface: users who both clicked and
       // purchased, and users who clicked but never purchased, as one
