@@ -736,6 +736,29 @@ object SparkEntry {
          | ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    ("q101_daily_growth", (s, d) => {
+      // day-over-day revenue growth: lag + safe pct-change over the
+      // daily mart. Like q67, the global window input is one row per
+      // calendar day — bounded by the calendar, never by event volume
+      val w = org.apache.spark.sql.expressions.Window.orderBy("event_date")
+      Gold.dailyRevenue(t(s, d, "events"), "ts", "user_id", "value")
+        .select(col("event_date"), col("total_value"))
+        .withColumn("prev_value", lag(col("total_value"), 1).over(w))
+        .withColumn("pct_change",
+          when(col("prev_value").isNotNull,
+            (col("total_value") - col("prev_value")) / col("prev_value") * 100.0))
+    }, Some(s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS event_date,
+       |    ${dsumSql("value")} AS total_value
+       |  FROM events GROUP BY 1)
+       |SELECT event_date, total_value,
+       |  lag(total_value) OVER (ORDER BY event_date) AS prev_value,
+       |  CASE WHEN lag(total_value) OVER (ORDER BY event_date) IS NOT NULL
+       |    THEN (total_value - lag(total_value) OVER (ORDER BY event_date))
+       |      / lag(total_value) OVER (ORDER BY event_date) * 100.0
+       |  END AS pct_change
+       |FROM daily""".stripMargin)),
+
     ("q100_shipping_priority", (s, d) =>
       // TPC-H Q3 shape: 3-table join with filters on all three inputs,
       // revenue aggregate, top-10. Catalyst pushes each filter to its
