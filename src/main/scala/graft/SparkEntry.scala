@@ -736,6 +736,49 @@ object SparkEntry {
          | ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    ("q102_chunking", (s, d) =>
+      // RAG-style overlapping chunks (size 32, stride 24): one explode
+      // over per-doc window starts, slices reference the projected
+      // token-array attribute (never re-split — the q72 lesson). At
+      // scale this is a pure narrow op: no shuffle, output rows ~ tokens/stride
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              (greatest(size(col("toks")) - 9, lit(0)) / 24).cast("int")),
+            i => concat_ws(" ", slice(col("toks"), i * 24 + 1, lit(32))))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          col("col").as("chunk_text")),
+      Some("""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |e AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks) - 9, 0) // 24 + 1)) AS i
+         |  FROM d)
+         |SELECT doc_id, i AS chunk_id,
+         |  array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')
+         |    AS chunk_text
+         |FROM e""".stripMargin)),
+
+    ("q103_bigram_counts", (s, d) =>
+      // corpus bigram table (the n-gram LM / KenLM prep shape): explode
+      // token bigrams, aggregate — the shuffle carries distinct bigrams
+      // after map-side partial aggregation, not instances
+      t(s, d, "documents")
+        .select(TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(TextOps.ngrams(col("toks"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n")),
+      Some("""WITH d AS (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |e AS (
+         |  SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM d)
+         |SELECT array_to_string(list_slice(toks, i + 1, i + 2), ' ') AS bigram,
+         |  count(*) AS n
+         |FROM e GROUP BY 1""".stripMargin)),
+
     ("q101_daily_growth", (s, d) => {
       // day-over-day revenue growth: lag + safe pct-change over the
       // daily mart. Like q67, the global window input is one row per
