@@ -779,6 +779,43 @@ object SparkEntry {
          |  count(*) AS n
          |FROM e GROUP BY 1""".stripMargin)),
 
+    ("q104_feature_hashing", (s, d) => {
+      // hashing-trick featurizer: token -> rolling-hash bucket (the
+      // engine-portable q44 formula, per token) -> 64-bin histogram per
+      // doc, all a narrow projection. The histogram is ONE aggregate
+      // fold over the bucket list, so the hashing runs exactly once per
+      // token — a per-bucket filter() would re-evaluate the (collapsed-
+      // inline) hash list 64 times: CollapseProject re-inlines single-
+      // use aliases, so "project to attribute" alone does NOT protect a
+      // single-consumer expression (measured 20 s vs ~1 s at sf0.1)
+      val hx = transform(col("toks"), t =>
+        aggregate(
+          transform(split(t, ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31L + x) % 1000000007L) % 64L)
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          aggregate(hx, array_repeat(lit(0L), 64),
+            (acc, h) => transform(sequence(lit(0), lit(63)),
+              b => element_at(acc, b + 1) +
+                when(b.cast("long") === h, 1L).otherwise(0L)))
+            .as("features"))
+    },
+      Some("""WITH d AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '), t ->
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(t, ''),
+         |            c -> CAST(ascii(c) AS BIGINT))),
+         |        (a, b) -> (a * 31 + b) % 1000000007) % 64) AS hx
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_transform(range(0, 64), b ->
+         |    CAST(len(list_filter(hx, h -> h = b)) AS BIGINT)) AS features
+         |FROM d""".stripMargin)),
+
     ("q101_daily_growth", (s, d) => {
       // day-over-day revenue growth: lag + safe pct-change over the
       // daily mart. Like q67, the global window input is one row per
