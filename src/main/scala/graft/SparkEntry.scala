@@ -816,6 +816,32 @@ object SparkEntry {
          |    CAST(len(list_filter(hx, h -> h = b)) AS BIGINT)) AS features
          |FROM d""".stripMargin)),
 
+    ("q105_token_entropy", (s, d) => {
+      // unigram entropy per doc (lexical-diversity quality signal):
+      // H = ln(T) - Σ n·ln(n) / T over token frequencies. The Σ goes
+      // through per-row DECIMAL(18,6) so accumulation order can't
+      // perturb it, and the 6-decimal rounding also absorbs the
+      // JVM-vs-libm ln() last-ulp difference; the final H is rounded
+      // to 9dp for the same reason
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      tf.groupBy("doc_id")
+        .agg(dsum(col("n") * log(col("n"))).as("s"),
+          sum(col("n")).as("total"))
+        .select(col("doc_id"),
+          round(log(col("total")) - col("s") / col("total"), 9)
+            .as("entropy"))
+    }, Some(s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, ${dsumSql("n * ln(n)")} AS s,
+       |    CAST(sum(n) AS BIGINT) AS total
+       |  FROM tf GROUP BY doc_id)
+       |SELECT doc_id, round(ln(total) - s / total, 9) AS entropy
+       |FROM agg""".stripMargin)),
+
     ("q101_daily_growth", (s, d) => {
       // day-over-day revenue growth: lag + safe pct-change over the
       // daily mart. Like q67, the global window input is one row per
