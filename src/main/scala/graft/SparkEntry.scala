@@ -816,6 +816,37 @@ object SparkEntry {
          |    CAST(len(list_filter(hx, h -> h = b)) AS BIGINT)) AS features
          |FROM d""".stripMargin)),
 
+    ("q106_contamination_frac", (s, d) => {
+      // per-doc contamination fraction: share of a doc's 5-grams that
+      // appear anywhere in the eval split (docs with doc_id % 10 = 0) —
+      // the graded metric behind q65's binary decontamination. Left
+      // join against the DISTINCT eval-gram set (aggregate-sized), then
+      // one count per doc; train docs with zero overlap keep 0.0
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(TextOps.ngrams(col("toks"), 5)).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+        .select("g").distinct().withColumn("hit", lit(1L))
+      grams.filter(col("doc_id") % 10 =!= 0)
+        .join(evalGrams, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))) /
+          count(lit(1)).cast("double")).as("contamination"))
+    }, Some("""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 5),
+       |g AS (
+       |  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS g
+       |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i FROM d)),
+       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0)
+       |SELECT t.doc_id,
+       |  CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(count(*) AS DOUBLE) AS contamination
+       |FROM (SELECT * FROM g WHERE doc_id % 10 <> 0) t
+       |LEFT JOIN ev ON t.g = ev.g
+       |GROUP BY t.doc_id""".stripMargin)),
+
     ("q105_token_entropy", (s, d) => {
       // unigram entropy per doc (lexical-diversity quality signal):
       // H = ln(T) - Σ n·ln(n) / T over token frequencies. The Σ goes
