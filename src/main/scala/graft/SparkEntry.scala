@@ -1347,6 +1347,67 @@ object SparkEntry {
        |  CAST(n AS DOUBLE) * n_keys / total AS skew
        |FROM r WHERE rn <= 5""".stripMargin)),
 
+    ("q107_cluster_size_histogram", (s, d) => {
+      // dedup diagnostics: distribution of near-dup cluster sizes —
+      // the number that tells you whether dedup will remove 1% or 60%
+      // of the corpus before you run it. Two aggregates over the
+      // component map (cluster-count-sized, then histogram-sized)
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2")),
+          Seq("id1"))
+      val edges = graft.dedup.NearDup.jaccardVerify(pairs, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      graft.operators.ConnectedComponents.components(edges, "id1", "id2")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }, Some("""WITH RECURSIVE
+       |e AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+       |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(string_split(a.text, ' '),
+       |                                    string_split(b.text, ' ')))) >= 0.5),
+       |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |lab AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id),
+       |comp AS (SELECT id, min(comp) AS component FROM lab GROUP BY id),
+       |sizes AS (SELECT component, count(*) AS cluster_size
+       |  FROM comp GROUP BY component)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM sizes GROUP BY cluster_size""".stripMargin)),
+
+    ("q108_type_token_ratio", (s, d) => {
+      // corpus diversity report: distinct/total ratio for 1/2/3-grams —
+      // the drop across n is the repetitiveness fingerprint of a corpus.
+      // One explode + one aggregate per n, unioned (aggregate-sized)
+      def ttr(n: Int) = {
+        val grams = t(s, d, "documents")
+          .select(TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= n)
+          .select(explode(TextOps.ngrams(col("toks"), n)).as("g"))
+        grams.agg(lit(n.toLong).as("n"),
+          countDistinct(col("g")).as("n_distinct"),
+          count(lit(1)).as("n_total"),
+          (countDistinct(col("g")) / count(lit(1)).cast("double")).as("ttr"))
+      }
+      ttr(1).unionByName(ttr(2)).unionByName(ttr(3))
+    }, Some({
+      def ttrSql(n: Int) =
+        s"""SELECT CAST($n AS BIGINT) AS n, count(DISTINCT g) AS n_distinct,
+           |  count(*) AS n_total,
+           |  count(DISTINCT g) / CAST(count(*) AS DOUBLE) AS ttr
+           |FROM (
+           |  SELECT array_to_string(list_slice(toks, i + 1, i + $n), ' ') AS g
+           |  FROM (SELECT toks, unnest(range(0, len(toks) - ${n - 1})) AS i
+           |        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+           |        WHERE len(toks) >= $n))""".stripMargin
+      Seq(1, 2, 3).map(ttrSql).mkString("\nUNION ALL\n")
+    })),
+
     ("q78_zorder_key", (s, d) =>
       // Morton key over (user, day): the sort dimension that makes
       // parquet min/max stats selective for BOTH user and time-range
