@@ -1187,6 +1187,43 @@ object SparkEntry {
        |  quantile_cont(micros, 0.9) AS p90_micros
        |FROM c""".stripMargin)),
 
+    ("q109_session_funnel", (s, d) => {
+      // operators compose: gap-sessionize, then funnel WITHIN each
+      // session (did a view convert to a purchase in the same visit?).
+      // The session tagging, the per-session first-touch aggregate, and
+      // nothing else — still one event-scale shuffle on user_id
+      val tagged = graft.operators.Sessionize.withSessionSeq(
+        t(s, d, "events"), "user_id", "ts", 1800L, Seq(col("event_id").asc))
+      tagged.groupBy(col("user_id"), col("session_seq")).agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_with_view"),
+          sum(when(col("t_purchase") >= col("t_view"), 1L).otherwise(0L))
+            .as("n_converted"))
+    }, Some("""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |    THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, event_type,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM flagged),
+       |f AS (
+       |  SELECT user_id, session_seq,
+       |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT count(*) AS n_sessions,
+       |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_with_view,
+       |  CAST(sum(CASE WHEN t_purchase >= t_view THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_converted
+       |FROM f""".stripMargin)),
+
     ("q88_funnel", (s, d) => {
       // view -> click -> purchase conversion: first-touch per stage per
       // user in ONE aggregate (min of a conditional), then one global
