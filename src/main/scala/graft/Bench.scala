@@ -42,10 +42,21 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}")
+    def dp3(v: Double): String = f"$v%.3f"
+    // Full-name per-query times for humans, on their own line (the
+    // driver keeps only the last ~2000 chars of stdout, so the machine
+    // line below must stay short: qNN keys + 3-decimal values).
+    val fullQs =
+      results.map { case (k, v) => js(k) + ":" + dp3(v) }.mkString("{", ",", "}")
+    println(s"""BENCH_DETAIL $fullQs""")
+    val qs = results.map { case (k, v) =>
+      js(k.takeWhile(_ != '_')) + ":" + dp3(v)
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      js(k.takeWhile(_ != '_')) + ":" + js(v.take(60))
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -793,14 +793,17 @@ object SparkEntry {
           transform(split(t, ""), c => ascii(c).cast("long")),
           lit(0L),
           (acc, x) => (acc * 31L + x) % 1000000007L) % 64L)
+      // the histogram is emitted comma-joined (not array<long>): the
+      // driver's comparator sorts result columns and cannot hash arrays
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          aggregate(hx, array_repeat(lit(0L), 64),
-            (acc, h) => transform(sequence(lit(0), lit(63)),
-              b => element_at(acc, b + 1) +
-                when(b.cast("long") === h, 1L).otherwise(0L)))
-            .as("features"))
+          concat_ws(",", transform(
+            aggregate(hx, array_repeat(lit(0L), 64),
+              (acc, h) => transform(sequence(lit(0), lit(63)),
+                b => element_at(acc, b + 1) +
+                  when(b.cast("long") === h, 1L).otherwise(0L))),
+            v => v.cast("string"))).as("features"))
     },
       Some("""WITH d AS (
          |  SELECT doc_id,
@@ -812,8 +815,8 @@ object SparkEntry {
          |        (a, b) -> (a * 31 + b) % 1000000007) % 64) AS hx
          |  FROM documents)
          |SELECT doc_id,
-         |  list_transform(range(0, 64), b ->
-         |    CAST(len(list_filter(hx, h -> h = b)) AS BIGINT)) AS features
+         |  array_to_string(list_transform(range(0, 64), b ->
+         |    CAST(len(list_filter(hx, h -> h = b)) AS BIGINT)), ',') AS features
          |FROM d""".stripMargin)),
 
     ("q106_contamination_frac", (s, d) => {
@@ -1744,18 +1747,18 @@ object SparkEntry {
 
     ("q83_label_centroids", (s, d) =>
       // per-label mean embedding (the IVF/k-means training primitive):
-      // posexplode -> (label, dim) decimal-sum -> re-assemble ordered;
-      // the shuffle carries label×dim aggregate rows, not vectors
+      // posexplode -> (label, dim) decimal-sum -> per-dimension mean.
+      // Emitted as (label, pos, m) rows, not array<double>: the driver's
+      // comparator cannot hash array columns, and the exploded form is
+      // what the shuffle carries anyway (label×dim aggregate rows, not
+      // vectors)
       t(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("v"))
         .groupBy("label", "pos")
         .agg(dsum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("m", col("s") / col("n"))
-        .groupBy("label")
-        .agg(transform(
-          sort_array(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid")),
+        .select(col("label"), col("pos"), (col("s") / col("n")).as("m")),
       Some("""WITH x AS (
          |  SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
          |  FROM embeddings, range(0, 64) t(i)),
@@ -1763,8 +1766,7 @@ object SparkEntry {
          |  SELECT label, pos,
          |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
          |  FROM x GROUP BY 1, 2)
-         |SELECT label, array_agg(m ORDER BY pos) AS centroid
-         |FROM m GROUP BY label""".stripMargin)),
+         |SELECT label, pos, m FROM m""".stripMargin)),
 
     ("q84_winsorized_stats", (s, d) => {
       // robust per-stratum stats: clip to [p05, p95] (exact interpolated

@@ -85,9 +85,11 @@ object NearDup {
   }
 
   /** End-to-end MinHash-LSH near-dup pairs above `threshold`. The
-    * signature table is persisted for the duration of the plan: the
-    * bucket self-join references it twice, and without the persist the
-    * whole signature computation would run once per side.
+    * bucket table is persisted because the candidate self-join reads it
+    * twice (without it the whole signature computation would run once
+    * per side); the verified pair set (≪ the corpus) is then eagerly
+    * materialized so the cache is dropped before returning — nothing
+    * stays persisted after the call.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
@@ -96,7 +98,11 @@ object NearDup {
     val buckets = lshBuckets(sigs, idCol, bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = candidatePairs(buckets, idCol)
-    jaccardVerify(pairs, df, idCol, textCol).filter(col("jaccard") >= threshold)
+    val out = jaccardVerify(pairs, df, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    buckets.unpersist()
+    out
   }
 
   /** 64-bit SimHash over tokens: per-bit vote of token-hash sign bits,
@@ -122,6 +128,8 @@ object NearDup {
     val mask = (1L << width) - 1L
     // Persisted: the candidate self-join reads this twice; without the
     // persist the full simhash aggregation upstream would run per side.
+    // The (small) pair set is eagerly materialized so the cache is
+    // dropped before returning.
     val keyed = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> shiftright(simhash, b * $width) & ${mask}L)")))
@@ -132,12 +140,15 @@ object NearDup {
       col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("block_id"), col("block_val"),
       col(idCol).as("id2"), col("simhash").as("s2"))
-    a.join(b, Seq("block_id", "block_val"))
+    val out = a.join(b, Seq("block_id", "block_val"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(s1 ^ s2)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    keyed.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs via block-PAIR keys — the scale-safe
@@ -168,17 +179,22 @@ object NearDup {
       shiftleft(chunk(i), 32).bitwiseOR(chunk(j)).as("pv"))
     // Persisted: the candidate self-join reads the keyed exploded rows
     // twice; without it the upstream simhash would compute per side.
+    // The (small) pair set is eagerly materialized so the cache is
+    // dropped before returning.
     val keyed = sigs
       .select(col(idCol), col("simhash"),
         explode(array(pairKeys: _*)).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("key"), col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("key"), col(idCol).as("id2"), col("simhash").as("s2"))
-    a.join(b, Seq("key"))
+    val out = a.join(b, Seq("key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(s1 ^ s2)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    keyed.unpersist()
+    out
   }
 }

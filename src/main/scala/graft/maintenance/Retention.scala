@@ -75,8 +75,17 @@ object Retention {
     val tmp = path + ".compact"
     val writer = compacted.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // Rename the live dir ASIDE before moving the rewrite into place
+    // (never delete-then-rename): a crash at any point leaves either the
+    // live table or a recoverable .old/.compact copy on disk. (Renames
+    // are still not atomic on object stores — production there should
+    // swap a table-format pointer instead; this is the FS-level best.)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true) // leftover from a previously-crashed compact
+    fs.rename(live, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    fs.delete(old, true)
     (before.size.toLong, dataFiles().size.toLong)
   }
 

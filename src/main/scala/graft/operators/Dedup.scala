@@ -57,17 +57,23 @@ object Dedup {
     */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
 
-  /** 64-bit content digest over `contentCols`. Hashing a STRUCT (not a
-    * string concatenation) keeps column boundaries — a value containing
-    * a separator byte cannot collide adjacent columns. Spark's hash
+  /** 128-bit content digest over `contentCols` (a struct of two salted
+    * 64-bit xxhash64 values). Hashing a STRUCT (not a string
+    * concatenation) keeps column boundaries — a value containing a
+    * separator byte cannot collide adjacent columns. Spark's hash
     * functions SKIP null fields (the seed passes through unchanged), so
     * ("a", null) and (null, "a") would still collide; appending explicit
     * per-column null flags to the hashed struct restores null-position
-    * sensitivity.
+    * sensitivity. Two independently-salted 64-bit halves take the
+    * birthday-collision odds from ~n²/2⁶⁵ (material at billions of
+    * docs — silently dropping distinct documents) to ~n²/2¹²⁹.
     */
-  def contentHash(contentCols: Seq[String]): Column =
-    xxhash64(struct(
-      (contentCols.map(col) ++ contentCols.map(c => isnull(col(c)))): _*))
+  def contentHash(contentCols: Seq[String]): Column = {
+    val fields = contentCols.map(col) ++ contentCols.map(c => isnull(col(c)))
+    struct(
+      xxhash64(struct(fields: _*)).as("h1"),
+      xxhash64(struct((lit(0x9E3779B97F4A7C15L) +: fields): _*)).as("h2"))
+  }
 
   /** Exact content dedup by digest of selected columns: returns the
     * keeper row per content group (min id) plus the group size.

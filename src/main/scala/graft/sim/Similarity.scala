@@ -103,6 +103,11 @@ object Similarity {
     * per row instead of `nlist` separate dot-against-literal-array
     * expressions (a 1024-literal tree at the default 16×64).
     */
+  /** The returned `assigned` frame is persisted and eagerly
+    * materialized (it is the write-once index — built once, served to
+    * every query batch); the caller owns `assigned.unpersist()` when the
+    * index is retired. The intermediate projection is unpersisted here.
+    */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                nlist: Int = 16): (DataFrame, Column) = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
@@ -118,6 +123,8 @@ object Similarity {
       .withColumn("cluster", expr("array_position(sc, array_max(sc))").cast("int"))
       .drop("sc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize the index from the cached projection
+    c.unpersist()
     (assigned, matrix)
   }
 
@@ -151,18 +158,28 @@ object Similarity {
 
   /** IVF-style approximate top-k: an inverted-file index over `nlist`
     * coarse centroids ([[ivfBuild]]) served by [[ivfQuery]]. One-shot
-    * convenience; reuse the built index across query batches at scale.
+    * convenience: the (small, queries×k-row) result is eagerly
+    * materialized so the index cache can be dropped before returning —
+    * no cached blocks outlive the call. Reuse the [[ivfBuild]] /
+    * [[ivfQuery]] split instead to serve many query batches from one
+    * index (and for cluster fault-tolerance, where an eager local
+    * checkpoint is the wrong tool).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (assigned, matrix) = ivfBuild(corpus, idCol, vecCol, nlist)
-    ivfQuery(assigned, matrix, queries, idCol, vecCol, k, nprobe)
+    val out = ivfQuery(assigned, matrix, queries, idCol, vecCol, k, nprobe)
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs: multi-table LSH candidates
     * (equi-join on bucket keys — never all-pairs), candidate pairs
     * deduplicated BEFORE the exact-cosine verify so each pair's cosine
-    * is computed once, then thresholded.
+    * is computed once, then thresholded. The verified pair set (≪ the
+    * corpus) is eagerly materialized so the keyed-bucket cache is
+    * dropped before returning — nothing stays persisted after the call.
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 8, dim: Int = 64,
@@ -177,11 +194,14 @@ object Similarity {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     val vecs = emb.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("vv"))
-    cand
+    val out = cand
       .join(vecs.select(col("vid").as("id1"), col("vv").as("v1")), Seq("id1"))
       .join(vecs.select(col("vid").as("id2"), col("vv").as("v2")), Seq("id2"))
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .localCheckpoint(true)
+    keyed.unpersist()
+    out
   }
 
   /** Approximate top-k: candidates share an LSH bucket with the query in

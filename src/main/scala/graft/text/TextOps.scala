@@ -86,11 +86,15 @@ object TextOps {
 
   /** Strict token n-grams: empty when the doc has fewer than n tokens
     * (unlike [[shingles]], which degrades to one whole-doc shingle so
-    * MinHash always has input).
+    * MinHash always has input). The short-doc branch is guarded here,
+    * not in callers: `sequence(0, size-n)` would produce a DESCENDING
+    * range (e.g. [0,-1]) when size < n and the negative index makes
+    * `slice` throw at runtime.
     */
   def ngrams(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
   /** Fraction of token instances that repeat an earlier token — the
     * token-granularity analogue of Gopher's duplicate-line fraction
