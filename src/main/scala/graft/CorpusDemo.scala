@@ -54,7 +54,9 @@ object CorpusDemo {
 
     // 4. language-stratified mixture (equal en/fr/es/de shares)
     val scored = reps
-      .select((col("doc_id") +: col("text") +: TextOps.langScores(col("text"))): _*)
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select((col("doc_id") +: col("text") +:
+        TextOps.langScoresToks(col("toks"))): _*)
       .withColumn("lang", TextOps.langIdFromScores)
     val mixed = operators.Sample.mixtureSample(scored, "doc_id", "lang",
       Map("en" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "de" -> 0.25))

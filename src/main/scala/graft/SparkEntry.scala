@@ -789,10 +789,7 @@ object SparkEntry {
       // use aliases, so "project to attribute" alone does NOT protect a
       // single-consumer expression (measured 20 s vs ~1 s at sf0.1)
       val hx = transform(col("toks"), t =>
-        aggregate(
-          transform(split(t, ""), c => ascii(c).cast("long")),
-          lit(0L),
-          (acc, x) => (acc * 31L + x) % 1000000007L) % 64L)
+        graft.functions.RollingHash.of(t) % 64L)
       // the histogram is emitted comma-joined (not array<long>): the
       // driver's comparator sorts result columns and cannot hash arrays
       t(s, d, "documents")
@@ -1550,10 +1547,14 @@ object SparkEntry {
          |  CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents)""".stripMargin)),
 
     ("q42_text_quality", (s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        TextOps.hitCount(col("text"), stopwords).as("stop_hits"),
-        TextOps.wordRatio(col("text"), stopwords).as("stop_ratio"),
-        TextOps.longWordCount(col("text"), 5).as("long_words")),
+      // tokenize once; all three signals reference the token attribute
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextOps.hitCountToks(col("toks"), stopwords).as("stop_hits"),
+          TextOps.wordRatioToks(col("toks"), stopwords).as("stop_ratio"),
+          size(filter(col("toks"), t => length(t) > 5)).cast("long")
+            .as("long_words")),
       Some(s"""SELECT doc_id,
          | CAST(len(list_filter(string_split(text, ' '),
          |   w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS stop_hits,
@@ -1564,8 +1565,10 @@ object SparkEntry {
          |FROM documents""".stripMargin)),
 
     ("q43_lang_id", (s, d) => {
+      // tokenize once; five language scores share the token attribute
       val base = t(s, d, "documents")
-        .select((col("doc_id") +: TextOps.langScores(col("text"))): _*)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select((col("doc_id") +: TextOps.langScoresToks(col("toks"))): _*)
       base.withColumn("predicted_lang", TextOps.langIdFromScores)
     }, Some {
       val langs = TextOps.LangMarkers.map(_._1)
@@ -1648,8 +1651,9 @@ object SparkEntry {
       // length WITHIN each predicted language, so per-language filters
       // ("top 80% per lang") don't let a dominant language set the bar
       val scored = t(s, d, "documents")
-        .select(col("doc_id") +: TextOps.tokenCount(col("text")).as("n_tokens") +:
-          TextOps.langScores(col("text")): _*)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id") +: size(col("toks")).cast("long").as("n_tokens") +:
+          TextOps.langScoresToks(col("toks")): _*)
         .withColumn("lang", TextOps.langIdFromScores)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("n_tokens").asc, col("doc_id").asc)

@@ -221,6 +221,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(
+        classOf[RollingHash].getName, null, "graft_rolling_hash",
+        "graft_rolling_hash(text) - polynomial rolling hash " +
+          "(base 31 mod 1e9+7) over the string's code points.", ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(s) => RollingHash(s)
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_hash(text) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_srp_buckets"),
       new ExpressionInfo(
         classOf[SrpSignatures].getName, null, "graft_srp_buckets",

@@ -27,11 +27,16 @@ object CorpusClean {
                   lang: String, stopwords: Seq[String],
                   minStopRatio: Double, minTokens: Long,
                   maxTokens: Long): DataFrame = {
-    val scored = docs.select(
-      Seq(col(idCol), col(textCol),
-        TextOps.tokenCount(col(textCol)).as("n_tokens"),
-        TextOps.wordRatio(col(textCol), stopwords).as("stop_ratio")) ++
-        TextOps.langScores(col(textCol)): _*)
+    // Tokenize ONCE: the token attribute is referenced by every score
+    // below (7 consumers), so CollapseProject keeps the projection and
+    // the regex split runs once per row instead of once per signal.
+    val scored = docs
+      .select(col(idCol), col(textCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(
+        Seq(col(idCol), col(textCol),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          TextOps.wordRatioToks(col("__toks"), stopwords).as("stop_ratio")) ++
+          TextOps.langScoresToks(col("__toks")): _*)
       .withColumn("predicted_lang", TextOps.langIdFromScores)
     val kept = scored.filter(
       col("predicted_lang") === lang &&

@@ -33,11 +33,24 @@ object TextOps {
     * fluency signal in quality filters).
     */
   def wordRatio(text: Column, words: Seq[String]): Column =
-    hitCount(text, words).cast("double") / size(tokens(text))
+    wordRatioToks(tokens(text), words)
+
+  /** [[wordRatio]] over an already-tokenized column. */
+  def wordRatioToks(toks: Column, words: Seq[String]): Column =
+    hitCountToks(toks, words).cast("double") / size(toks)
 
   /** Count of tokens found in `words`. */
   def hitCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast("long")
+    hitCountToks(tokens(text), words)
+
+  /** [[hitCount]] over an already-tokenized column. Prefer the toks
+    * variants when computing several signals for one document: each
+    * text-based call re-runs the regex split, and with ≥2 references the
+    * projected token attribute survives CollapseProject, so the split
+    * runs exactly once per row.
+    */
+  def hitCountToks(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
 
   /** Count of tokens longer than `n` chars. */
   def longWordCount(text: Column, n: Int): Column =
@@ -61,6 +74,14 @@ object TextOps {
   def langScores(text: Column): Seq[Column] =
     LangMarkers.map { case (lang, words) => hitCount(text, words).as(s"score_$lang") }
 
+  /** [[langScores]] over an already-tokenized column: one split serves
+    * all five language scores instead of one split per language.
+    */
+  def langScoresToks(toks: Column): Seq[Column] =
+    LangMarkers.map { case (lang, words) =>
+      hitCountToks(toks, words).as(s"score_$lang")
+    }
+
   /** Arg-max language with deterministic priority order on ties (list
     * order above). Expects the `score_<lang>` columns to be in scope.
     */
@@ -77,12 +98,11 @@ object TextOps {
   /** Polynomial rolling-hash fingerprint over the character stream
     * (base 31 mod 1e9+7). Order-sensitive — "ab c" and "ba c" differ —
     * and engine-portable (no overflow: the accumulator stays < 2^35).
+    * Computed by the native codegen'd [[graft.functions.RollingHash]]:
+    * one loop over the string, no per-char array, no interpreted fold
+    * (unit-tested equal to the HOF formulation it replaced).
     */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % 1000000007L)
+  def fingerprint(text: Column): Column = graft.functions.RollingHash.of(text)
 
   /** Strict token n-grams: empty when the doc has fewer than n tokens
     * (unlike [[shingles]], which degrades to one whole-doc shingle so
