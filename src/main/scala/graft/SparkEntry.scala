@@ -1875,7 +1875,89 @@ object SparkEntry {
          | CAST(off // 64 AS INTEGER) AS frame_idx, off AS byte_offset
          |FROM (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
          |      FROM documents),
-         | UNNEST(range(0, least(n_bytes - 1, 192) + 1, 64)) AS u(off)""".stripMargin))
+         | UNNEST(range(0, least(n_bytes - 1, 192) + 1, 64)) AS u(off)""".stripMargin)),
+
+    ("q109_bloom_decontaminate", (s, d) => {
+      // q65's decontamination through a Bloom prefilter: most training
+      // rows never join at all (one-row sketch broadcast), only
+      // might_contain survivors hit the exact anti join. The output is
+      // EXACTLY the anti-join result, so it shares q65's oracle shape.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      graft.text.CorpusClean.decontaminateBloom(
+        docs, docs.filter(col("doc_id") % 10 === 0), "text",
+        expectedEvalDocs = 100000L)
+        .select("doc_id")
+    }, Some("""WITH fp AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS f
+         |  FROM documents)
+         |SELECT t.doc_id FROM fp t
+         |ANTI JOIN (SELECT f FROM fp WHERE doc_id % 10 = 0) e ON t.f = e.f""".stripMargin)),
+
+    ("q110_revenue_nucleus", (s, d) =>
+      // per-day top-p product set: the smallest product prefix covering
+      // 80% of the day's revenue. Decimal-exact running sums; one
+      // shuffle on the day shared by both window passes
+      graft.operators.Nucleus.topPPerGroup(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderdate").as("event_date"),
+            col("l_partkey").as("product_id"))
+          .agg(dsum(col("l_extendedprice")).as("revenue")),
+        Seq("event_date"), col("revenue"),
+        Seq(col("revenue").desc, col("product_id").asc), p = 0.8),
+      Some(s"""WITH per AS (
+         |  SELECT o_orderdate AS event_date, l_partkey AS product_id,
+         |    ${dsumSql("l_extendedprice")} AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_date, product_id, revenue,
+         |    sum(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY event_date)
+         |      AS tot,
+         |    sum(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY event_date
+         |      ORDER BY revenue DESC, product_id ROWS UNBOUNDED PRECEDING)
+         |      AS cum
+         |  FROM per)
+         |SELECT event_date, product_id, revenue FROM c
+         |WHERE CAST(cum - CAST(revenue AS DECIMAL(18,6)) AS DOUBLE)
+         |  < 0.8 * CAST(tot AS DOUBLE)""".stripMargin)),
+
+    ("q111_weighted_sample", (s, d) =>
+      // deterministic A-ES weighted sample: top-5 per event type by
+      // exponential key -ln(u)/w, u from the portable id hash; keys
+      // rounded to 9 dp (ln is the one non-IEEE-exact step)
+      graft.operators.Sample.weightedSample(
+        t(s, d, "events"), "event_id", "value", "event_type", k = 5)
+        .select("event_type", "event_id", "value"),
+      Some("""SELECT event_type, event_id, value FROM events
+         |WHERE value > 0
+         |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY
+         |  round(-ln((((event_id % 100000007) * 2654435761) % 1000000 + 0.5)
+         |            / 1000000.0) / value, 9) ASC,
+         |  event_id ASC) <= 5""".stripMargin)),
+
+    ("q112_ngram_containment", (s, d) => {
+      // quote detection on candidate pairs: one-sided 3-gram containment
+      // |grams(A) ∩ grams(B)| / |grams(A)| (Jaccard scores embedded
+      // quotes near zero; containment scores them near one)
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2")),
+          Seq("id1"))
+      graft.dedup.NearDup.containmentVerify(pairs, docs, "doc_id", "text", n = 3)
+    }, Some("""WITH g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(0, len(toks) - 2),
+         |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= 3)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+         |    AS containment
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

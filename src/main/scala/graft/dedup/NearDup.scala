@@ -84,6 +84,28 @@ object NearDup {
           size(array_union(col("t1"), col("t2")))).as("jaccard"))
   }
 
+  /** One-sided n-gram containment for candidate pairs:
+    * `|grams(A) ∩ grams(B)| / |grams(A)|` over distinct token n-grams.
+    * Jaccard misses QUOTATION — a short doc wholly embedded in a long
+    * one scores near zero symmetric overlap but containment ≈ 1 — so
+    * corpus dedup runs both verdicts on the LSH candidates. Same join
+    * shape as [[jaccardVerify]]; docs with fewer than n tokens have no
+    * n-grams and drop out (null containment rows are filtered).
+    */
+  def containmentVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3): DataFrame = {
+    val grams = ensureParallel(df, col(idCol))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), array_distinct(TextOps.ngrams(col("toks"), n)).as("g"))
+    pairs
+      .join(grams.select(col(idCol).as("id1"), col("g").as("g1")), Seq("id1"))
+      .join(grams.select(col(idCol).as("id2"), col("g").as("g2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(col("g1"))).as("containment"))
+  }
+
   /** End-to-end MinHash-LSH near-dup pairs above `threshold`. The
     * bucket table is persisted because the candidate self-join reads it
     * twice (without it the whole signature computation would run once

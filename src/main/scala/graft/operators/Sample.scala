@@ -46,6 +46,29 @@ object Sample {
     df.filter(bucket1000(col(idCol)) < quota)
   }
 
+  /** Deterministic weighted sample without replacement, k rows per
+    * stratum (Efraimidis–Spirakis A-ES): each row draws an exponential
+    * key `-ln(u)/w` from its own id-hash uniform `u`, and the k
+    * smallest keys per stratum win — rows with twice the weight are
+    * twice as likely to make the cut. A pure projection plus one
+    * `WindowGroupLimit` top-k (map-side partial top-k, then one
+    * exchange on the stratum). The key is rounded to 9 decimals before
+    * ranking: `ln` is the one non-IEEE-exact step (libm vs JVM differ
+    * in the last ulp), and 9 dp with an id tiebreaker makes the ranking
+    * engine-portable. Rows with weight <= 0 are dropped.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     stratumCol: String, k: Int): DataFrame = {
+    val u = (hashMod(col(idCol), 1000000L).cast("double") + 0.5) / 1000000.0
+    val key = round(-log(u) / col(weightCol), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(key.asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
+
   /** Domain mixing: downsample strata so the output matches the target
     * weight distribution at the maximum achievable volume. The largest
     * total T satisfying `weight(s)·T <= count(s)` for every stratum is

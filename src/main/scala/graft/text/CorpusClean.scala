@@ -64,4 +64,36 @@ object CorpusClean {
       .join(evalFps, Seq(fp), "left_anti")
       .drop(fp)
   }
+
+  /** [[decontaminate]] with a Bloom-filter prefilter — same output, a
+    * different 100 TB cost profile. The anti join ships the full eval
+    * fingerprint SET to every task; when the eval suite is large that
+    * broadcast is the bottleneck. Here every training row first probes
+    * a `bloom_filter_agg` sketch (a few bits per eval doc, built in one
+    * aggregate): `might_contain = false` rows — the overwhelming
+    * majority — are kept with NO join at all, and only the sketch's
+    * false-positive candidates go through the exact anti join. The
+    * result is EXACTLY the anti-join result (the exact pass removes
+    * false positives), verified against the same oracle as
+    * [[decontaminate]].
+    */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+                         textCol: String,
+                         expectedEvalDocs: Long = 1000000L): DataFrame = {
+    val fp = "__graft_fp"
+    val evalFps = evalSet
+      .select(TextOps.fingerprint(col(textCol)).as(fp)).distinct()
+    val bloom = evalFps.agg(
+      expr(s"bloom_filter_agg($fp, ${expectedEvalDocs}L, ${expectedEvalDocs * 8}L)")
+        .as("__graft_bf"))
+    val probed = train
+      .withColumn(fp, TextOps.fingerprint(col(textCol)))
+      .join(broadcast(bloom)) // one-row sketch broadcast
+      .withColumn("__graft_maybe", expr(s"might_contain(__graft_bf, $fp)"))
+      .drop("__graft_bf")
+    val clean = probed.filter(!col("__graft_maybe"))
+    val survivors = probed.filter(col("__graft_maybe"))
+      .join(evalFps, Seq(fp), "left_anti")
+    clean.unionByName(survivors).drop("__graft_maybe", fp)
+  }
 }
