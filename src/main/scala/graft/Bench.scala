@@ -35,6 +35,13 @@ object Bench {
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      // Free blocks OUTSIDE the timed window: cached frames and eager
+      // localCheckpoint blocks (near-dup/similarity pair sets) otherwise
+      // accumulate across all queries and squeeze the shared
+      // execution-memory pool for everything that follows.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (ok) secs else -secs)
     }
     def js(s: String): String =
@@ -42,7 +49,10 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    def dp3(v: Double): String = f"$v%.3f"
+    // Locale-pinned: f"$v%.3f" uses the JVM default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would corrupt the JSON line.
+    def dp3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full-name per-query times for humans, on their own line (the
     // driver keeps only the last ~2000 chars of stdout, so the machine
     // line below must stay short: qNN keys + 3-decimal values).

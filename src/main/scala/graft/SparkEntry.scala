@@ -1877,7 +1877,7 @@ object SparkEntry {
          |      FROM documents),
          | UNNEST(range(0, least(n_bytes - 1, 192) + 1, 64)) AS u(off)""".stripMargin)),
 
-    ("q109_bloom_decontaminate", (s, d) => {
+    ("q113_bloom_decontaminate", (s, d) => {
       // q65's decontamination through a Bloom prefilter: most training
       // rows never join at all (one-row sketch broadcast), only
       // might_contain survivors hit the exact anti join. The output is
@@ -1952,7 +1952,8 @@ object SparkEntry {
          |  SELECT doc_id,
          |    list_distinct(list_transform(range(0, len(toks) - 2),
          |      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS g
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+         |        FROM documents)
          |  WHERE len(toks) >= 3)
          |SELECT a.doc_id AS id1, b.doc_id AS id2,
          |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)

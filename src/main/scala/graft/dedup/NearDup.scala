@@ -109,9 +109,12 @@ object NearDup {
   /** End-to-end MinHash-LSH near-dup pairs above `threshold`. The
     * bucket table is persisted because the candidate self-join reads it
     * twice (without it the whole signature computation would run once
-    * per side); the verified pair set (≪ the corpus) is then eagerly
-    * materialized so the cache is dropped before returning — nothing
-    * stays persisted after the call.
+    * per side); the verified pair set (≪ the corpus) is then EAGERLY
+    * checkpointed so the bucket cache can be dropped before returning.
+    * Tradeoffs of that checkpoint: the call evaluates immediately (not
+    * lazily), the pair blocks stay on executors until the returned
+    * frame is GC'd, and the truncated lineage means an executor loss
+    * cannot recompute them (re-run the call in that case).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
@@ -150,8 +153,9 @@ object NearDup {
     val mask = (1L << width) - 1L
     // Persisted: the candidate self-join reads this twice; without the
     // persist the full simhash aggregation upstream would run per side.
-    // The (small) pair set is eagerly materialized so the cache is
-    // dropped before returning.
+    // The (small) pair set is eagerly checkpointed so this cache can be
+    // dropped before returning (pair blocks live until the result is
+    // GC'd; lineage is truncated — see nearDupPairs scaladoc).
     val keyed = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> shiftright(simhash, b * $width) & ${mask}L)")))
@@ -201,8 +205,9 @@ object NearDup {
       shiftleft(chunk(i), 32).bitwiseOR(chunk(j)).as("pv"))
     // Persisted: the candidate self-join reads the keyed exploded rows
     // twice; without it the upstream simhash would compute per side.
-    // The (small) pair set is eagerly materialized so the cache is
-    // dropped before returning.
+    // The (small) pair set is eagerly checkpointed so this cache can be
+    // dropped before returning (pair blocks live until the result is
+    // GC'd; lineage is truncated — see nearDupPairs scaladoc).
     val keyed = sigs
       .select(col(idCol), col("simhash"),
         explode(array(pairKeys: _*)).as("key"))

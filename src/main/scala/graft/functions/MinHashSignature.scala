@@ -234,6 +234,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null, "graft_bloom_agg",
+        "graft_bloom_agg(key, expectedItems, numBits) - serialized Bloom " +
+          "filter sketch of a long column (Spark's internal " +
+          "bloom_filter_agg, not exposed in the public registry).", ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(key, items, bits) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(key, items, bits)
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg(key, expectedItems, numBits) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(
+        classOf[BloomProbe].getName, null, "graft_bloom_probe",
+        "graft_bloom_probe(sketch, key) - might-contain probe of a long " +
+          "key against a graft_bloom_agg sketch; false (never null) on " +
+          "null sketch or key.", ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(sketch, key) => BloomProbe(sketch, key)
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_probe(sketch, key) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_srp_buckets"),
       new ExpressionInfo(
         classOf[SrpSignatures].getName, null, "graft_srp_buckets",

@@ -159,11 +159,12 @@ object Similarity {
   /** IVF-style approximate top-k: an inverted-file index over `nlist`
     * coarse centroids ([[ivfBuild]]) served by [[ivfQuery]]. One-shot
     * convenience: the (small, queries×k-row) result is eagerly
-    * materialized so the index cache can be dropped before returning —
-    * no cached blocks outlive the call. Reuse the [[ivfBuild]] /
-    * [[ivfQuery]] split instead to serve many query batches from one
-    * index (and for cluster fault-tolerance, where an eager local
-    * checkpoint is the wrong tool).
+    * checkpointed so the index cache can be dropped before returning
+    * (the result's blocks live until the returned frame is GC'd, and
+    * the truncated lineage cannot recompute after an executor loss).
+    * Reuse the [[ivfBuild]] / [[ivfQuery]] split instead to serve many
+    * query batches from one index (and for cluster fault-tolerance,
+    * where an eager local checkpoint is the wrong tool).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -178,8 +179,10 @@ object Similarity {
     * (equi-join on bucket keys — never all-pairs), candidate pairs
     * deduplicated BEFORE the exact-cosine verify so each pair's cosine
     * is computed once, then thresholded. The verified pair set (≪ the
-    * corpus) is eagerly materialized so the keyed-bucket cache is
-    * dropped before returning — nothing stays persisted after the call.
+    * corpus) is eagerly checkpointed so the keyed-bucket cache can be
+    * dropped before returning; the pair blocks live until the returned
+    * frame is GC'd, and the truncated lineage cannot recompute after an
+    * executor loss (re-run the call in that case).
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 8, dim: Int = 64,

@@ -69,13 +69,21 @@ object CorpusClean {
     * different 100 TB cost profile. The anti join ships the full eval
     * fingerprint SET to every task; when the eval suite is large that
     * broadcast is the bottleneck. Here every training row first probes
-    * a `bloom_filter_agg` sketch (a few bits per eval doc, built in one
-    * aggregate): `might_contain = false` rows — the overwhelming
-    * majority — are kept with NO join at all, and only the sketch's
-    * false-positive candidates go through the exact anti join. The
-    * result is EXACTLY the anti-join result (the exact pass removes
+    * a Bloom sketch (a few bits per eval doc, built in one
+    * `graft_bloom_agg` aggregate): probe-negative rows — the
+    * overwhelming majority — are kept with NO join at all, and only the
+    * sketch's false-positive candidates go through the exact anti join.
+    * The result is EXACTLY the anti-join result (the exact pass removes
     * false positives), verified against the same oracle as
     * [[decontaminate]].
+    *
+    * The probe is [[graft.functions.BloomProbe]] (Spark's own
+    * `might_contain` rejects a non-foldable sketch, so the broadcast
+    * one-row-sketch join shape needs a native probe). Its false-on-null
+    * contract keeps the edges aligned with [[decontaminate]]: an EMPTY
+    * eval set aggregates to a NULL sketch and a null-text train row has
+    * a null fingerprint — both probe `false` and fall to the keep path,
+    * exactly like an anti join with no match.
     */
   def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
                          textCol: String,
@@ -84,12 +92,13 @@ object CorpusClean {
     val evalFps = evalSet
       .select(TextOps.fingerprint(col(textCol)).as(fp)).distinct()
     val bloom = evalFps.agg(
-      expr(s"bloom_filter_agg($fp, ${expectedEvalDocs}L, ${expectedEvalDocs * 8}L)")
-        .as("__graft_bf"))
+      graft.functions.BloomProbe.agg(col(fp), expectedEvalDocs,
+        expectedEvalDocs * 8).as("__graft_bf"))
     val probed = train
       .withColumn(fp, TextOps.fingerprint(col(textCol)))
       .join(broadcast(bloom)) // one-row sketch broadcast
-      .withColumn("__graft_maybe", expr(s"might_contain(__graft_bf, $fp)"))
+      .withColumn("__graft_maybe",
+        graft.functions.BloomProbe.of(col("__graft_bf"), col(fp)))
       .drop("__graft_bf")
     val clean = probed.filter(!col("__graft_maybe"))
     val survivors = probed.filter(col("__graft_maybe"))

@@ -41,4 +41,32 @@ class CorpusCleanSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(2L, 3L)) // both copies of the contaminated text gone
   }
+
+  test("decontaminateBloom equals decontaminate, including null-text rows") {
+    val train = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota"),
+      (4L, "alpha beta gamma"),
+      (5L, null.asInstanceOf[String]) // null fp: keep path on both variants
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma"), (101L, "unseen text here"))
+      .toDF("doc_id", "text")
+    val exact = CorpusClean.decontaminate(train, evalSet, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = CorpusClean.decontaminateBloom(train, evalSet, "text",
+      expectedEvalDocs = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(2L, 3L, 5L))
+    assert(bloom == exact)
+  }
+
+  test("decontaminateBloom with an EMPTY eval set keeps every train row") {
+    val train = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val evalSet = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val bloom = CorpusClean.decontaminateBloom(train, evalSet, "text",
+      expectedEvalDocs = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == Set(1L, 2L)) // NULL sketch probes false -> keep path
+  }
 }
