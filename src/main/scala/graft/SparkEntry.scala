@@ -1958,7 +1958,76 @@ object SparkEntry {
          |SELECT a.doc_id AS id1, b.doc_id AS id2,
          |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
          |    AS containment
-         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin))
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
+    ("q114_unigram_surprisal", (s, d) =>
+      // model-free perplexity proxy: mean -ln p(token) under the
+      // corpus's own unigram distribution (ln rounded to 9 dp per term,
+      // per-doc sum in exact decimal — see Vocab.unigramSurprisal)
+      graft.text.Vocab.unigramSurprisal(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+         |per AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    tf.tf * round(ln(CAST(n_total AS DOUBLE) / n_tok), 9) AS c
+         |  FROM tf JOIN freq USING (token) CROSS JOIN tot)
+         |SELECT doc_id,
+         |  round(${dsumSql("c")} / CAST(sum(tf) AS BIGINT), 9) AS surprisal,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens
+         |FROM per GROUP BY doc_id""".stripMargin)),
+
+    ("q115_tfidf_cosine", (s, d) => {
+      // sparse TF-IDF cosine on the adjacent-pair list: the dot product
+      // is a term-level equi-join (only SHARED terms meet), never a
+      // dense vector — the formulation that survives a 10M-term vocab
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2")),
+          Seq("id1"))
+      graft.text.Vocab.sparseTfidfCosine(pairs, docs, "doc_id", "text")
+    }, Some(s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM documents),
+         |w AS (
+         |  SELECT doc_id, token,
+         |    round(tf * ln(CAST(n_total AS DOUBLE) / df), 9) AS w
+         |  FROM tf JOIN dfr USING (token) CROSS JOIN tot),
+         |n AS (SELECT doc_id, ${dsumSql("w * w")} AS n2 FROM w GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |d AS (
+         |  SELECT p.id1, p.id2, ${dsumSql("wa.w * wb.w")} AS dot
+         |  FROM p
+         |  JOIN w wa ON wa.doc_id = p.id1
+         |  JOIN w wb ON wb.doc_id = p.id2 AND wb.token = wa.token
+         |  GROUP BY 1, 2)
+         |SELECT d.id1, d.id2,
+         |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 9) AS cosine
+         |FROM d
+         |JOIN n na ON na.doc_id = d.id1
+         |JOIN n nb ON nb.doc_id = d.id2""".stripMargin)),
+
+    ("q116_dim_standardize", (s, d) =>
+      // per-dimension z-scoring of the embedding corpus, long format;
+      // decimal-exact moments, so z needs no rounding (q82 precedent)
+      Similarity.standardizeDims(t(s, d, "embeddings"), "vec_id", "embedding"),
+      Some(s"""WITH x AS (
+         |  SELECT vec_id, u.dim AS dim, CAST(embedding[u.dim] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(dim)),
+         |s AS (
+         |  SELECT dim, ${dsumSql("x")} AS sm, ${dsumSql("x * x")} AS s2,
+         |    count(*) AS n
+         |  FROM x GROUP BY 1),
+         |st AS (
+         |  SELECT dim, sm / n AS mean, sqrt(s2 / n - (sm / n) * (sm / n)) AS std
+         |  FROM s)
+         |SELECT x.vec_id, x.dim, (x.x - mean) / std AS z
+         |FROM x JOIN st USING (dim)""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -231,4 +231,33 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
+
+  /** Per-DIMENSION standardization of an embedding column, long format
+    * `(id, dim, z)` with `z = (x − mean_dim) / std_dim` — the feature
+    * normalization run before clustering or IVF training so no single
+    * high-variance dimension dominates the metric. Shape: posexplode to
+    * (dim, x), one 64-row (dim-count-row) stats aggregate, broadcast
+    * join back — the corpus streams twice and shuffles only the
+    * per-dim partial aggregates, never the vectors.
+    *
+    * Determinism: sums and sums-of-squares accumulate in exact decimal
+    * ([[graft.Exprs.dsum]]); mean/variance/sqrt/divide are then single
+    * IEEE operations on identical doubles, so `z` is bit-exact across
+    * partitionings and engines with no rounding step.
+    */
+  def standardizeDims(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = emb
+      .select(col(idCol), posexplode(toDouble(col(vecCol))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("x"))
+    val mean = graft.Exprs.dsum(col("x")) / count(lit(1))
+    val meanSq = graft.Exprs.dsum(col("x") * col("x")) / count(lit(1))
+    val stats = x.groupBy("dim")
+      .agg(mean.as("mean"), meanSq.as("mean_sq"))
+      .select(col("dim"), col("mean"),
+        sqrt(col("mean_sq") - col("mean") * col("mean")).as("std"))
+    x.join(broadcast(stats), Seq("dim"))
+      .select(col(idCol), col("dim"),
+        ((col("x") - col("mean")) / col("std")).as("z"))
+  }
 }

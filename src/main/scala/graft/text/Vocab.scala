@@ -52,4 +52,78 @@ object Vocab {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("token"), col("tf"), col("score"))
   }
+
+  /** Per-document mean unigram surprisal, `-mean(ln p(token))` with
+    * `p` from the corpus's own token distribution — the model-free
+    * perplexity proxy corpus pipelines use as a fluency gate (gibberish
+    * and boilerplate both sit far from the corpus mean). Shape: the
+    * same aggregated term counts as TF-IDF; the corpus total joins in
+    * as a one-row cross join, so nothing collects to the driver.
+    *
+    * Determinism: the transcendental `ln` is rounded to 9 dp per TERM
+    * (JVM vs libm differ in the last ulp), and the per-doc sum then
+    * runs in exact decimal — order-independent on any cluster.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("token").agg(sum(col("tf")).as("n_tok"))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
+    val contrib = col("tf") *
+      round(log(col("n_total").cast("double") / col("n_tok")), 9)
+    tf.join(freq, Seq("token"))
+      .crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(round(graft.Exprs.dsum(contrib) / sum(col("tf")), 9).as("surprisal"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
+  /** TF-IDF weight table `(id, token, w)` with `w = tf · ln(N/df)`
+    * rounded to 9 dp (see [[unigramSurprisal]] on why). The sparse
+    * document-vector representation: one row per nonzero coordinate.
+    */
+  def tfidfWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(total)
+      .select(col(idCol), col("token"),
+        round(col("tf") * log(col("n_total").cast("double") / col("df")), 9)
+          .as("w"))
+  }
+
+  /** Sparse TF-IDF cosine similarity for an explicit pair list
+    * (`id1`, `id2`) — the term-JOIN formulation: the dot product is an
+    * equi-join of the weight table with itself on (pair, token), so
+    * only SHARED terms ever meet and no dense vector is materialized.
+    * That is the representation that survives a 100 TB vocabulary —
+    * dense vectors over a 10M-term vocab don't. Pairs with no shared
+    * token have dot 0 and drop out (inner-join semantics, documented).
+    * Norms aggregate per document in exact decimal; cosine is rounded
+    * to 9 dp for cross-engine parity.
+    */
+  def sparseTfidfCosine(pairs: DataFrame, df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val w = tfidfWeights(df, idCol, textCol)
+    val norms = w.groupBy(col(idCol))
+      .agg(graft.Exprs.dsum(col("w") * col("w")).as("n2"))
+    val dot = pairs
+      .join(w.select(col(idCol).as("id1"), col("token"), col("w").as("w1")),
+        Seq("id1"))
+      .join(w.select(col(idCol).as("id2"), col("token"), col("w").as("w2")),
+        Seq("id2", "token"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(graft.Exprs.dsum(col("w1") * col("w2")).as("dot"))
+    dot
+      .join(norms.select(col(idCol).as("id1"), col("n2").as("na")), Seq("id1"))
+      .join(norms.select(col(idCol).as("id2"), col("n2").as("nb")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 9).as("cosine"))
+  }
 }

@@ -87,4 +87,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty)
     assert((brute intersect approx).nonEmpty)
   }
+
+  test("standardizeDims yields ~zero mean and unit variance per dimension") {
+    val embeddings = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val z = Similarity.standardizeDims(embeddings, "vec_id", "embedding")
+    val n = embeddings.count()
+    assert(z.count() == n * 64)
+    val stats = z.groupBy("dim")
+      .agg(org.apache.spark.sql.functions.avg($"z").as("m"),
+        org.apache.spark.sql.functions.variance($"z").as("v"))
+      .as[(Long, Double, Double)].collect()
+    assert(stats.length == 64)
+    stats.foreach { case (_, m, v) =>
+      assert(math.abs(m) < 1e-6)
+      // sample variance vs population std: off by n/(n-1)
+      assert(math.abs(v * (n - 1) / n - 1.0) < 1e-3)
+    }
+  }
 }
