@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: unified execution +
+  // storage memory is 0.6×(heap−300M), so an 8g heap gives each task
+  // ~145 MB — persisted LSH bucket tables and checkpoint blocks then
+  // thrash GC and spill (measured 4-10× per-query blowups). The box has
+  // 128 GiB; give the worker JVM a heap sized like a real executor.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

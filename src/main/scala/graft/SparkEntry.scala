@@ -1966,7 +1966,8 @@ object SparkEntry {
       // per-doc sum in exact decimal — see Vocab.unigramSurprisal)
       graft.text.Vocab.unigramSurprisal(t(s, d, "documents"), "doc_id", "text"),
       Some(s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+         |  FROM documents),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
          |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1),
          |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
@@ -1989,7 +1990,8 @@ object SparkEntry {
           Seq("id1"))
       graft.text.Vocab.sparseTfidfCosine(pairs, docs, "doc_id", "text")
     }, Some(s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+         |  FROM documents),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
          |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
          |tot AS (SELECT count(*) AS n_total FROM documents),

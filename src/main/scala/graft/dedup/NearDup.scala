@@ -166,12 +166,16 @@ object NearDup {
       col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("block_id"), col("block_val"),
       col(idCol).as("id2"), col("simhash").as("s2"))
+    // hamming filter BEFORE the distinct: random bucket collisions (the
+    // overwhelming majority of candidates) die in the codegen'd filter
+    // and never reach the dedup exchange — only true near-dup pairs,
+    // a near-linear set, shuffle for distinct()
     val out = a.join(b, Seq("block_id", "block_val"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(s1 ^ s2)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .localCheckpoint(true)
     keyed.unpersist()
     out
@@ -214,12 +218,15 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("key"), col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("key"), col(idCol).as("id2"), col("simhash").as("s2"))
+    // hamming filter BEFORE the distinct (see simhashPairs): collision
+    // noise is dropped in the codegen'd filter; only the near-linear
+    // true-pair set shuffles for dedup
     val out = a.join(b, Seq("key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(s1 ^ s2)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .localCheckpoint(true)
     keyed.unpersist()
     out

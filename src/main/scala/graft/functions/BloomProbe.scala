@@ -44,18 +44,23 @@ case class BloomProbe(left: Expression, right: Expression)
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bloom_probe"
 
-  // One deserialized filter per (thread, byte-array instance). The same
-  // expression object is shared by every partition of a local run, so
-  // the cache must be thread-confined; reference equality suffices as
-  // the key because the sketch bytes arrive via a broadcast/join value
-  // that is one shared array per task.
+  // One deserialized filter per thread, keyed on sketch CONTENT. The
+  // cache must be thread-confined (the same expression object is shared
+  // by every partition of a local run), and it cannot key on reference
+  // identity: the sketch reaches the probe through an UnsafeRow join
+  // value, and UnsafeRow.getBinary copies into a fresh array on every
+  // access, so a reference key would never hit and the filter would
+  // deserialize per row. Arrays.equals is O(len) with no allocation —
+  // a length check then a memcmp-style sweep — vs readFrom's full
+  // parse + bit-array copy, so the content check is the cheap path.
   @transient private lazy val cache =
     new ThreadLocal[(Array[Byte], BloomFilter)]
 
   def probe(bytes: Array[Byte], value: Long): Boolean = {
     val cached = cache.get()
     val bf =
-      if (cached != null && (cached._1 eq bytes)) cached._2
+      if (cached != null && ((cached._1 eq bytes) ||
+          java.util.Arrays.equals(cached._1, bytes))) cached._2
       else {
         val parsed = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
         cache.set((bytes, parsed))

@@ -91,9 +91,20 @@ object CorpusClean {
     val fp = "__graft_fp"
     val evalFps = evalSet
       .select(TextOps.fingerprint(col(textCol)).as(fp)).distinct()
+    // 8 bits/doc ≈ 2% false-positive rate. Clamped to the session's
+    // BloomFilterAggregate cap (default 64M bits): past ~8.4M eval docs
+    // the sketch stops growing and the false-positive rate rises, which
+    // only sends more rows through the exact anti join — the result
+    // stays exact, the prefilter just gets gradually less selective.
+    val maxBits = train.sparkSession.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val numBits = math.min(
+      if (expectedEvalDocs > Long.MaxValue / 8) Long.MaxValue
+      else expectedEvalDocs * 8, maxBits)
     val bloom = evalFps.agg(
       graft.functions.BloomProbe.agg(col(fp), expectedEvalDocs,
-        expectedEvalDocs * 8).as("__graft_bf"))
+        numBits).as("__graft_bf"))
     val probed = train
       .withColumn(fp, TextOps.fingerprint(col(textCol)))
       .join(broadcast(bloom)) // one-row sketch broadcast
