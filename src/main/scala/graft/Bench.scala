@@ -39,9 +39,11 @@ object Bench {
       // localCheckpoint blocks (near-dup/similarity pair sets) otherwise
       // accumulate across all queries and squeeze the shared
       // execution-memory pool for everything that follows.
+      // blocking=true: async removal would run its block deletions
+      // DURING the next query's timed window and contaminate it
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       name -> (if (ok) secs else -secs)
     }
     def js(s: String): String =

@@ -589,6 +589,17 @@ object SparkEntry {
        | CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vmax
        |FROM events GROUP BY event_type""".stripMargin)),
 
+    ("q117_salted_join", (s, d) => {
+      // skew-safe replicated-dimension join must equal the plain join:
+      // events (fact, possibly hot user keys) salted across 8 buckets,
+      // customer replicated per bucket, joined on (user_id, salt)
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("value"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Salt.saltedJoin(ev, cust, Seq("user_id"), saltBuckets = 8)
+    }, Some("""SELECT event_id, user_id, value, c_mktsegment
+       |FROM events JOIN customer ON user_id = c_custkey""".stripMargin)),
+
     ("q57_hll_distinct", (s, d) =>
       // HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT):
       // mergeable, fixed memory. Sketches differ across engines, so

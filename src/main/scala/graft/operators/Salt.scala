@@ -46,4 +46,42 @@ object Salt {
       .groupBy(keys.map(col): _*)
       .agg(merged.head, merged.tail: _*)
   }
+
+  /** Salted shuffle join for a skewed LEFT side: when one hot join key
+    * holds a disproportionate share of the fact rows, a plain shuffle
+    * join sends that entire key to one reducer and the stage runs at the
+    * speed of its slowest task. Salting appends a per-row salt to the
+    * fact side's key (so the hot key spreads over `saltBuckets`
+    * reducers) and replicates each row of the other side once per salt
+    * value, making the join key `(keys..., salt)` — the classic
+    * replicate-the-small-side skew join. Output is EXACTLY the plain
+    * join: every left row carries one salt value and every right row
+    * exists in all buckets, so the matched pairs are identical; the salt
+    * column is dropped before returning.
+    *
+    * The salt is content-deterministic (hash of the left row), so
+    * results are reproducible across partitionings and retries —
+    * no `rand()`.
+    *
+    * Cost model: the right side is written `saltBuckets`× into the
+    * exchange, so size `saltBuckets` to the skew (hot-key share ×
+    * parallelism), not to the cluster. Only `inner` and `left` joins are
+    * supported: a right/full join would emit one row per REPLICA of an
+    * unmatched right row. AQE's skew-join split covers sort-merge joins
+    * after the fact; this operator is the plan-level guarantee, and the
+    * one that still works when the skewed side is the probe of a
+    * broadcast-impossible join.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter")(jt),
+      s"saltedJoin supports inner/left joins only, got $joinType")
+    val salted = skewed.withColumn(SaltCol,
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+    val replicated = other.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
 }

@@ -25,6 +25,29 @@ class SaltSpec extends AnyFunSuite {
     assert(s.toSeq == p.toSeq)
   }
 
+  test("saltedJoin equals the plain join on a skewed key (inner + left)") {
+    // hot key 1 dominates the fact side; key 9 matches nothing
+    val fact = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      Seq((2L, -1L), (3L, -2L), (9L, -3L))).toDF("k", "payload")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "attr")
+    for (jt <- Seq("inner", "left")) {
+      val salted = Salt.saltedJoin(fact, dim, Seq("k"), saltBuckets = 8, jt)
+        .orderBy("k", "payload").collect().map(_.toSeq)
+      val plain = fact.join(dim, Seq("k"), jt)
+        .orderBy("k", "payload").collect().map(_.toSeq)
+      assert(salted.toSeq == plain.toSeq, s"joinType=$jt")
+    }
+  }
+
+  test("saltedJoin rejects right/full joins and keeps no salt column") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Salt.saltedJoin(df, df, Seq("k"), 4, "right")
+    }
+    val out = Salt.saltedJoin(df, Seq((1L, "y")).toDF("k", "w"), Seq("k"), 4)
+    assert(out.columns.toSeq == Seq("k", "v", "w"))
+  }
+
   test("approx_count_distinct lands within 2% of exact on testdata") {
     val ev = graft.Tables.t(spark, "/root/testdata/sf0.01", "events")
     val r = ev.agg(
