@@ -44,6 +44,14 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // Force a GC in the untimed gap: Spark frees shuffle files,
+      // broadcast blocks, and accumulators via ContextCleaner WEAK
+      // references, and with a large heap no collection ever runs
+      // during a 100-query suite — driver state then accumulates and
+      // late queries measure 2-3x slower than the same query early in
+      // the run (observed). spark.cleaner.periodicGC.interval defaults
+      // to 30min, longer than the whole suite, so trigger it here.
+      System.gc()
       name -> (if (ok) secs else -secs)
     }
     def js(s: String): String =

@@ -18,10 +18,15 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id) s").collect() // warmup
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
+    if (args.contains("explain"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to 3).foreach { i =>
+      // time construction + evaluation together, like Bench: several
+      // operators do their real work EAGERLY at construction (persist/
+      // localCheckpoint pipelines), so timing only the final write
+      // would miss them entirely
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
       // noop sink, matching Bench: count() would prune every projection
       df.write.format("noop").mode("overwrite").save()
       println(f"PROFILE $name run$i secs=${(System.nanoTime() - t0) / 1e9}%.2f")

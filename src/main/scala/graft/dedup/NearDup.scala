@@ -58,11 +58,17 @@ object NearDup {
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
 
-  /** Candidate pairs (id1 < id2) from shared LSH buckets. */
+  /** Candidate pairs (id1 < id2) from shared LSH buckets. shuffle_hash
+    * hint: the self-join sides are the same mid-size bucket table, right
+    * at the broadcast threshold, so the unhinted strategy flip-flops
+    * between broadcast and sort-merge run-to-run; hash join on the
+    * bucket key needs no sort and builds from one partition of the
+    * same table it probes.
+    */
   def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
     val a = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
     val b = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
-    a.join(b, Seq("band_id", "band_hash"))
+    a.join(b.hint("shuffle_hash"), Seq("band_id", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
@@ -169,8 +175,9 @@ object NearDup {
     // hamming filter BEFORE the distinct: random bucket collisions (the
     // overwhelming majority of candidates) die in the codegen'd filter
     // and never reach the dedup exchange — only true near-dup pairs,
-    // a near-linear set, shuffle for distinct()
-    val out = a.join(b, Seq("block_id", "block_val"))
+    // a near-linear set, shuffle for distinct(). shuffle_hash hint: see
+    // candidatePairs (identical self-join shape)
+    val out = a.join(b.hint("shuffle_hash"), Seq("block_id", "block_val"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(s1 ^ s2)").as("hamming"))
@@ -220,8 +227,12 @@ object NearDup {
     val b = keyed.select(col("key"), col(idCol).as("id2"), col("simhash").as("s2"))
     // hamming filter BEFORE the distinct (see simhashPairs): collision
     // noise is dropped in the codegen'd filter; only the near-linear
-    // true-pair set shuffles for dedup
-    val out = a.join(b, Seq("key"))
+    // true-pair set shuffles for dedup. shuffle_hash hint: the self-join
+    // sides are identical mid-size tables right at the broadcast
+    // threshold, so the strategy otherwise flip-flops between runs
+    // (broadcast vs sort-merge); hash join on the bucket key needs no
+    // sort and its build side is exactly one bucket table partition
+    val out = a.join(b.hint("shuffle_hash"), Seq("key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(s1 ^ s2)").as("hamming"))

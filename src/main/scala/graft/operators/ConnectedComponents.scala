@@ -33,23 +33,21 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 30): DataFrame = {
-    // canonical undirected edges, self-loops dropped
-    var e = edges
+    // canonical undirected edges, self-loops dropped. The convergence
+    // signature piggybacks on the checkpoint job via observe(), so each
+    // round costs exactly ONE job (largeStar flows lazily into
+    // smallStar, lineage depth 2, materialized by the checkpoint) —
+    // not a checkpoint job plus a signature scan.
+    var (e, sig) = checkpointWithSignature(edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
               least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
-    // one materialization per round: largeStar flows lazily into
-    // smallStar (lineage depth 2), and the convergence signature reads
-    // the already-checkpointed result, so each round costs two jobs
     var converged = false
     var iter = 0
-    var sig = signature(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = signature(next)
+      val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(e)))
       converged = nextSig == sig
       sig = nextSig
       e = next
@@ -98,18 +96,21 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Order-insensitive fingerprint of an edge set for the convergence
-    * check: (count, additive hash). The hash accumulates in
-    * DECIMAL(38,0) — a BIGINT sum of full-range xxhash64 values would
-    * overflow, and Spark's ANSI mode makes that a runtime error, not a
-    * wraparound. One cheap job per round.
+  /** Eagerly checkpoint an edge set and return it with an
+    * order-insensitive fingerprint — (count, additive hash) — collected
+    * DURING the checkpoint job via `observe`, so the convergence check
+    * costs no extra scan. The hash accumulates in DECIMAL(38,0): a
+    * BIGINT sum of full-range xxhash64 values would overflow, and
+    * Spark's ANSI mode makes that a runtime error, not a wraparound.
     */
-  private def signature(e: DataFrame): (Long, String) = {
-    val row = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("h"))
-      .head()
-    (row.getLong(0), String.valueOf(row.get(1)))
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0)
+  private def checkpointWithSignature(e: DataFrame): (DataFrame, (Long, String)) = {
+    val obs = org.apache.spark.sql.Observation(s"cc_sig_${obsId.incrementAndGet()}")
+    val out = e.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h"))
+      .localCheckpoint(true)
+    (out, (obs.get("n").asInstanceOf[Long], String.valueOf(obs.get("h"))))
   }
 }

@@ -192,8 +192,11 @@ object Similarity {
       .select(col("id"),
         explode(lshKeys(col("v"), bits, dim, tables)).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shuffle_hash hint: same-table self-join at the broadcast
+    // threshold; see NearDup.candidatePairs for the rationale
     val cand = keyed.select(col("key"), col("id").as("id1"))
-      .join(keyed.select(col("key"), col("id").as("id2")), Seq("key"))
+      .join(keyed.select(col("key"), col("id").as("id2")).hint("shuffle_hash"),
+        Seq("key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     val vecs = emb.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("vv"))
