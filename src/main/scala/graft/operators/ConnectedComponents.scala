@@ -44,6 +44,12 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct())
 
+    // ONE alternation round (largeStar then smallStar) per materialized
+    // job. Each star references its input twice (the neighborhood-min
+    // aggregate joins back to the edges), so stacking rounds without a
+    // materialization between them re-evaluates the inner round once
+    // per reference — measured 2.5x SLOWER than materializing every
+    // round, not faster. Lineage depth 2 is the sweet spot.
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
