@@ -589,6 +589,36 @@ object SparkEntry {
        | CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vmax
        |FROM events GROUP BY event_type""".stripMargin)),
 
+    ("q118_hash_split", (s, d) =>
+      // deterministic 80/10/10 corpus split: id-hash permille cut at
+      // cumulative bounds — disjoint, exhaustive, rebuild-stable (no
+      // eval leakage when the corpus is regenerated)
+      graft.operators.Sample.hashSplit(
+        t(s, d, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100)),
+      Some("""SELECT doc_id,
+         |  CASE WHEN ((doc_id % 100000007) * 2654435761) % 1000 < 800 THEN 'train'
+         |       WHEN ((doc_id % 100000007) * 2654435761) % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin)),
+
+    ("q119_length_batches", (s, d) =>
+      // padding-efficient inference batching: bucket docs by token
+      // length (width 32), hash-shard for balance, number off batches
+      // of 16 in id order within each (bucket, shard)
+      graft.operators.Pack.lengthBucketBatches(
+        t(s, d, "documents"), "doc_id", TextOps.tokenCount(col("text")),
+        bucketTokens = 32, batchSize = 16, nShards = 2),
+      Some("""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ((doc_id % 100000007) * 2654435761) % 2 AS shard
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, shard, n_tokens // 32 AS len_bucket,
+         |  CAST((row_number() OVER (PARTITION BY n_tokens // 32, shard
+         |    ORDER BY doc_id) - 1) // 16 AS BIGINT) AS batch_idx
+         |FROM toks""".stripMargin)),
+
     ("q117_salted_join", (s, d) => {
       // skew-safe replicated-dimension join must equal the plain join:
       // events (fact, possibly hot user keys) salted across 8 buckets,

@@ -37,4 +37,35 @@ object Pack {
       .withColumn("pack_seq", floor(start / ctxTokens))
       .withColumn("pack_offset", start % ctxTokens)
   }
+
+  /** Length-bucketed inference batching: group documents of similar
+    * token length and number them off into fixed-size batches, so each
+    * batch pads to its own bucket's ceiling instead of the corpus
+    * maximum — the standard padding-waste reduction for batched
+    * inference/scoring runs.
+    *
+    * Output adds `n_tokens`, `len_bucket` (floor(n/bucketTokens)),
+    * `shard`, and `batch_idx` (0-based batch number within the
+    * (bucket, shard) group, `batchSize` docs per batch, id order).
+    *
+    * Scale shape: ONE shuffle on (len_bucket, shard). Length buckets
+    * are wildly skewed in a real corpus (most docs are short), so the
+    * window key includes the same hash shard as [[packPlan]] — no
+    * single bucket ever funnels through one reducer; `nShards` is the
+    * parallelism knob and `nShards = 1` gives globally consecutive
+    * batch numbers when determinism across the whole bucket matters
+    * more than balance.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokenCount: Column,
+                          bucketTokens: Int, batchSize: Int,
+                          nShards: Int = 1): DataFrame = {
+    require(bucketTokens >= 1 && batchSize >= 1 && nShards >= 1,
+      s"bucketTokens/batchSize/nShards must be >= 1")
+    val w = Window.partitionBy("len_bucket", "shard").orderBy(idCol)
+    df.select(col(idCol), tokenCount.as("n_tokens"),
+        Sample.hashMod(col(idCol), nShards.toLong).as("shard"))
+      .withColumn("len_bucket", floor(col("n_tokens") / bucketTokens).cast("long"))
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - lit(1)) / batchSize).cast("long"))
+  }
 }

@@ -34,6 +34,28 @@ object Sample {
   def hashSample(df: DataFrame, idCol: String, permille: Int): DataFrame =
     df.filter(bucket1000(col(idCol)) < permille)
 
+  /** Deterministic, disjoint, exhaustive corpus split (train/val/test):
+    * every row gets exactly one label from its id-hash permille bucket,
+    * cut at the cumulative bounds of `splits` (label → permille, must
+    * sum to 1000). A pure narrow projection — same assignment on any
+    * cluster size, file split, or engine, and stable across reruns, so
+    * eval rows can never leak into training when the corpus is rebuilt.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+                splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "every split needs a positive permille share")
+    require(splits.map(_._2).sum == 1000,
+      s"split permilles must sum to 1000, got ${splits.map(_._2).sum}")
+    val b = bucket1000(col(idCol))
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), bound), rest) => when(b < bound, lit(name)).otherwise(rest)
+      }
+    df.withColumn(splitCol, label)
+  }
+
   /** Stratified variant: an independent rate per stratum value (e.g.
     * downsample boilerplate-heavy sources harder than curated ones).
     * Strata absent from the map are dropped (quota 0).

@@ -47,4 +47,36 @@ class PackSpec extends AnyFunSuite {
     assert(counts.keySet == Set(0L, 1L, 2L, 3L))
     assert(counts.values.min > 30) // 300 docs over 4 shards, no starving
   }
+
+  test("lengthBucketBatches fills batches in id order within a bucket") {
+    val out = Pack.lengthBucketBatches(docs, "doc_id",
+      size(split(col("text"), " ")).cast("long"),
+      bucketTokens = 8, batchSize = 4)
+      .select("doc_id", "n_tokens", "len_bucket", "batch_idx")
+      .as[(Long, Long, Long, Long)].collect()
+    out.groupBy(_._3).foreach { case (bucket, rows) =>
+      // every row's length belongs to its bucket
+      rows.foreach { case (_, n, b, _) => assert(n / 8 == b) }
+      // id order -> batch 0 gets the 4 smallest ids, then batch 1, ...
+      val sorted = rows.sortBy(_._1)
+      sorted.zipWithIndex.foreach { case ((id, _, _, batch), i) =>
+        assert(batch == i / 4, s"bucket=$bucket id=$id")
+      }
+    }
+  }
+
+  test("no batch exceeds batchSize and batches pack densely") {
+    val out = Pack.lengthBucketBatches(docs, "doc_id",
+      size(split(col("text"), " ")).cast("long"),
+      bucketTokens = 8, batchSize = 4, nShards = 2)
+      .groupBy("len_bucket", "shard", "batch_idx").count()
+      .select("len_bucket", "shard", "batch_idx", "count")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.forall(_._4 <= 4))
+    // only the LAST batch of each (bucket, shard) may be partial
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, batches) =>
+      val maxIdx = batches.map(_._3).max
+      batches.filter(_._3 < maxIdx).foreach(b => assert(b._4 == 4, b.toString))
+    }
+  }
 }

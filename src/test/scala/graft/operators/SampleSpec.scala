@@ -44,4 +44,27 @@ class SampleSpec extends AnyFunSuite {
       .select("stratum").as[String].collect()
     assert(!kept.contains("junk"))
   }
+
+  test("hashSplit is exhaustive, disjoint, near the target shares, and stable") {
+    val ids = (1L to 10000L).toDF("id")
+    val out = Sample.hashSplit(ids, "id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L)               // exhaustive, one label each
+    assert(math.abs(counts("train") - 8000) < 400, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 200, counts.toString)
+    assert(math.abs(counts("test") - 1000) < 200, counts.toString)
+    // rebuild-stable: the same id lands in the same split on a repartition
+    val a = out.orderBy("id").collect().toSeq
+    val b = Sample.hashSplit(ids.repartition(7), "id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100)).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("hashSplit rejects shares that do not sum to 1000") {
+    val ids = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sample.hashSplit(ids, "id", Seq("train" -> 900, "val" -> 99))
+    }
+  }
 }
