@@ -611,7 +611,7 @@ object SparkEntry {
         bucketTokens = 32, batchSize = 16, nShards = 2),
       Some("""WITH toks AS (
          |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
          |    ((doc_id % 100000007) * 2654435761) % 2 AS shard
          |  FROM documents)
          |SELECT doc_id, n_tokens, shard, n_tokens // 32 AS len_bucket,
