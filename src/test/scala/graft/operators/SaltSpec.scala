@@ -39,6 +39,19 @@ class SaltSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin matches plain join on null keys and duplicate fact rows") {
+    val fact = Seq((Option(1L), "p1"), (Option(1L), "p1"), // exact dupe row
+      (None, "p2"), (Option(2L), "p3")).toDF("k", "payload")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "attr")
+    for (jt <- Seq("inner", "left")) {
+      val salted = Salt.saltedJoin(fact, dim, Seq("k"), saltBuckets = 4, jt)
+        .orderBy("k", "payload").collect().map(_.toSeq)
+      val plain = fact.join(dim, Seq("k"), jt)
+        .orderBy("k", "payload").collect().map(_.toSeq)
+      assert(salted.toSeq == plain.toSeq, s"joinType=$jt")
+    }
+  }
+
   test("saltedJoin rejects right/full joins and keeps no salt column") {
     val df = Seq((1L, "x")).toDF("k", "v")
     intercept[IllegalArgumentException] {
