@@ -596,11 +596,16 @@ object SparkEntry {
       graft.operators.Sample.hashSplit(
         t(s, d, "documents").select("doc_id"), "doc_id",
         Seq("train" -> 800, "val" -> 100, "test" -> 100)),
-      Some("""SELECT doc_id,
-         |  CASE WHEN ((doc_id % 100000007) * 2654435761) % 1000 < 800 THEN 'train'
-         |       WHEN ((doc_id % 100000007) * 2654435761) % 1000 < 900 THEN 'val'
+      Some("""WITH b AS (
+         |  SELECT doc_id,
+         |    ((((doc_id + 7919) % 100000007) * 2654435761 % 99999989)
+         |      * 2246822519) % 1000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM documents""".stripMargin)),
+         |FROM b""".stripMargin)),
 
     ("q119_length_batches", (s, d) =>
       // padding-efficient inference batching: bucket docs by token

@@ -21,6 +21,15 @@ object Sample {
     */
   private val Mult = 2654435761L
   private val Prime = 100000007L
+  // Second multiplicative round for hashSplit (xxhash PRIME32_2 and a
+  // different large prime): one multiplicative hash is LINEAR mod 1000,
+  // so any seeded/re-multiplied single-round variant is just a constant
+  // rotation or permutation of hashSample's bucket — a hash-sampled
+  // subset would land in one split instead of stratifying. The
+  // intermediate mod by a different prime breaks the linearity.
+  // Max intermediate: 1e8 * 2246822519 < 2.3e17, ANSI-safe.
+  private val Mult2 = 2246822519L
+  private val Prime2 = 99999989L
 
   /** Stable per-row hash of the id reduced mod `m` — the shared
     * engine-portable primitive behind sampling and shard assignment.
@@ -40,14 +49,24 @@ object Sample {
     * sum to 1000). A pure narrow projection — same assignment on any
     * cluster size, file split, or engine, and stable across reruns, so
     * eval rows can never leak into training when the corpus is rebuilt.
+    *
+    * The bucket hash is a TWO-round multiplicative hash, deliberately
+    * decorrelated from [[hashSample]]'s single-round bucket: one
+    * multiplicative round is linear mod 1000, so a merely seeded or
+    * re-multiplied single round would map a hash-sampled subset into a
+    * constant rotation/permutation of its bucket range — the sample
+    * would fall into one split instead of stratifying across all three
+    * (the unit test proves the failure mode). `seed` gives further
+    * independent split dimensions.
     */
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
-                splitCol: String = "split"): DataFrame = {
+                splitCol: String = "split", seed: Long = 7919L): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "every split needs a positive permille share")
     require(splits.map(_._2).sum == 1000,
       s"split permilles must sum to 1000, got ${splits.map(_._2).sum}")
-    val b = bucket1000(col(idCol))
+    val b = pmod((((col(idCol) + seed) % Prime) * Mult % Prime2) * Mult2,
+      lit(1000L))
     val bounds = splits.scanLeft(0)(_ + _._2).tail
     val label = splits.zip(bounds).dropRight(1)
       .foldRight(lit(splits.last._1): Column) {

@@ -61,6 +61,18 @@ class SampleSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hashSplit stratifies independently of hashSample's bucket") {
+    // with an UNseeded split this would put the whole sample in train
+    val ids = (1L to 20000L).toDF("id")
+    val sampled = Sample.hashSample(ids, "id", 100) // 10% by the raw bucket
+    val counts = Sample.hashSplit(sampled, "id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+    assert(math.abs(counts("train") / n - 0.8) < 0.08, counts.toString)
+  }
+
   test("hashSplit rejects shares that do not sum to 1000") {
     val ids = Seq(1L).toDF("id")
     intercept[IllegalArgumentException] {
