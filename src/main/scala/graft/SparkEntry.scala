@@ -737,6 +737,32 @@ object SparkEntry {
          |SELECT t.doc_id FROM fp t
          |ANTI JOIN (SELECT f FROM fp WHERE doc_id % 10 = 0) e ON t.f = e.f""".stripMargin)),
 
+    ("q120_decontaminated_split", (s, d) => {
+      // the composite a real corpus build runs before training: assign
+      // train/val/test, then strip eval-suite fingerprints out of the
+      // TRAIN split (val/test are graded anyway; train must not see
+      // eval content). Composes two oracled ops — q118's two-round
+      // hash split and q65's fingerprint anti join
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      val train = graft.operators.Sample.hashSplit(docs, "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .filter(col("split") === "train")
+      graft.text.CorpusClean.decontaminate(train, evalSet, "text")
+        .select("doc_id", "split")
+    }, Some("""WITH fp AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS f
+         |  FROM documents),
+         |train AS (
+         |  SELECT doc_id, f FROM fp
+         |  WHERE ((((doc_id + 7919) % 100000007) * 2654435761 % 99999989)
+         |    * 2246822519) % 1000 < 800)
+         |SELECT t.doc_id, 'train' AS split FROM train t
+         |ANTI JOIN (SELECT f FROM fp WHERE doc_id % 10 = 0) e ON t.f = e.f""".stripMargin)),
+
     ("q66_sessionize", (s, d) =>
       // 30-min-gap clickstream sessions: one shuffle on user_id shared by
       // the lag window, the running sum, and the session rollup
