@@ -58,16 +58,51 @@ object NearDup {
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
 
+  /** Drop every bucket holding more than `maxBucketSize` rows before a
+    * candidate self-join. A degenerate bucket (empty strings, license
+    * boilerplate, repeated headers) is the one place "candidates scale
+    * with collisions" degrades to N²: every member joins every other
+    * member BEFORE the verify filter can drop anything, and the
+    * shuffle_hash hint that stabilizes the normal case pins the build
+    * side so AQE's skew split cannot rescue it. Capping makes the
+    * candidate count a hard O(maxBucketSize · N).
+    *
+    * Recall contract: a true pair is lost only if EVERY bucket the two
+    * rows share is overfull — which happens exactly when the pair sits
+    * inside a mass-duplicated blob. Run [[graft.operators.Dedup.exactDedup]]
+    * first so identical content collapses to one representative; what a
+    * dropped mega-bucket then loses is content exact-dedup already
+    * handles. The overfull-key list is BOUNDED at N/maxBucketSize keys
+    * by construction and pathological-only in practice, so it is
+    * explicitly broadcast: the bucket table streams through a broadcast
+    * anti-join with NO exchange (an unhinted anti-join re-shuffled the
+    * full bucket table once per self-join side — measured +5s on q49 at
+    * sf0.1), and the two self-join sides reuse one broadcast. The count
+    * aggregation combines map-side over the (already persisted) bucket
+    * table.
+    */
+  private[graft] def capBuckets(keyed: DataFrame, keyCols: Seq[String],
+                                maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 0, s"maxBucketSize must be positive, got $maxBucketSize")
+    val over = keyed.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+    keyed.join(broadcast(over), keyCols, "left_anti")
+  }
+
   /** Candidate pairs (id1 < id2) from shared LSH buckets. shuffle_hash
     * hint: the self-join sides are the same mid-size bucket table, right
     * at the broadcast threshold, so the unhinted strategy flip-flops
     * between broadcast and sort-merge run-to-run; hash join on the
     * bucket key needs no sort and builds from one partition of the
-    * same table it probes.
+    * same table it probes. Buckets over `maxBucketSize` are dropped
+    * before the join — see [[capBuckets]] for the recall contract.
     */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
-    val b = buckets.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+  def candidatePairs(buckets: DataFrame, idCol: String,
+                     maxBucketSize: Int = 10000): DataFrame = {
+    val capped = capBuckets(buckets, Seq("band_id", "band_hash"), maxBucketSize)
+    val a = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
+    val b = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
     a.join(b.hint("shuffle_hash"), Seq("band_id", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -124,11 +159,11 @@ object NearDup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
     val buckets = lshBuckets(sigs, idCol, bands, k / bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = candidatePairs(buckets, idCol)
+    val pairs = candidatePairs(buckets, idCol, maxBucketSize)
     val out = jaccardVerify(pairs, df, idCol, textCol)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
@@ -154,20 +189,24 @@ object NearDup {
     * candidates come from an equi-join on (block_id, block_value).
     */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int = 3,
-                   blocks: Int = 4): DataFrame = {
+                   blocks: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
     val width = 64 / blocks
     val mask = (1L << width) - 1L
-    // Persisted: the candidate self-join reads this twice; without the
-    // persist the full simhash aggregation upstream would run per side.
-    // The (small) pair set is eagerly checkpointed so this cache can be
-    // dropped before returning (pair blocks live until the result is
-    // GC'd; lineage is truncated — see nearDupPairs scaladoc).
-    val keyed = sigs.select(col(idCol), col("simhash"),
+    // Persisted: the candidate self-join reads this twice (three times
+    // counting the bucket-cap pre-pass); without the persist the full
+    // simhash aggregation upstream would run per side. The (small) pair
+    // set is eagerly checkpointed so this cache can be dropped before
+    // returning (pair blocks live until the result is GC'd; lineage is
+    // truncated — see nearDupPairs scaladoc).
+    val keyed0 = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> shiftright(simhash, b * $width) & ${mask}L)")))
       .withColumnRenamed("pos", "block_id")
       .withColumnRenamed("col", "block_val")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Over-full blocks (mass-duplicated content) would join N_b² rows
+    // before the Hamming filter sees them — capped; see capBuckets.
+    val keyed = capBuckets(keyed0, Seq("block_id", "block_val"), maxBucketSize)
     val a = keyed.select(col("block_id"), col("block_val"),
       col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("block_id"), col("block_val"),
@@ -184,7 +223,7 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .localCheckpoint(true)
-    keyed.unpersist()
+    keyed0.unpersist()
     out
   }
 
@@ -196,11 +235,16 @@ object NearDup {
     * agrees exactly on at least one of the C(B,2) chunk PAIRS. The join
     * key concatenates two chunks (~14 bits for d=7), squaring the bucket
     * space; candidates stay near-linear where single-block blocking goes
-    * quadratic. The guarantee is still absolute, so the output EQUALS
-    * the brute-force pair set at the same threshold (unit-tested).
+    * quadratic. The pigeonhole guarantee is absolute, so with no
+    * overfull buckets the output EQUALS the brute-force pair set at the
+    * same threshold (unit-tested); buckets over `maxBucketSize` are
+    * dropped first (see [[capBuckets]] for the recall contract), making
+    * the candidate count a hard O(maxBucketSize · N) even on a corpus
+    * that is one giant boilerplate blob.
     */
   def simhashPairsBlocked(sigs: DataFrame, idCol: String,
-                          maxHamming: Int = 7): DataFrame = {
+                          maxHamming: Int = 7,
+                          maxBucketSize: Int = 10000): DataFrame = {
     val blocks = maxHamming + 2
     val base = 64 / blocks
     val rem = 64 % blocks
@@ -219,10 +263,13 @@ object NearDup {
     // The (small) pair set is eagerly checkpointed so this cache can be
     // dropped before returning (pair blocks live until the result is
     // GC'd; lineage is truncated — see nearDupPairs scaladoc).
-    val keyed = sigs
+    val keyed0 = sigs
       .select(col(idCol), col("simhash"),
         explode(array(pairKeys: _*)).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Over-full chunk-pair buckets would go N_b² before the Hamming
+    // filter — capped; see capBuckets for the recall contract.
+    val keyed = capBuckets(keyed0, Seq("key"), maxBucketSize)
     val a = keyed.select(col("key"), col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("key"), col(idCol).as("id2"), col("simhash").as("s2"))
     // hamming filter BEFORE the distinct (see simhashPairs): collision
@@ -239,7 +286,7 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .localCheckpoint(true)
-    keyed.unpersist()
+    keyed0.unpersist()
     out
   }
 }

@@ -186,12 +186,17 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 8, dim: Int = 64,
-                         tables: Int = 8): DataFrame = {
-    val keyed = emb
+                         tables: Int = 8, maxBucketSize: Int = 10000): DataFrame = {
+    val keyed0 = emb
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .select(col("id"),
         explode(lshKeys(col("v"), bits, dim, tables)).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A degenerate SRP bucket (e.g. a mass-duplicated embedding, or the
+    // all-zero vector every hyperplane scores 0 on) would self-join
+    // N_b² rows before the cosine verify — capped like the text-LSH
+    // path; see NearDup.capBuckets for the recall contract.
+    val keyed = graft.dedup.NearDup.capBuckets(keyed0, Seq("key"), maxBucketSize)
     // shuffle_hash hint: same-table self-join at the broadcast
     // threshold; see NearDup.candidatePairs for the rationale
     val cand = keyed.select(col("key"), col("id").as("id1"))
@@ -206,7 +211,7 @@ object Similarity {
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .localCheckpoint(true)
-    keyed.unpersist()
+    keyed0.unpersist()
     out
   }
 

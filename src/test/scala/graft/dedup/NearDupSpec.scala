@@ -85,6 +85,47 @@ class NearDupSpec extends AnyFunSuite {
     assert(cand <= all.size * 4)  // near-linear, not ~N^2/256 (~112 per block)
   }
 
+  test("bucket cap: a 1000-doc identical blob cannot go N^2, real pairs survive") {
+    // worst case for LSH blocking: 1000 docs with IDENTICAL text all land
+    // in the same bucket for every band — uncapped that is ~500k
+    // candidate pairs (N^2/2) from one degenerate key. Alongside the
+    // blob, one genuine near-dup pair in ordinary (2-row) buckets.
+    val blob = (0L until 1000L).map(i => (i, base * 2))
+    val pairDocs = Seq(
+      (5000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val corpus = (blob ++ pairDocs).toDF("doc_id", "text")
+
+    val sigs = NearDup.minhashSignatures(corpus, "doc_id", "text")
+    val buckets = NearDup.lshBuckets(sigs, "doc_id", bands = 16, rowsPerBand = 4)
+    val capped = NearDup.candidatePairs(buckets, "doc_id", maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    // hard bound: candidates are O(cap * N), nowhere near the ~499500
+    // blob pairs an uncapped join would emit
+    assert(capped.size <= 10 * 1002)
+    assert(!capped.exists(p => p._1 < 1000L && p._2 < 1000L)) // blob dropped
+    assert(capped.contains((5000L, 5001L)))                   // real pair kept
+
+    // end-to-end: nearDupPairs with the cap still verifies the real pair
+    val verified = NearDup.nearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(verified == Set((5000L, 5001L)))
+  }
+
+  test("bucket cap: simhashPairsBlocked drops the identical blob, keeps near pairs") {
+    val rnd = new scala.util.Random(7)
+    val blobSig = rnd.nextLong()
+    val blob = (0L until 1000L).map(i => (i, blobSig))
+    val h = rnd.nextLong()
+    val pair = Seq((5000L, h), (5001L, h ^ (1L << 13) ^ (1L << 40))) // hamming 2
+    val sigs = (blob ++ pair).toDF("doc_id", "simhash")
+    val got = NearDup.simhashPairsBlocked(sigs, "doc_id", maxHamming = 7,
+        maxBucketSize = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((5000L, 5001L)))
+  }
+
   test("jaccardVerify computes exact token-set jaccard") {
     val pairs = Seq((1L, 4L)).toDF("id1", "id2")
     val j = NearDup.jaccardVerify(pairs, docs, "doc_id", "text")

@@ -60,6 +60,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // orthogonal
   }
 
+  test("cosineNearDupPairs: bucket cap drops a mass-duplicated blob, keeps real pairs") {
+    // 500 copies of the same direction share every SRP bucket in every
+    // table — the degenerate case that would self-join 500^2 rows per
+    // table before the cosine verify. A separate genuine duplicate pair
+    // lives in ordinary small buckets and must survive the cap.
+    val blob = (0L until 500L).map(i =>
+      (i + 100L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = emb.unionByName(blob)
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.999, bits = 8, dim = 4, tables = 4, maxBucketSize = 20)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 >= 100L && p._2 >= 100L)) // blob capped away
+    assert(pairs.contains((1L, 2L)))                          // real pair kept
+  }
+
   test("ivfTopK finds the identical-direction vector and overlaps brute force") {
     val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 1), "vec_id",
         "embedding", k = 3, nlist = 2, nprobe = 2)
