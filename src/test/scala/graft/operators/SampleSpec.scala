@@ -73,6 +73,41 @@ class SampleSpec extends AnyFunSuite {
     assert(math.abs(counts("train") / n - 0.8) < 0.08, counts.toString)
   }
 
+  test("composed samplers multiply rates; same-seed composition is the min(p,r) trap") {
+    val ids = (1L to 50000L).toDF("id")
+    // the failure mode first: two samplers deciding from the SAME
+    // bucket intersect verdicts — keep 200‰ then 500‰ yields ~200‰
+    // (min), not the ~100‰ independent composition would give
+    val sameSeed = Sample.hashSample(
+      Sample.hashSample(ids, "id", 200, seed = 1L), "id", 500, seed = 1L)
+      .count()
+    assert(math.abs(sameSeed - 10000L) < 500, s"min(p,r) trap: $sameSeed")
+    // default seeds are distinct per sampler: hashSample ∘ hashSample'
+    // (different seeds) and hashSample ∘ stratified/mixture all ≈ p·r
+    val composed = Sample.hashSample(
+      Sample.hashSample(ids, "id", 200), "id", 500, seed = 99991L).count()
+    assert(math.abs(composed - 5000L) < 600, s"composed uniform: $composed")
+
+    val strata = (1L to 50000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val viaStrat = Sample.stratifiedHashSample(
+      Sample.hashSample(strata, "id", 200), "id", "stratum",
+      Map("a" -> 500, "b" -> 500)).count()
+    assert(math.abs(viaStrat - 5000L) < 600, s"hash ∘ stratified: $viaStrat")
+
+    // mixture over the ~5000/5000 sample with an 80/20 target: binding
+    // stratum a keeps all ~5000, b must DOWNSAMPLE to ~1250 (permille
+    // 250). A bucket correlated with hashSample's would keep ALL of b
+    // (every sampled id already sits in the low buckets the 250‰ cut
+    // selects) — the silent-proportions failure this family had
+    val viaMixture = Sample.mixtureSample(
+      Sample.hashSample(strata, "id", 200), "id", "stratum",
+      Map("a" -> 0.8, "b" -> 0.2))
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(math.abs(viaMixture("a") - 5000L) < 600, viaMixture.toString)
+    assert(math.abs(viaMixture("b") - 1250L) < 300, viaMixture.toString)
+  }
+
   test("hashSplit rejects shares that do not sum to 1000") {
     val ids = Seq(1L).toDF("id")
     intercept[IllegalArgumentException] {
