@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * Scale shape per round: one groupBy(u) + one join on u — same key, so
   * the exchange is shared — over the CURRENT edge set, which only
   * shrinks toward one edge per node. No all-pairs step anywhere.
-  * `localCheckpoint` cuts the growing lineage each round; on a real
-  * cluster with a checkpoint dir, `checkpoint()` is the durable
-  * equivalent.
+  * A checkpoint cuts the growing lineage each round: `localCheckpoint`
+  * by default (fastest — executor-local blocks), or a DURABLE
+  * `checkpoint()` into `checkpointDir` for real clusters, where
+  * executor-pinned blocks would die with a lost executor and kill the
+  * job mid-loop.
   */
 object ConnectedComponents {
 
@@ -30,9 +32,22 @@ object ConnectedComponents {
     * minimum node id in the component). Nodes absent from `edges`
     * (singletons) are the caller's to add back — typically
     * `docs.join(result, ..., "left").withColumn(coalesce(component, id))`.
+    *
+    * `checkpointDir`: when set, every round checkpoints DURABLY into
+    * that directory (HDFS/object store on a cluster) instead of
+    * `localCheckpoint`. Local checkpoint blocks are pinned to specific
+    * executors — losing one mid-loop makes the lineage-truncated edge
+    * set unrecoverable and fails the job — so production CC over a real
+    * cluster should always pass a durable dir; the default stays local
+    * for single-node and test speed. Note `setCheckpointDir` is
+    * SparkContext-global: the dir remains this session's checkpoint
+    * location after the call.
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-                 maxIter: Int = 30): DataFrame = {
+                 maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val chk: DataFrame => DataFrame =
+      if (checkpointDir.isDefined) _.checkpoint(true) else _.localCheckpoint(true)
     // canonical undirected edges, self-loops dropped. The convergence
     // signature piggybacks on the checkpoint job via observe(), so each
     // round costs exactly ONE job (largeStar flows lazily into
@@ -42,7 +57,7 @@ object ConnectedComponents {
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
               least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct())
+      .distinct(), chk)
 
     // ONE alternation round (largeStar then smallStar) per materialized
     // job. Each star references its input twice (the neighborhood-min
@@ -58,7 +73,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(e)))
+      val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(e)), chk)
       converged = nextSig == sig
       sig = nextSig
       e = next
@@ -115,13 +130,13 @@ object ConnectedComponents {
     * Spark's ANSI mode makes that a runtime error, not a wraparound.
     */
   private val obsId = new java.util.concurrent.atomic.AtomicLong(0)
-  private def checkpointWithSignature(e: DataFrame): (DataFrame, (Long, String)) = {
+  private def checkpointWithSignature(e: DataFrame, chk: DataFrame => DataFrame)
+      : (DataFrame, (Long, String)) = {
     val obs = org.apache.spark.sql.Observation(s"cc_sig_${obsId.incrementAndGet()}")
-    val out = e.observe(obs,
+    val out = chk(e.observe(obs,
         count(lit(1)).as("n"),
         coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("h"))
-      .localCheckpoint(true)
+          lit(0).cast("decimal(38,0)")).as("h")))
     (out, (obs.get("n").asInstanceOf[Long], String.valueOf(obs.get("h"))))
   }
 }

@@ -46,6 +46,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("durable checkpointDir path writes checkpoints and matches the local path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_chk").toString
+    try {
+      val chain = (1L until 60L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+      val durable = ConnectedComponents.components(chain.toDF("a", "b"), "a", "b",
+          checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(durable == run(chain))
+      // the loop actually checkpointed into the durable dir (one
+      // subdirectory per reliable checkpoint, one per round + seed)
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty, s"no checkpoint data in $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("matches driver-side union-find on a pseudo-random graph") {
     // deterministic LCG so the test is reproducible
     var state = 123456789L
