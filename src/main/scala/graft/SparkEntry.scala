@@ -43,7 +43,7 @@ object SparkEntry {
     */
   private def langScoresSql: String = {
     val scores = TextOps.LangMarkers.map { case (lang, words) =>
-      s""" CAST(len(list_filter(string_split(text, ' '),
+      s""" CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
          |   w -> w IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$lang""".stripMargin
     }.mkString(",\n")
     s"SELECT doc_id, text,\n$scores\nFROM documents"
@@ -684,7 +684,7 @@ object SparkEntry {
       Some {
         val langs = TextOps.LangMarkers.map(_._1)
         val scores = TextOps.LangMarkers.map { case (lang, words) =>
-          s""" CAST(len(list_filter(string_split(text, ' '),
+          s""" CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
              |   w -> w IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$lang""".stripMargin
         }.mkString(",\n")
         val caseArms = langs.init.map { lang =>
@@ -698,10 +698,10 @@ object SparkEntry {
            |  SELECT doc_id + 1000000, text FROM documents
            |), scored AS (
            |  SELECT doc_id, text,
-           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           |    CAST(len(list_filter(string_split(text, ' '),
+           |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
            |      w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-           |      / len(string_split(text, ' ')) AS stop_ratio,
+           |      / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio,
            |$scores
            |  FROM u)
            |SELECT doc_id, n_tokens, stop_ratio
@@ -763,6 +763,23 @@ object SparkEntry {
          |SELECT t.doc_id, 'train' AS split FROM train t
          |ANTI JOIN (SELECT f FROM fp WHERE doc_id % 10 = 0) e ON t.f = e.f""".stripMargin)),
 
+    ("q121_composed_sample", (s, d) =>
+      // the sampler-composition contract end-to-end: a 20% uniform
+      // hash-sample followed by a 50/50 stratified sample must keep
+      // ~10% of each stratum, not min(200, 500) = 20%. Works because
+      // each sampler draws from its own seeded two-round hash — the
+      // oracle replays both verdicts independently
+      graft.operators.Sample.stratifiedHashSample(
+        graft.operators.Sample.hashSample(t(s, d, "events"), "event_id", 200),
+        "event_id", "event_type", Map("click" -> 500, "view" -> 500))
+        .select("event_id", "event_type", "user_id"),
+      Some("""SELECT event_id, event_type, user_id FROM events
+         |WHERE (((event_id % 100000007) * (2654435761 + 15485863) % 99999989)
+         |    * 2246822519) % 1000 < 200
+         |  AND (((event_id % 100000007) * (2654435761 + 32452843) % 99999989)
+         |    * 2246822519) % 1000 <
+         |  CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 500 ELSE 0 END""".stripMargin)),
+
     ("q66_sessionize", (s, d) =>
       // 30-min-gap clickstream sessions: one shuffle on user_id shared by
       // the lag window, the running sum, and the session rollup
@@ -823,7 +840,7 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
           col("col").as("chunk_text")),
       Some("""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
          |e AS (
          |  SELECT doc_id, toks,
          |    unnest(range(0, greatest(len(toks) - 9, 0) // 24 + 1)) AS i
@@ -843,8 +860,8 @@ object SparkEntry {
         .select(explode(TextOps.ngrams(col("toks"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n")),
       Some("""WITH d AS (
-         |  SELECT string_split(text, ' ') AS toks FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 2),
+         |  SELECT regexp_split_to_array(text, '\s+') AS toks FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 2),
          |e AS (
          |  SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM d)
          |SELECT array_to_string(list_slice(toks, i + 1, i + 2), ' ') AS bigram,
@@ -876,7 +893,7 @@ object SparkEntry {
     },
       Some("""WITH d AS (
          |  SELECT doc_id,
-         |    list_transform(string_split(text, ' '), t ->
+         |    list_transform(regexp_split_to_array(text, '\s+'), t ->
          |      list_reduce(
          |        list_prepend(CAST(0 AS BIGINT),
          |          list_transform(string_split(t, ''),
@@ -906,8 +923,8 @@ object SparkEntry {
         .agg((sum(coalesce(col("hit"), lit(0L))) /
           count(lit(1)).cast("double")).as("contamination"))
     }, Some("""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 5),
+       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents
+       |  WHERE len(regexp_split_to_array(text, '\s+')) >= 5),
        |g AS (
        |  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS g
        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i FROM d)),
@@ -936,7 +953,7 @@ object SparkEntry {
           round(log(col("total")) - col("s") / col("total"), 9)
             .as("entropy"))
     }, Some(s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
        |tf AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
        |agg AS (
        |  SELECT doc_id, ${dsumSql("n * ln(n)")} AS s,
@@ -1091,7 +1108,8 @@ object SparkEntry {
         Map("click" -> 100, "view" -> 50))
         .select("event_id", "event_type", "user_id"),
       Some("""SELECT event_id, event_type, user_id FROM events
-         |WHERE ((event_id % 100000007) * 2654435761) % 1000 <
+         |WHERE (((event_id % 100000007) * (2654435761 + 32452843) % 99999989)
+         |    * 2246822519) % 1000 <
          |  CASE event_type WHEN 'click' THEN 100 WHEN 'view' THEN 50 ELSE 0 END""".stripMargin)),
 
     ("q71_dedup_clusters", (s, d) => {
@@ -1109,10 +1127,10 @@ object SparkEntry {
        |e AS (
        |  SELECT a.doc_id AS u, b.doc_id AS v
        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-       |  WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-       |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-       |    / len(list_distinct(list_concat(string_split(a.text, ' '),
-       |                                    string_split(b.text, ' ')))) >= 0.5),
+       |  WHERE CAST(len(list_intersect(list_distinct(regexp_split_to_array(a.text, '\s+')),
+       |                                list_distinct(regexp_split_to_array(b.text, '\s+')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(regexp_split_to_array(a.text, '\s+'),
+       |                                    regexp_split_to_array(b.text, '\s+')))) >= 0.5),
        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
        |lab AS (
        |  SELECT u AS id, u AS comp FROM sym
@@ -1417,10 +1435,10 @@ object SparkEntry {
        |e AS (
        |  SELECT a.doc_id AS u, b.doc_id AS v
        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-       |  WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-       |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-       |    / len(list_distinct(list_concat(string_split(a.text, ' '),
-       |                                    string_split(b.text, ' ')))) >= 0.5),
+       |  WHERE CAST(len(list_intersect(list_distinct(regexp_split_to_array(a.text, '\s+')),
+       |                                list_distinct(regexp_split_to_array(b.text, '\s+')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(regexp_split_to_array(a.text, '\s+'),
+       |                                    regexp_split_to_array(b.text, '\s+')))) >= 0.5),
        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
        |lab AS (
        |  SELECT u AS id, u AS comp FROM sym
@@ -1474,10 +1492,10 @@ object SparkEntry {
        |e AS (
        |  SELECT a.doc_id AS u, b.doc_id AS v
        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-       |  WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-       |                                list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-       |    / len(list_distinct(list_concat(string_split(a.text, ' '),
-       |                                    string_split(b.text, ' ')))) >= 0.5),
+       |  WHERE CAST(len(list_intersect(list_distinct(regexp_split_to_array(a.text, '\s+')),
+       |                                list_distinct(regexp_split_to_array(b.text, '\s+')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(regexp_split_to_array(a.text, '\s+'),
+       |                                    regexp_split_to_array(b.text, '\s+')))) >= 0.5),
        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
        |lab AS (
        |  SELECT u AS id, u AS comp FROM sym
@@ -1512,7 +1530,7 @@ object SparkEntry {
            |FROM (
            |  SELECT array_to_string(list_slice(toks, i + 1, i + $n), ' ') AS g
            |  FROM (SELECT toks, unnest(range(0, len(toks) - ${n - 1})) AS i
-           |        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+           |        FROM (SELECT regexp_split_to_array(text, '\\s+') AS toks FROM documents)
            |        WHERE len(toks) >= $n))""".stripMargin
       Seq(1, 2, 3).map(ttrSql).mkString("\nUNION ALL\n")
     })),
@@ -1556,7 +1574,8 @@ object SparkEntry {
          |  FROM j CROSS JOIN t)
          |SELECT e.event_id, e.event_type, e.user_id
          |FROM events e JOIN r USING (event_type)
-         |WHERE ((event_id % 100000007) * 2654435761) % 1000 < permille""".stripMargin)),
+         |WHERE (((event_id % 100000007) * (2654435761 + 67867967) % 99999989)
+         |    * 2246822519) % 1000 < permille""".stripMargin)),
 
     // === LLM-pipeline: dedup families ===================================
 
@@ -1599,10 +1618,10 @@ object SparkEntry {
           Seq("id1"))
       graft.dedup.NearDup.jaccardVerify(pairs, docs, "doc_id", "text")
     }, Some("""SELECT a.doc_id AS id1, b.doc_id AS id2,
-       | CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-       |                         list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-       |   / len(list_distinct(list_concat(string_split(a.text, ' '),
-       |                                   string_split(b.text, ' ')))) AS jaccard
+       | CAST(len(list_intersect(list_distinct(regexp_split_to_array(a.text, '\s+')),
+       |                         list_distinct(regexp_split_to_array(b.text, '\s+')))) AS DOUBLE)
+       |   / len(list_distinct(list_concat(regexp_split_to_array(a.text, '\s+'),
+       |                                   regexp_split_to_array(b.text, '\s+')))) AS jaccard
        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
     // === LLM-pipeline: text analysis ====================================
@@ -1615,7 +1634,7 @@ object SparkEntry {
       Some("""SELECT doc_id, n_tokens, n_chars_calc,
          | CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len
          |FROM (SELECT doc_id,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents)""".stripMargin)),
 
     ("q42_text_quality", (s, d) =>
@@ -1628,12 +1647,12 @@ object SparkEntry {
           size(filter(col("toks"), t => length(t) > 5)).cast("long")
             .as("long_words")),
       Some(s"""SELECT doc_id,
-         | CAST(len(list_filter(string_split(text, ' '),
+         | CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
          |   w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS stop_hits,
-         | CAST(len(list_filter(string_split(text, ' '),
+         | CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
          |   w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-         |   / len(string_split(text, ' ')) AS stop_ratio,
-         | CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS long_words
+         |   / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio,
+         | CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 5)) AS BIGINT) AS long_words
          |FROM documents""".stripMargin)),
 
     ("q43_lang_id", (s, d) => {
@@ -1682,7 +1701,7 @@ object SparkEntry {
              |    len(list_filter($g, y -> y = x)) * len(x))) AS DOUBLE) / len(text)
              |END""".stripMargin
         s"""WITH base AS (
-           |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
            |g AS (
            |  SELECT doc_id, text, toks, ${grams(2)} AS g2, ${grams(3)} AS g3,
            |    ${grams(5)} AS g5
@@ -1706,7 +1725,7 @@ object SparkEntry {
         TextOps.tokenCount(col("text")), nShards = 8, ctxTokens = 512),
       Some("""WITH toks AS (
          |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
          |    ((doc_id % 100000007) * 2654435761) % 8 AS shard
          |  FROM documents),
          |c AS (
@@ -1733,7 +1752,7 @@ object SparkEntry {
         percent_rank().over(w).as("pct_rank"),
         ntile(10).over(w).cast("long").as("decile"))
     }, Some(s"""WITH lang AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
        |    $langIdCaseSql AS lang
        |  FROM ($langScoresSql))
        |SELECT doc_id, lang, n_tokens,
@@ -1747,7 +1766,7 @@ object SparkEntry {
       graft.text.Vocab.vocab(t(s, d, "documents"), "doc_id", "text"),
       Some("""SELECT token, count(*) AS n_occurrences,
          |  count(DISTINCT doc_id) AS n_docs
-         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
          |      FROM documents)
          |GROUP BY token""".stripMargin)),
 
@@ -1757,7 +1776,7 @@ object SparkEntry {
       graft.text.Vocab.topTfidfTerm(t(s, d, "documents"), "doc_id", "text")
         .withColumn("score", round(col("score"), 9)),
       Some("""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
          |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
          |tot AS (SELECT count(*) AS n_total FROM documents),
@@ -2007,7 +2026,8 @@ object SparkEntry {
       Some("""SELECT event_type, event_id, value FROM events
          |WHERE value > 0
          |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY
-         |  round(-ln((((event_id % 100000007) * 2654435761) % 1000000 + 0.5)
+         |  round(-ln((((((event_id % 100000007) * (2654435761 + 49979687)
+         |               % 99999989) * 2246822519) % 1000000) + 0.5)
          |            / 1000000.0) / value, 9) ASC,
          |  event_id ASC) <= 5""".stripMargin)),
 

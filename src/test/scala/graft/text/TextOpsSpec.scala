@@ -16,6 +16,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one(TextOps.avgWordLen(col("t")), "a bb ccc").getDouble(0) == 2.0)
   }
 
+  test("tokens split on runs of ANY whitespace, matching the oracle regex") {
+    // Every oracle tokenizes with regexp_split_to_array(text, '\s+');
+    // the engine uses split(text, "\\s+"). This fixture holds the messy
+    // cases the generated (single-spaced) corpus never exercises — tabs,
+    // newlines, CR, double spaces, a leading separator — and pins the
+    // exact token vector both regexes produce, so a corpus change can't
+    // silently diverge engine from oracle. Java \s == [ \t\n\x0B\f\r]
+    // == RE2 [[:space:]], and both engines keep leading/trailing empty
+    // fields at limit -1, so the vectors are identical by construction.
+    val messy = "a  b\tc\nd\r\ne \t f"
+    assert(one(TextOps.tokens(col("t")), messy).getSeq[String](0) ==
+      Seq("a", "b", "c", "d", "e", "f"))
+    assert(one(TextOps.tokenCount(col("t")), messy).getLong(0) == 6L)
+    // leading whitespace yields a leading empty token in BOTH engines
+    // (regex split keeps the empty field before a leading separator)
+    assert(one(TextOps.tokens(col("t")), " x y").getSeq[String](0) ==
+      Seq("", "x", "y"))
+  }
+
   test("hitCount / wordRatio / longWordCount") {
     val text = "the quick the lazy elephant"
     assert(one(TextOps.hitCount(col("t"), Seq("the")), text).getLong(0) == 2L)
