@@ -67,19 +67,29 @@ object CorpusClean {
 
   /** [[decontaminate]] with a Bloom-filter prefilter — same output, a
     * different 100 TB cost profile. The anti join ships the full eval
-    * fingerprint SET to every task; when the eval suite is large that
-    * broadcast is the bottleneck. Here every training row first probes
-    * a Bloom sketch (a few bits per eval doc, built in one
+    * fingerprint SET to every task while it broadcasts, and once the
+    * eval suite outgrows the broadcast threshold it re-SHUFFLES the
+    * ENTIRE training corpus. Here every training row first probes a
+    * Bloom sketch (a few bits per eval doc, built in one
     * `graft_bloom_agg` aggregate): probe-negative rows — the
-    * overwhelming majority — are kept with NO join at all, and only the
-    * sketch's false-positive candidates go through the exact anti join.
-    * The result is EXACTLY the anti-join result (the exact pass removes
-    * false positives), verified against the same oracle as
-    * [[decontaminate]].
+    * overwhelming majority — are kept with NO join and NO shuffle at
+    * all, and only the sketch's false-positive candidates go through
+    * the exact anti join. The result is EXACTLY the anti-join result
+    * (the exact pass removes false positives), verified against the
+    * same oracle as [[decontaminate]].
     *
-    * The probe is [[graft.functions.BloomProbe]] (Spark's own
-    * `might_contain` rejects a non-foldable sketch, so the broadcast
-    * one-row-sketch join shape needs a native probe). Its false-on-null
+    * EAGER: the sketch (≤ 8 MB under the clamp below) is materialized
+    * on the driver here and embedded as a LITERAL, so calling this
+    * runs the eval-side aggregate immediately. The literal matters for
+    * speed, not just shape: a one-row-sketch broadcast JOIN hands the
+    * probe a fresh byte-array copy per row (UnsafeRow.getBinary), so
+    * the probe's cache could only re-validate by content — O(sketch
+    * bytes) PER ROW, measured 596 s for a 2.5 MB sketch × 2 M rows
+    * where the literal path takes the probe to reference-equality O(1)
+    * (see BENCH in COVERAGE.md). Spark's own runtime-filter rewrite
+    * makes the same choice: `might_contain` demands a foldable sketch.
+    *
+    * The probe is [[graft.functions.BloomProbe]]; its false-on-null
     * contract keeps the edges aligned with [[decontaminate]]: an EMPTY
     * eval set aggregates to a NULL sketch and a null-text train row has
     * a null fingerprint — both probe `false` and fall to the keep path,
@@ -102,15 +112,17 @@ object CorpusClean {
     val numBits = math.min(
       if (expectedEvalDocs > Long.MaxValue / 8) Long.MaxValue
       else expectedEvalDocs * 8, maxBits)
-    val bloom = evalFps.agg(
-      graft.functions.BloomProbe.agg(col(fp), expectedEvalDocs,
-        numBits).as("__graft_bf"))
+    val sketch: Array[Byte] = evalFps.agg(
+        graft.functions.BloomProbe.agg(col(fp), expectedEvalDocs,
+          numBits).as("__graft_bf"))
+      .head.getAs[Array[Byte]](0) // one row, ≤ 8 MB; null when eval empty
+    val sketchLit =
+      if (sketch == null) lit(null).cast(org.apache.spark.sql.types.BinaryType)
+      else lit(sketch)
     val probed = train
       .withColumn(fp, TextOps.fingerprint(col(textCol)))
-      .join(broadcast(bloom)) // one-row sketch broadcast
       .withColumn("__graft_maybe",
-        graft.functions.BloomProbe.of(col("__graft_bf"), col(fp)))
-      .drop("__graft_bf")
+        graft.functions.BloomProbe.of(sketchLit, col(fp)))
     val clean = probed.filter(!col("__graft_maybe"))
     val survivors = probed.filter(col("__graft_maybe"))
       .join(evalFps, Seq(fp), "left_anti")
