@@ -780,6 +780,29 @@ object SparkEntry {
          |    * 2246822519) % 1000 <
          |  CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 500 ELSE 0 END""".stripMargin)),
 
+    ("q122_heavy_ngrams", (s, d) => {
+      // exact heavy hitters at sketch cost: a Count-Min sketch can only
+      // OVERestimate, so probe >= t admits every truly heavy 3-gram (no
+      // false negatives) and the exact rescore of the candidate slice
+      // equals plain GROUP BY/HAVING — which is why this sketch query
+      // is fully oracle-checkable, unlike a raw sketch readout (q57).
+      // At scale only probe-positive rows reach the exchange; the naive
+      // query shuffles the entire n-gram vocabulary to find 154 keys.
+      // tokens projected to an ATTRIBUTE before the ngram HOF — a
+      // lambda over the raw split tree re-runs the regex per gram
+      // position (the q72 lesson; measured 2x on this query)
+      val grams = t(s, d, "documents")
+        .select(TextOps.tokens(col("text")).as("toks"))
+        .select(explode(TextOps.ngrams(col("toks"), 3)).as("gram"))
+      graft.operators.Sketches.heavyHitters(grams, "gram", minCount = 5L,
+        eps = 1e-4)
+    }, Some("""WITH g AS (
+       |  SELECT unnest(list_transform(range(0, len(t) - 2),
+       |    i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS gram
+       |  FROM (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents))
+       |SELECT gram, CAST(count(*) AS BIGINT) AS n
+       |FROM g GROUP BY gram HAVING count(*) >= 5""".stripMargin)),
+
     ("q66_sessionize", (s, d) =>
       // 30-min-gap clickstream sessions: one shuffle on user_id shared by
       // the lag window, the running sum, and the session rollup

@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Membership probe of a long key against a serialized Bloom-filter
@@ -17,96 +17,86 @@ import org.apache.spark.util.sketch.BloomFilter
   * Why custom: Spark's own `BloomFilterMightContain` only accepts a
   * FOLDABLE or scalar-subquery sketch (it exists for the optimizer's
   * runtime-filter rewrite) and returns NULL on null input, where this
-  * pipeline needs false-on-null. This probe accepts the sketch as any
-  * expression and caches the deserialized filter per thread.
+  * pipeline needs false-on-null.
   *
-  * PASS THE SKETCH AS A LITERAL (the [[graft.text.CorpusClean
-  * .decontaminateBloom]] shape): a literal hands every row the SAME
-  * byte-array reference, so the cache hits on reference equality —
-  * O(1) per row. A sketch that arrives through a JOIN value instead
-  * (e.g. a one-row-sketch broadcast join) is copied per access by
-  * UnsafeRow.getBinary, leaving only the O(sketch-bytes) content check
-  * per row — measured 596 s for a 2.5 MB sketch probed by 2 M rows,
-  * vs ~1 s as a literal.
+  * The sketch is a CONSTRUCTOR FIELD, not a child expression, for a
+  * measured reason (shared with [[CmsProbe]] — see its doc for the
+  * numbers): a multi-MB sketch inside a `Literal` is rescanned by the
+  * O(length) `Literal.hashCode`/`equals` every time an analyzer/
+  * optimizer/AQE rule hashes the tree, turning a 10 s job into minutes
+  * of driver time; and a sketch arriving through a JOIN value is
+  * re-copied per row by `UnsafeRow.getBinary` (measured 596 s for a
+  * 2.5 MB sketch × 2 M rows). As a field it hashes by array identity,
+  * ships once in the task binary, and deserializes once per JVM. The
+  * function-registry form accepts any FOLDABLE binary expression and
+  * evaluates it to the field at resolution time.
   *
-  * Null semantics — `false` (never null) when EITHER side is null, so a
-  * filter on `!probe` KEEPS those rows: an empty build side aggregates
-  * to a NULL sketch and a null key never anti-joins, which is exactly
-  * the keep path of the exact `left_anti` decontamination this probe
-  * prefilters for (see [[graft.text.CorpusClean.decontaminateBloom]]).
+  * Null semantics — `false` (never null) when the sketch is
+  * null/absent or the key is null, so a filter on `!probe` KEEPS those
+  * rows: an empty build side aggregates to a NULL sketch and a null
+  * key never anti-joins, which is exactly the keep path of the exact
+  * `left_anti` decontamination this probe prefilters for (see
+  * [[graft.text.CorpusClean.decontaminateBloom]]).
   */
-case class BloomProbe(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class BloomProbe(sketch: Array[Byte], child: Expression)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == LongType) {
+    if (child.dataType == LongType) {
       TypeCheckResult.TypeCheckSuccess
     } else {
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (binary sketch, bigint key), got " +
-          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+        s"$prettyName requires a bigint key, got ${child.dataType.simpleString}")
     }
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bloom_probe"
 
-  // One deserialized filter per thread, keyed on reference identity
-  // first (the literal-sketch shape: same array every row, O(1)), then
-  // on content as a fallback for non-literal sketches. The cache must
-  // be thread-confined (the same expression object is shared by every
-  // partition of a local run). The content fallback is correct but
-  // O(sketch bytes) per row — a join-value sketch is re-copied by
-  // UnsafeRow.getBinary on every access, so ONLY the literal shape is
-  // fast; see the class doc for the measured difference.
-  @transient private lazy val cache =
-    new ThreadLocal[(Array[Byte], BloomFilter)]
+  // Deserialized once per JVM that evaluates this expression (driver or
+  // executor); BloomFilter reads are immutable, so concurrent tasks
+  // share it safely.
+  @transient private lazy val parsed: BloomFilter =
+    if (sketch == null) null
+    else BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketch))
 
-  def probe(bytes: Array[Byte], value: Long): Boolean = {
-    val cached = cache.get()
-    val bf =
-      if (cached != null && ((cached._1 eq bytes) ||
-          java.util.Arrays.equals(cached._1, bytes))) cached._2
-      else {
-        val parsed = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
-        cache.set((bytes, parsed))
-        parsed
-      }
-    bf.mightContainLong(value)
-  }
+  def probe(value: Long): Boolean =
+    parsed != null && parsed.mightContainLong(value)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val bytes = left.eval(input)
-    if (bytes == null) return false
-    val value = right.eval(input)
-    if (value == null) return false
-    probe(bytes.asInstanceOf[Array[Byte]], value.asInstanceOf[Long])
+    val value = child.eval(input)
+    if (value == null) false
+    else probe(value.asInstanceOf[Long])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftBloomProbe", this, classOf[BloomProbe].getName)
-    val l = left.genCode(ctx)
-    val r = right.genCode(ctx)
+    val c = child.genCode(ctx)
     ev.copy(
       code = code"""
-        ${l.code}
-        ${r.code}
+        ${c.code}
         boolean ${ev.value} = false;
-        if (!${l.isNull} && !${r.isNull}) {
-          ${ev.value} = $ref.probe(${l.value}, ${r.value});
+        if (!${c.isNull}) {
+          ${ev.value} = $ref.probe(${c.value});
         }""",
       isNull = FalseLiteral)
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): BloomProbe =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
 }
 
 object BloomProbe {
 
-  /** DataFrame-API entry; session must carry [[GraftExtensions]]. */
-  def of(sketch: Column, key: Column): Column =
-    call_function("graft_bloom_probe", sketch, key)
+  /** DataFrame-API entry; session must carry [[GraftExtensions]]. The
+    * sketch bytes become an expression field (see class doc), so `null`
+    * means "probe always false".
+    */
+  def of(sketch: Array[Byte], key: Column): Column =
+    call_function("graft_bloom_probe",
+      if (sketch == null) {
+        lit(null).cast(org.apache.spark.sql.types.BinaryType)
+      } else lit(sketch),
+      key)
 
   /** The matching sketch builder (Spark's internal `bloom_filter_agg`,
     * registered by [[GraftExtensions]]): an aggregate over a LONG column

@@ -250,6 +250,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_bloom_agg(key, expectedItems, numBits) — got ${other.size} args")
         }
       }))
+    // The probes take the sketch as a FOLDABLE binary expression and
+    // evaluate it to a constructor field at resolution time — a multi-MB
+    // sketch must not live inside a Literal child, where the O(length)
+    // Literal.hashCode/equals is rescanned by every tree-hashing rule
+    // (measured ~180 s of driver time on a 10 s job; see CmsProbe doc).
+    def foldedBytes(e: Expression, what: String): Array[Byte] = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$what must be a foldable binary expression (a literal sketch)")
+      e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+        .asInstanceOf[Array[Byte]]
+    }
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_probe"),
       new ExpressionInfo(
@@ -259,9 +270,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "null sketch or key.", ""),
       { exprs: Seq[Expression] =>
         exprs match {
-          case Seq(sketch, key) => BloomProbe(sketch, key)
+          case Seq(sketch, key) =>
+            BloomProbe(foldedBytes(sketch, "sketch"), key)
           case other => throw new IllegalArgumentException(
             s"graft_bloom_probe(sketch, key) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_probe"),
+      new ExpressionInfo(
+        classOf[CmsProbe].getName, null, "graft_cms_probe",
+        "graft_cms_probe(sketch, key) - count estimate of a bigint or " +
+          "string key against a count_min_sketch aggregate; 0 (never " +
+          "null) on null sketch or key.", ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(sketch, key) =>
+            CmsProbe(foldedBytes(sketch, "sketch"), key)
+          case other => throw new IllegalArgumentException(
+            s"graft_cms_probe(sketch, key) — got ${other.size} args")
         }
       }))
     ext.injectFunction((

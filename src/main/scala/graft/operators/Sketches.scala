@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-prefiltered EXACT aggregation — the pattern that turns an
+  * approximate sketch into an exact answer at sketch cost.
+  *
+  * The naive exact heavy-hitter query (`GROUP BY key HAVING count >=
+  * t`) shuffles every distinct key: at 100 TB of tokens that exchange
+  * carries the full vocabulary — billions of near-unique keys — to
+  * find the handful of heavy ones. A Count-Min sketch inverts the
+  * cost: fixed size (depth × width counters, independent of N),
+  * mergeable map-side, and one-sided — it can only OVERestimate a
+  * count, never underestimate. So `estimate >= t` keeps every truly
+  * heavy key (no false negatives, only false-positive candidates),
+  * and an exact count of just the candidate rows both prunes the
+  * false positives and replaces the estimates with true counts. The
+  * output is therefore EXACTLY the naive query's — oracle-checkable
+  * against plain SQL, unlike a raw sketch readout — while only rows
+  * whose key passes the probe ever shuffle.
+  */
+object Sketches {
+
+  /** Exact `(key, n)` rows for every non-null key occurring at least
+    * `minCount` times, computed as CMS-prefilter + exact rescore.
+    * EAGER: the sketch (fixed-size; ~1.1 MB at the defaults) is
+    * materialized on the driver here and embedded as a LITERAL — the
+    * same shape as [[graft.text.CorpusClean.decontaminateBloom]], and
+    * for the same reason: a literal keeps the probe's per-row cost at
+    * reference-equality O(1) (see [[graft.functions.CmsProbe]]).
+    *
+    * Key column must be bigint or string (the types the probe and
+    * Spark's `count_min_sketch` aggregate hash identically). Null keys
+    * are excluded, matching `GROUP BY ... HAVING` twins that filter
+    * nulls.
+    *
+    * `eps` bounds the overestimate: with probability `confidence`,
+    * estimate <= true + eps·TOTAL rows. False positives start costing
+    * shuffle volume when eps·total approaches minCount, so for very
+    * low thresholds over very large corpora, shrink eps (sketch width
+    * grows as 2/eps — still independent of the corpus).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    val key = col(keyCol)
+    val sketch: Array[Byte] = df
+      .agg(call_function("count_min_sketch",
+        key, lit(eps), lit(confidence), lit(seed)).as("__graft_cms"))
+      .head.getAs[Array[Byte]](0)
+    df.filter(key.isNotNull &&
+        graft.functions.CmsProbe.of(sketch, key) >= minCount)
+      .groupBy(key).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+}

@@ -116,13 +116,10 @@ object CorpusClean {
         graft.functions.BloomProbe.agg(col(fp), expectedEvalDocs,
           numBits).as("__graft_bf"))
       .head.getAs[Array[Byte]](0) // one row, ≤ 8 MB; null when eval empty
-    val sketchLit =
-      if (sketch == null) lit(null).cast(org.apache.spark.sql.types.BinaryType)
-      else lit(sketch)
     val probed = train
       .withColumn(fp, TextOps.fingerprint(col(textCol)))
       .withColumn("__graft_maybe",
-        graft.functions.BloomProbe.of(sketchLit, col(fp)))
+        graft.functions.BloomProbe.of(sketch, col(fp)))
     val clean = probed.filter(!col("__graft_maybe"))
     val survivors = probed.filter(col("__graft_maybe"))
       .join(evalFps, Seq(fp), "left_anti")
