@@ -803,6 +803,34 @@ object SparkEntry {
        |SELECT gram, CAST(count(*) AS BIGINT) AS n
        |FROM g GROUP BY gram HAVING count(*) >= 5""".stripMargin)),
 
+    ("q123_span_dup_coverage", (s, d) =>
+      // substring-level dedup diagnostic (Lee et al. 2022 at n-gram
+      // granularity): per doc, the fraction of token positions covered
+      // by a 3-gram that also occurs in ANOTHER doc — the boilerplate
+      // share document-level Jaccard misses. Cross-doc test is
+      // min(doc)!=max(doc), never a count-distinct; no pair joins
+      graft.text.SpanDedup.spanDupCoverage(
+        t(s, d, "documents"), "doc_id", "text", n = 3),
+      Some("""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
+         |    i -> struct_pack(pos := i,
+         |           gram := array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS u
+         |  FROM toks),
+         |ge AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+         |xd AS (SELECT gram FROM ge GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+         |cov AS (
+         |  SELECT DISTINCT ge.doc_id, ge.pos + off.o AS p
+         |  FROM ge SEMI JOIN xd USING (gram)
+         |  CROSS JOIN (VALUES (0), (1), (2)) AS off(o)),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+         |      FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  COALESCE(c.covered, 0) AS covered,
+         |  CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.t) AS coverage
+         |FROM toks t LEFT JOIN c USING (doc_id)""".stripMargin)),
+
     ("q66_sessionize", (s, d) =>
       // 30-min-gap clickstream sessions: one shuffle on user_id shared by
       // the lag window, the running sum, and the session rollup
