@@ -831,6 +831,37 @@ object SparkEntry {
          |  CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.t) AS coverage
          |FROM toks t LEFT JOIN c USING (doc_id)""".stripMargin)),
 
+    ("q124_pq_codes", (s, d) => {
+      // product-quantization encode: 64-dim float vectors -> 8 nearest-
+      // centroid codes (the compression that fits a 100 TB embedding
+      // corpus in serving memory). Codebook = 16 hash-smallest vectors
+      // on the PORTABLE id hash, so selection, fold-ordered double
+      // distances, and first-min argmin all replay in SQL — a fully
+      // ORACLED quantizer, where xxhash-seeded IVF (q56) is rows-only
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val cb = graft.sim.Pq.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+      graft.sim.Pq.pqEncode(emb, "vec_id", "embedding", cb)
+    }, Some {
+      val terms = (1 to 8).map { i =>
+        s"(CAST(e.embedding[s.sub*8 + $i] AS DOUBLE) - CAST(cb.embedding[s.sub*8 + $i] AS DOUBLE))" +
+          s" * (CAST(e.embedding[s.sub*8 + $i] AS DOUBLE) - CAST(cb.embedding[s.sub*8 + $i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      s"""WITH cb AS (
+         |  SELECT * FROM (
+         |    SELECT row_number() OVER (ORDER BY
+         |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
+         |      embedding
+         |    FROM embeddings) WHERE code < 16),
+         |d AS (
+         |  SELECT e.vec_id, s.sub, cb.code,
+         |    ($terms) AS dist
+         |  FROM embeddings e
+         |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |  CROSS JOIN cb)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM d
+         |QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1""".stripMargin
+    }),
+
     ("q66_sessionize", (s, d) =>
       // 30-min-gap clickstream sessions: one shuffle on user_id shared by
       // the lag window, the running sum, and the session rollup

@@ -1,0 +1,118 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns (Jégou et al. 2011,
+  * "Product Quantization for Nearest Neighbor Search"): split each
+  * vector into `m` subvectors, quantize every subvector to its nearest
+  * of `k` per-subspace centroids, and keep only the `m` small codes —
+  * a 64-dim float vector becomes 8 bytes, the compression that lets a
+  * 100 TB embedding corpus sit in memory for ANN serving.
+  *
+  * Codebook: the deterministic-sample scheme this engine uses for IVF
+  * ([[Similarity.ivfBuild]]) — the `k` corpus vectors with the smallest
+  * portable id hash — but on the ENGINE-PORTABLE two-constant hash
+  * ([[graft.operators.Sample.hashMod]]) rather than xxhash64, so
+  * codebook selection, distances, and argmin are all replayable in
+  * plain SQL: the ENCODE step is fully oracle-checked (q124), not
+  * rows-only. Swap in offline k-means without changing the encode or
+  * query paths.
+  *
+  * Determinism contract for the oracle: distances accumulate as a
+  * sequential left fold of `(x−c)²` in DOUBLE (float→double casts are
+  * exact, fold order fixed), and the argmin breaks ties by LOWEST code
+  * (`array_position` finds the first minimum; the SQL twin orders by
+  * `(dist, code)`), so the integer codes are bit-portable.
+  */
+object Pq {
+
+  /** `m × k × (dim/m)` codebook: the `k` hash-smallest corpus vectors,
+    * in hash order (code = rank in that order), split into `m`
+    * subvectors. Collected to the driver — `k` vectors, not the corpus.
+    */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16): Array[Array[Array[Double]]] = {
+    val centroids = emb
+      .select(col(idCol), Similarity.toDouble(col(vecCol)).as("v"))
+      .orderBy(graft.operators.Sample.hashMod(col(idCol), 1000000L), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = centroids.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m, centroids.length) { (s, c) =>
+      centroids(c).slice(s * sub, (s + 1) * sub)
+    }
+  }
+
+  /** Squared-L2 of a subvector against a literal centroid: sequential
+    * left fold, bit-matched by the SQL twin's explicit term sum.
+    */
+  private def subDist(vd: Column, s: Int, sub: Int, cent: Array[Double]): Column =
+    aggregate(
+      zip_with(slice(vd, s * sub + 1, sub),
+        array(cent.map(lit).toIndexedSeq: _*),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Long-format codes `(id, sub, code)` — one row per subspace, code =
+    * index of the nearest centroid (ties to the lowest code). A pure
+    * projection over the corpus: the codebook rides as literals, no
+    * join, no shuffle except the source's own. The literal-tree
+    * expression (m·k subdistances) is the simple formulation; a fused
+    * native expression is the q56 `CentroidScores` upgrade path if the
+    * encode ever dominates a profile.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebook.length
+    val sub = codebook.head.head.length
+    val vd = Similarity.toDouble(col(vecCol))
+    val codes = (0 until m).map { s =>
+      val dists = array(codebook(s).map(c => subDist(vd, s, sub, c)).toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).as(s"c$s")
+    }
+    emb.select(col(idCol), posexplode(array(codes: _*)))
+      .select(col(idCol), col("pos").cast("long").as("sub"),
+        col("col").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) approximate top-k: the query stays
+    * exact, corpus vectors are represented by their codes. Per query,
+    * a `k × m` lookup table of subdistances to every centroid (a tiny
+    * cross join), then one equi-join on `(sub, code)` against the code
+    * table and a sum per (query, doc) — candidates never form a cross
+    * product with the corpus, and the corpus side is the 8-byte codes,
+    * not the vectors.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebook: Array[Array[Array[Double]]],
+             topK: Int): DataFrame = {
+    val m = codebook.length
+    val sub = codebook.head.head.length
+    val qd = Similarity.toDouble(col(vecCol))
+    // (query_id, sub, code, d): per-subspace distance lookup rows
+    val lut = queries.select(col(idCol).as("query_id"), qd.as("qv"))
+      .select(col("query_id"), posexplode(array((0 until m).map { s =>
+        array(codebook(s).indices.map(c =>
+          subDist(col("qv"), s, sub, codebook(s)(c))).toIndexedSeq: _*)
+      }: _*)))
+      .select(col("query_id"), col("pos").cast("long").as("sub"),
+        posexplode(col("col")))
+      .select(col("query_id"), col("sub"), col("pos").cast("long").as("code"),
+        col("col").as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.withColumnRenamed(idCol, "neighbor_id")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class PqSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 8-dim vectors, m=2 subspaces of 4, k=4 centroids
+  private def emb = Seq(
+    (1L, Array(1.0f, 0f, 0f, 0f, 9f, 9f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f, 9f, 8.5f, 0f, 0f)),
+    (3L, Array(0f, 5f, 5f, 0f, 0f, 0f, 7f, 7f)),
+    (4L, Array(0f, 5.2f, 4.8f, 0f, 0f, 0f, 7f, 6.9f)),
+    (5L, Array(3f, 3f, 3f, 3f, 1f, 2f, 3f, 4f)),
+    (6L, Array(1.0f, 0f, 0f, 0f, 9f, 9f, 0f, 0f)) // exact dup of 1
+  ).toDF("vec_id", "embedding")
+
+  /** Driver-side reference encode with the same fold order. */
+  private def refCodes(cb: Array[Array[Array[Double]]],
+                       vecs: Map[Long, Array[Double]]): Map[(Long, Long), Long] = {
+    val m = cb.length; val sub = cb.head.head.length
+    (for {
+      (id, v) <- vecs.toSeq; s <- 0 until m
+    } yield {
+      val dists = cb(s).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { val t = v(s * sub + i) - c(i); acc += t * t; i += 1 }
+        acc
+      }
+      ((id, s.toLong), dists.indexOf(dists.min).toLong)
+    }).toMap
+  }
+
+  test("pqTrain shape and hash-deterministic codebook order") {
+    val cb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
+    assert(cb.length == 2 && cb.head.length == 4 && cb.head.head.length == 4)
+    val again = Pq.pqTrain(emb.repartition(5), "vec_id", "embedding", m = 2, k = 4)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq == again.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("pqEncode matches a driver-side argmin; exact duplicates share codes") {
+    val cb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
+    val got = Pq.pqEncode(emb, "vec_id", "embedding", cb)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(got == refCodes(cb, vecs))
+    assert((0L until 2L).forall(s => got((1L, s)) == got((6L, s))))
+  }
+
+  test("pqTopK reproduces the driver-computed ADC ranking exactly") {
+    val cb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
+    val codes = Pq.pqEncode(emb, "vec_id", "embedding", cb)
+    val out = Pq.pqTopK(codes, emb.filter($"vec_id" === 1), "vec_id",
+        "embedding", cb, topK = 3)
+      .orderBy("rnk").as[(Long, Long, Int)].collect()
+
+    // reference: adist(doc) = sum_s dist(query_s, centroid(code(doc, s)));
+    // ranking by (adist, id) — the operator's documented tiebreak
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val rc = refCodes(cb, vecs)
+    val q = vecs(1L)
+    def sd(s: Int, c: Long): Double = {
+      val cent = cb(s)(c.toInt); var acc = 0.0; var i = 0
+      while (i < cent.length) { val t = q(s * 4 + i) - cent(i); acc += t * t; i += 1 }
+      acc
+    }
+    val expected = vecs.keys.filter(_ != 1L).toSeq
+      .map(id => (id, (0 until 2).map(s => sd(s, rc((id, s.toLong)))).sum))
+      .sortBy { case (id, d) => (d, id) }
+      .take(3).zipWithIndex
+      .map { case ((id, _), i) => (1L, id, i + 1) }
+    assert(out.toSeq == expected)
+    // the byte-identical duplicate can tie with a same-code doc but
+    // must be present in the top ranks
+    assert(out.map(_._2).contains(6L))
+  }
+}
