@@ -26,6 +26,9 @@ object SketchBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/scheduler warmup so the first (smallest) line isn't
+    // charged session startup — same policy as graft.Bench
+    spark.range(1000000).selectExpr("sum(id) s").collect()
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f
       ((System.nanoTime() - t0) / 1e9, n)
