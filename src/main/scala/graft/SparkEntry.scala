@@ -831,6 +831,18 @@ object SparkEntry {
          |  CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.t) AS coverage
          |FROM toks t LEFT JOIN c USING (doc_id)""".stripMargin)),
 
+    ("q125_heavy_users", (s, d) =>
+      // q122's operator through the LONG-key probe path: power users
+      // above an activity threshold, CMS prefilter + exact rescore ==
+      // plain GROUP BY/HAVING (user_id is the archetypal key whose
+      // full-vocabulary exchange the sketch avoids at event scale)
+      graft.operators.Sketches.heavyHitters(
+        t(s, d, "events").filter(col("user_id").isNotNull),
+        "user_id", minCount = 70L),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+         |WHERE user_id IS NOT NULL
+         |GROUP BY user_id HAVING count(*) >= 70""".stripMargin)),
+
     ("q124_pq_codes", (s, d) => {
       // product-quantization encode: 64-dim float vectors -> 8 nearest-
       // centroid codes (the compression that fits a 100 TB embedding
