@@ -219,6 +219,13 @@ object Similarity {
     * any of the hash tables, then exact cosine ranks them. The query
     * side is broadcast; the corpus is scanned once and shuffles only the
     * (table_id, bucket)-matched candidates.
+    *
+    * Hot-bucket note: unlike the self-join family (see
+    * [[cosineNearDupPairs]] / NearDup.capBuckets), a degenerate corpus
+    * bucket here cannot go N² — candidates are bounded by corpus ×
+    * queries, the brute-force bound, and the query side is an explicit
+    * small batch. A mass-duplicated corpus direction inflates one
+    * query's candidate list at worst to the brute scan it replaces.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 8, dim: Int = 64,
