@@ -831,6 +831,74 @@ object SparkEntry {
          |  CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.t) AS coverage
          |FROM toks t LEFT JOIN c USING (doc_id)""".stripMargin)),
 
+    ("q126_corpus_build", (s, d) => {
+      // the full corpus build as ONE oracled composite — every stage of
+      // CorpusDemo that is SQL-replayable, chained: token-length gate
+      // (projection) -> exact dedup keep-min-id (one window pass) ->
+      // near-dup edges (exact Jaccard on the q58 adjacent-pair list) ->
+      // connected components -> cluster representatives -> 80/10/10
+      // hash split keeping train -> eval-fingerprint decontamination.
+      // The oracle replays all seven stages, CC as a recursive CTE
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val gated = docs.filter(
+        TextOps.tokenCount(col("text")).between(20, 90))
+      val deduped = graft.operators.Dedup.exactDedupWindowed(
+        gated, "doc_id", Seq("text"))
+      val pairs = deduped.select(col("doc_id").as("id1"))
+        .join(deduped.select((col("doc_id") - 1).as("id1"),
+          col("doc_id").as("id2")), Seq("id1"))
+      val edges = graft.dedup.NearDup.jaccardVerify(pairs, deduped,
+          "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      val comps = graft.operators.ConnectedComponents.components(
+        edges, "id1", "id2")
+      val reps = graft.operators.ConnectedComponents.keepRepresentatives(
+        deduped, "doc_id", comps)
+      val train = graft.operators.Sample.hashSplit(reps, "doc_id",
+          Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .filter(col("split") === "train")
+      graft.text.CorpusClean.decontaminate(train,
+          docs.filter(col("doc_id") % 10 === 0), "text")
+        .select("doc_id", "split")
+    }, Some("""WITH RECURSIVE
+       |gated AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len(regexp_split_to_array(text, '\s+')) BETWEEN 20 AND 90),
+       |ded AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM gated) WHERE rn = 1),
+       |e AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM ded a JOIN ded b ON b.doc_id = a.doc_id + 1
+       |  WHERE CAST(len(list_intersect(list_distinct(regexp_split_to_array(a.text, '\s+')),
+       |                                list_distinct(regexp_split_to_array(b.text, '\s+')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(regexp_split_to_array(a.text, '\s+'),
+       |                                    regexp_split_to_array(b.text, '\s+')))) >= 0.5),
+       |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |lab AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id),
+       |comp AS (SELECT id, min(comp) AS component FROM lab GROUP BY id),
+       |reps AS (
+       |  SELECT d.doc_id, d.text FROM ded d LEFT JOIN comp c ON d.doc_id = c.id
+       |  WHERE COALESCE(c.component, d.doc_id) = d.doc_id),
+       |train AS (
+       |  SELECT doc_id, text FROM reps
+       |  WHERE ((((doc_id + 7919) % 100000007) * 2654435761 % 99999989)
+       |    * 2246822519) % 1000 < 800),
+       |fp AS (SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS f
+       |  FROM documents)
+       |SELECT t.doc_id, 'train' AS split
+       |FROM (SELECT tr.doc_id, fp.f FROM train tr JOIN fp USING (doc_id)) t
+       |ANTI JOIN (SELECT f FROM fp WHERE doc_id % 10 = 0) ev ON t.f = ev.f""".stripMargin)),
+
     ("q125_heavy_users", (s, d) =>
       // q122's operator through the LONG-key probe path: power users
       // above an activity threshold, CMS prefilter + exact rescore ==
