@@ -67,6 +67,16 @@ class SketchesSpec extends AnyFunSuite {
     assert(zeros.forall(z => z._1 == 0L && z._2 == 0L))
   }
 
+  test("probe + rescore spends exactly ONE shuffle (the rescore exchange)") {
+    // the operator's contract at scale: the sketch rides in the
+    // expression (no join, no broadcast), the probe filter is narrow,
+    // and only the candidate groupBy exchanges
+    val hh = Sketches.heavyHitters(longKeys, "k", 1500L)
+    graft.audit.PlanGuard.assertNoCartesian(hh)
+    graft.audit.PlanGuard.assertMaxExchanges(hh, 1)
+    assert(hh.count() > 0)
+  }
+
   test("null keys are excluded; empty input yields empty output") {
     val withNulls = Seq(Some(1L), Some(1L), Some(1L), None, None, None, None)
       .toDF("k")
