@@ -777,8 +777,8 @@ object SparkEntry {
          |WHERE (((event_id % 100000007) * (2654435761 + 15485863) % 99999989)
          |    * 2246822519) % 1000 < 200
          |  AND (((event_id % 100000007) * (2654435761 + 32452843) % 99999989)
-         |    * 2246822519) % 1000 <
-         |  CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 500 ELSE 0 END""".stripMargin)),
+         |    * 2246822519) % 1000000 <
+         |  CASE event_type WHEN 'click' THEN 500000 WHEN 'view' THEN 500000 ELSE 0 END""".stripMargin)),
 
     ("q122_heavy_ngrams", (s, d) => {
       // exact heavy hitters at sketch cost: a Count-Min sketch can only
@@ -940,6 +940,55 @@ object SparkEntry {
          |  CROSS JOIN cb)
          |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM d
          |QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1""".stripMargin
+    }),
+
+    ("q127_pq_topk", (s, d) => {
+      // ADC top-k over the q124 codes: queries stay exact, the corpus is
+      // its 8-byte codes — the join is (sub, code) against a broadcast
+      // per-query LUT, never codes × vectors. Fully oracled: the same
+      // portable-hash codebook, fold-ordered double sums (subspace order
+      // inside pqTopK's aggregate), and (adist, id) tiebreak replay in SQL
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val cb = graft.sim.Pq.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+      val codes = graft.sim.Pq.pqEncode(emb, "vec_id", "embedding", cb)
+      graft.sim.Pq.pqTopK(codes, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", cb, topK = 5)
+    }, Some {
+      def terms(a: String, b: String) = (1 to 8).map { i =>
+        s"(CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      s"""WITH cb AS (
+         |  SELECT * FROM (
+         |    SELECT row_number() OVER (ORDER BY
+         |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
+         |      embedding
+         |    FROM embeddings) WHERE code < 16),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, s.sub, cb.code,
+         |      (${terms("e", "cb")}) AS dist
+         |    FROM embeddings e
+         |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |    CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, s.sub, cb.code,
+         |    (${terms("q", "cb")}) AS d
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |  CROSS JOIN cb),
+         |adist AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d ORDER BY l.sub)),
+         |      (a, b) -> a + b) AS adist
+         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         |FROM adist
+         |QUALIFY rnk <= 5""".stripMargin
     }),
 
     ("q66_sessionize", (s, d) =>
@@ -1271,8 +1320,8 @@ object SparkEntry {
         .select("event_id", "event_type", "user_id"),
       Some("""SELECT event_id, event_type, user_id FROM events
          |WHERE (((event_id % 100000007) * (2654435761 + 32452843) % 99999989)
-         |    * 2246822519) % 1000 <
-         |  CASE event_type WHEN 'click' THEN 100 WHEN 'view' THEN 50 ELSE 0 END""".stripMargin)),
+         |    * 2246822519) % 1000000 <
+         |  CASE event_type WHEN 'click' THEN 100000 WHEN 'view' THEN 50000 ELSE 0 END""".stripMargin)),
 
     ("q71_dedup_clusters", (s, d) => {
       // pairwise near-dup verdicts -> dedup clusters: exact Jaccard >= 0.5
@@ -1732,12 +1781,12 @@ object SparkEntry {
          |  ('purchase', 0.1)) AS t(event_type, w)),
          |j AS (SELECT c.event_type, cnt, w FROM c JOIN w USING (event_type)),
          |t AS (SELECT min(cnt / w) AS tmax FROM j),
-         |r AS (SELECT event_type, floor(1000 * w * tmax / cnt) AS permille
+         |r AS (SELECT event_type, floor(1000000 * w * tmax / cnt) AS ppm
          |  FROM j CROSS JOIN t)
          |SELECT e.event_id, e.event_type, e.user_id
          |FROM events e JOIN r USING (event_type)
          |WHERE (((event_id % 100000007) * (2654435761 + 67867967) % 99999989)
-         |    * 2246822519) % 1000 < permille""".stripMargin)),
+         |    * 2246822519) % 1000000 < ppm""".stripMargin)),
 
     // === LLM-pipeline: dedup families ===================================
 

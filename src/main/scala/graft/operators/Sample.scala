@@ -67,6 +67,19 @@ object Sample {
     */
   def bucket1000(id: Column, seed: Long): Column = hashMod2(id, 1000L, seed)
 
+  /** Per-row parts-per-million bucket in [0, 1e6) — the verdict bucket
+    * for the RATE-DERIVING samplers ([[mixtureSample]],
+    * [[stratifiedHashSample]]). At permille granularity any stratum
+    * whose correct rate lands below 1‰ — a huge stratum with a small
+    * target weight, exactly the boilerplate-downweighting case — floors
+    * to 0 and is silently dropped, shifting the output mixture; ppm
+    * pushes that cliff three orders of magnitude out. Note
+    * `bucketPpm(id) % 1000 == bucket1000(id)` (1000 divides 1e6), so
+    * the two scales share the hash but a ppm threshold is NOT a
+    * rescaled permille threshold — oracles embed the `% 1000000` form.
+    */
+  def bucketPpm(id: Column, seed: Long): Column = hashMod2(id, 1000000L, seed)
+
   /** Keep ~`permille`/1000 of rows, uniformly and deterministically.
     * Distinct default seed: see [[hashMod2]] — composing with any other
     * sampler in this file multiplies rates instead of intersecting
@@ -109,15 +122,20 @@ object Sample {
 
   /** Stratified variant: an independent rate per stratum value (e.g.
     * downsample boilerplate-heavy sources harder than curated ones).
-    * Strata absent from the map are dropped (quota 0).
+    * Strata absent from the map are dropped (quota 0). Rates are
+    * fractional permille (e.g. `0.5` keeps 1 row in 2000): the verdict
+    * is drawn at parts-per-million granularity ([[bucketPpm]]), so a
+    * sub-1‰ stratum is thinned, not silently dropped.
     */
   def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
-                           permille: Map[String, Int],
+                           permille: Map[String, Double],
                            seed: Long = 32452843L): DataFrame = {
-    val quota = permille.foldLeft(lit(0)) { case (acc, (k, v)) =>
-      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    require(permille.values.forall(v => v >= 0 && v <= 1000),
+      "stratum permilles must be in [0, 1000]")
+    val quota = permille.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(math.floor(v * 1000).toLong)).otherwise(acc)
     }
-    df.filter(bucket1000(col(idCol), seed) < quota)
+    df.filter(bucketPpm(col(idCol), seed) < quota)
   }
 
   /** Deterministic weighted sample without replacement, k rows per
@@ -148,12 +166,15 @@ object Sample {
     * weight distribution at the maximum achievable volume. The largest
     * total T satisfying `weight(s)·T <= count(s)` for every stratum is
     * `T = min_s count(s)/weight(s)`; each stratum then keeps
-    * `floor(1000·w·T/count)` permille of its rows via the deterministic
-    * id hash. Fully declarative: stratum counts are an aggregate, the
-    * global minimum is a one-row cross join, and the rates join back on
-    * the stratum key (strata counts are small — AQE broadcasts them) —
-    * no driver-side collect, so it composes lazily into larger plans.
-    * Strata without a target weight are dropped.
+    * `floor(1e6·w·T/count)` parts-per-million of its rows via the
+    * deterministic id hash ([[bucketPpm]] — at permille granularity a
+    * stratum whose correct rate is below 1‰ would floor to 0 and be
+    * silently DROPPED, shifting the mixture). Fully declarative:
+    * stratum counts are an aggregate, the global minimum is a one-row
+    * cross join, and the rates join back on the stratum key (strata
+    * counts are small — AQE broadcasts them) — no driver-side collect,
+    * so it composes lazily into larger plans. Strata without a target
+    * weight are dropped.
     */
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
                     weights: Map[String, Double],
@@ -167,10 +188,10 @@ object Sample {
     val tmax = counts.agg(min(col("__cnt") / col("__w")).as("__tmax"))
     val rates = counts.crossJoin(tmax)
       .select(col(stratumCol),
-        floor(lit(1000) * col("__w") * col("__tmax") / col("__cnt"))
-          .as("__permille"))
+        floor(lit(1000000) * col("__w") * col("__tmax") / col("__cnt"))
+          .as("__ppm"))
     df.join(rates, stratumCol)
-      .filter(bucket1000(col(idCol), seed) < col("__permille"))
-      .drop("__permille")
+      .filter(bucketPpm(col(idCol), seed) < col("__ppm"))
+      .drop("__ppm")
   }
 }

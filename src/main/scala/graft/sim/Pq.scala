@@ -87,6 +87,14 @@ object Pq {
     * table and a sum per (query, doc) — candidates never form a cross
     * product with the corpus, and the corpus side is the 8-byte codes,
     * not the vectors.
+    *
+    * The per-pair total is NOT a plain `sum(d)`: partial-aggregation
+    * order over doubles is nondeterministic, which would let ULP-level
+    * reorderings flip near-tied ranks between runs (and vs the SQL
+    * twin). Instead the m subdistances are collected, sorted by
+    * subspace, and folded sequentially — bit-deterministic, and
+    * replayed in DuckDB as `list_reduce(list(d ORDER BY sub), +)`
+    * (q127's oracle).
     */
   def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, codebook: Array[Array[Array[Double]]],
@@ -110,7 +118,9 @@ object Pq {
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("d")).as("adist"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("sub"), col("d")))),
+        lit(0.0), (acc, x) => acc + x.getField("d")).as("adist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select("query_id", "neighbor_id", "rnk")

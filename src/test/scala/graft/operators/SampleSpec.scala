@@ -38,6 +38,29 @@ class SampleSpec extends AnyFunSuite {
     assert(math.abs(out("b") - 1000) < 150, out.toString)
   }
 
+  test("mixtureSample keeps a stratum whose correct rate is below 1 permille") {
+    // the boilerplate-downweighting case the permille floor broke: a
+    // 100k-row stratum with target weight 0.0005 needs rate
+    // 0.0005·T/100000 ≈ 0.0002 = 0.2‰ — floor(permille) = 0 silently
+    // dropped the whole stratum; the ppm verdict keeps ~200 ppm of it
+    val rows = ((1L to 100000L).map((_, "big")) ++
+      (100001L to 140000L).map((_, "small"))).toDF("id", "stratum")
+    val out = Sample.mixtureSample(rows, "id", "stratum",
+      Map("big" -> 0.0005, "small" -> 0.9995))
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // T = min(1e5/0.0005, 4e4/0.9995) ≈ 40020 -> big target ≈ 20 rows
+    assert(out.contains("big"), s"sub-permille stratum dropped: $out")
+    assert(out("big") > 0 && out("big") < 60, out.toString)
+    assert(out("small") > 39000L, out.toString)
+  }
+
+  test("stratifiedHashSample honors fractional permille rates") {
+    val rows = (1L to 100000L).map((_, "a")).toDF("id", "stratum")
+    val kept = Sample.stratifiedHashSample(rows, "id", "stratum",
+      Map("a" -> 0.5)).count() // 0.5 permille = 500 ppm -> ~50 rows
+    assert(kept > 10 && kept < 100, s"kept $kept")
+  }
+
   test("mixtureSample drops strata without a weight") {
     val rows = Seq((1L, "a"), (2L, "junk"), (3L, "a")).toDF("id", "stratum")
     val kept = Sample.mixtureSample(rows, "id", "stratum", Map("a" -> 1.0))
