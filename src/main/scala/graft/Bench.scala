@@ -23,7 +23,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) s").collect()
     graft.Tables.t(spark, sfDir, "region").count()
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: bench only the named queries (dev iteration; the
+    // driver always runs argless and times the full registry)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: fully evaluates every output column (a count() would
       // let Catalyst prune all unreferenced projections, timing little

@@ -72,41 +72,63 @@ object NearDup {
     * inside a mass-duplicated blob. Run [[graft.operators.Dedup.exactDedup]]
     * first so identical content collapses to one representative; what a
     * dropped mega-bucket then loses is content exact-dedup already
-    * handles. The overfull-key list is BOUNDED at N/maxBucketSize keys
-    * by construction and pathological-only in practice, so it is
-    * explicitly broadcast: the bucket table streams through a broadcast
-    * anti-join with NO exchange (an unhinted anti-join re-shuffled the
-    * full bucket table once per self-join side — measured +5s on q49 at
-    * sf0.1), and the two self-join sides reuse one broadcast. The count
-    * aggregation combines map-side over the (already persisted) bucket
-    * table.
+    * handles.
+    *
+    * Mechanism: a `count(*) OVER (PARTITION BY key)` window plus a
+    * map-side filter — ONE exchange, hash-partitioned on the bucket
+    * key, which is exactly the distribution the candidate self-join
+    * needs, so when the caller persists the capped table the count, the
+    * cap filter, and BOTH self-join sides ride that single shuffle and
+    * the join plans with zero further exchanges. The previous shape
+    * (count aggregate + broadcast anti-join) paid a second full-table
+    * exchange for the count plus a broadcast-job barrier on the
+    * critical path — measured ~2× on q49 at sf0.1. A degenerate
+    * mega-bucket lands in one window group; WindowExec buffers it via
+    * its spilling row array, so the cost stays linear in the bucket
+    * (disk-bound, not N²) and the filter then drops it.
     */
   private[graft] def capBuckets(keyed: DataFrame, keyCols: Seq[String],
                                 maxBucketSize: Int): DataFrame = {
     require(maxBucketSize > 0, s"maxBucketSize must be positive, got $maxBucketSize")
-    val over = keyed.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > maxBucketSize)
-      .select(keyCols.map(col): _*)
-    keyed.join(broadcast(over), keyCols, "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    keyed.withColumn("__graft_bucket_n", count(lit(1)).over(w))
+      .filter(col("__graft_bucket_n") <= maxBucketSize)
+      .drop("__graft_bucket_n")
+  }
+
+  /** Candidate (id1 < id2) pairs from a capped, bucket-keyed table via
+    * a self-equi-join on `keyCols`. `capped` should already carry the
+    * bucket-key hash partitioning from [[capBuckets]] (persist it when
+    * both sides are expensive to recompute) so the join adds no
+    * exchange; only the (near-linear) pair set shuffles for distinct().
+    */
+  private def bucketSelfJoin(capped: DataFrame, idCol: String,
+                             keyCols: Seq[String]): DataFrame = {
+    val a = capped.select(keyCols.map(col) :+ col(idCol).as("id1"): _*)
+    val b = capped.select(keyCols.map(col) :+ col(idCol).as("id2"): _*)
+    a.join(b.hint("shuffle_hash"), keyCols)
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
   }
 
   /** Candidate pairs (id1 < id2) from shared LSH buckets. shuffle_hash
     * hint: the self-join sides are the same mid-size bucket table, right
     * at the broadcast threshold, so the unhinted strategy flip-flops
     * between broadcast and sort-merge run-to-run; hash join on the
-    * bucket key needs no sort and builds from one partition of the
-    * same table it probes. Buckets over `maxBucketSize` are dropped
-    * before the join — see [[capBuckets]] for the recall contract.
+    * bucket key needs no sort, builds from one partition of the same
+    * table it probes, and — because [[capBuckets]] already partitioned
+    * the rows on the bucket key — plans with no exchange of its own.
+    * Buckets over `maxBucketSize` are dropped before the join; see
+    * [[capBuckets]] for the recall contract. Persist the bucket table
+    * upstream when its lineage is expensive ([[nearDupPairs]] persists
+    * the capped form).
     */
   def candidatePairs(buckets: DataFrame, idCol: String,
-                     maxBucketSize: Int = 10000): DataFrame = {
-    val capped = capBuckets(buckets, Seq("band_id", "band_hash"), maxBucketSize)
-    val a = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
-    val b = capped.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
-    a.join(b.hint("shuffle_hash"), Seq("band_id", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-  }
+                     maxBucketSize: Int = 10000): DataFrame =
+    bucketSelfJoin(
+      capBuckets(buckets, Seq("band_id", "band_hash"), maxBucketSize),
+      idCol, Seq("band_id", "band_hash"))
 
   /** Exact token-set Jaccard for candidate pairs — the verify step after
     * LSH narrowed the space. Joins the (distinct-token-set) docs to the
@@ -148,26 +170,29 @@ object NearDup {
   }
 
   /** End-to-end MinHash-LSH near-dup pairs above `threshold`. The
-    * bucket table is persisted because the candidate self-join reads it
-    * twice (without it the whole signature computation would run once
-    * per side); the verified pair set (≪ the corpus) is then EAGERLY
-    * checkpointed so the bucket cache can be dropped before returning.
-    * Tradeoffs of that checkpoint: the call evaluates immediately (not
-    * lazily), the pair blocks stay on executors until the returned
-    * frame is GC'd, and the truncated lineage means an executor loss
-    * cannot recompute them (re-run the call in that case).
+    * CAPPED bucket table is persisted — above [[capBuckets]]'s window,
+    * so the one bucket-key exchange, the cap, and both self-join sides
+    * are computed exactly once (persisting below the window would rerun
+    * the count per side; not persisting would rerun the signatures).
+    * The verified pair set (≪ the corpus) is then EAGERLY checkpointed
+    * so the bucket cache can be dropped before returning. Tradeoffs of
+    * that checkpoint: the call evaluates immediately (not lazily), the
+    * pair blocks stay on executors until the returned frame is GC'd,
+    * and the truncated lineage means an executor loss cannot recompute
+    * them (re-run the call in that case).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
                    shingleN: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
-    val buckets = lshBuckets(sigs, idCol, bands, k / bands)
+    val capped = capBuckets(lshBuckets(sigs, idCol, bands, k / bands),
+        Seq("band_id", "band_hash"), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = candidatePairs(buckets, idCol, maxBucketSize)
+    val pairs = bucketSelfJoin(capped, idCol, Seq("band_id", "band_hash"))
     val out = jaccardVerify(pairs, df, idCol, textCol)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    buckets.unpersist()
+    capped.unpersist()
     out
   }
 
@@ -192,21 +217,21 @@ object NearDup {
                    blocks: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
     val width = 64 / blocks
     val mask = (1L << width) - 1L
-    // Persisted: the candidate self-join reads this twice (three times
-    // counting the bucket-cap pre-pass); without the persist the full
-    // simhash aggregation upstream would run per side. The (small) pair
-    // set is eagerly checkpointed so this cache can be dropped before
-    // returning (pair blocks live until the result is GC'd; lineage is
-    // truncated — see nearDupPairs scaladoc).
     val keyed0 = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> shiftright(simhash, b * $width) & ${mask}L)")))
       .withColumnRenamed("pos", "block_id")
       .withColumnRenamed("col", "block_val")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Over-full blocks (mass-duplicated content) would join N_b² rows
     // before the Hamming filter sees them — capped; see capBuckets.
+    // Persisted ABOVE the cap window: the self-join reads the capped
+    // table twice, and the cache carries the window's block-key
+    // partitioning so the join adds no exchange. The (small) pair set
+    // is eagerly checkpointed so this cache can be dropped before
+    // returning (pair blocks live until the result is GC'd; lineage is
+    // truncated — see nearDupPairs scaladoc).
     val keyed = capBuckets(keyed0, Seq("block_id", "block_val"), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("block_id"), col("block_val"),
       col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("block_id"), col("block_val"),
@@ -223,7 +248,7 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .localCheckpoint(true)
-    keyed0.unpersist()
+    keyed.unpersist()
     out
   }
 
@@ -258,18 +283,19 @@ object NearDup {
     } yield struct(
       lit(i * blocks + j).as("pk"),
       shiftleft(chunk(i), 32).bitwiseOR(chunk(j)).as("pv"))
-    // Persisted: the candidate self-join reads the keyed exploded rows
-    // twice; without it the upstream simhash would compute per side.
-    // The (small) pair set is eagerly checkpointed so this cache can be
-    // dropped before returning (pair blocks live until the result is
-    // GC'd; lineage is truncated — see nearDupPairs scaladoc).
     val keyed0 = sigs
       .select(col(idCol), col("simhash"),
         explode(array(pairKeys: _*)).as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Over-full chunk-pair buckets would go N_b² before the Hamming
     // filter — capped; see capBuckets for the recall contract.
+    // Persisted ABOVE the cap window: the self-join reads the capped
+    // table twice, and the cache carries the window's key partitioning
+    // so the join adds no exchange. The (small) pair set is eagerly
+    // checkpointed so this cache can be dropped before returning (pair
+    // blocks live until the result is GC'd; lineage is truncated — see
+    // nearDupPairs scaladoc).
     val keyed = capBuckets(keyed0, Seq("key"), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("key"), col(idCol).as("id1"), col("simhash").as("s1"))
     val b = keyed.select(col("key"), col(idCol).as("id2"), col("simhash").as("s2"))
     // hamming filter BEFORE the distinct (see simhashPairs): collision
@@ -286,7 +312,7 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .localCheckpoint(true)
-    keyed0.unpersist()
+    keyed.unpersist()
     out
   }
 }

@@ -191,12 +191,14 @@ object Similarity {
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .select(col("id"),
         explode(lshKeys(col("v"), bits, dim, tables)).as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // A degenerate SRP bucket (e.g. a mass-duplicated embedding, or the
     // all-zero vector every hyperplane scores 0 on) would self-join
     // N_b² rows before the cosine verify — capped like the text-LSH
-    // path; see NearDup.capBuckets for the recall contract.
+    // path; see NearDup.capBuckets for the recall contract. Persisted
+    // ABOVE the cap window so the self-join reads a cache that already
+    // carries the key partitioning — no further exchange.
     val keyed = graft.dedup.NearDup.capBuckets(keyed0, Seq("key"), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shuffle_hash hint: same-table self-join at the broadcast
     // threshold; see NearDup.candidatePairs for the rationale
     val cand = keyed.select(col("key"), col("id").as("id1"))
@@ -211,7 +213,7 @@ object Similarity {
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .localCheckpoint(true)
-    keyed0.unpersist()
+    keyed.unpersist()
     out
   }
 
