@@ -2179,6 +2179,25 @@ object SparkEntry {
          |      FROM documents),
          | UNNEST(range(0, least(n_bytes - 1, 192) + 1, 64)) AS u(off)""".stripMargin)),
 
+    ("q128_image_decode", (s, d) =>
+      // REAL image decode end-to-end: deterministic PNG fixtures whose
+      // dimensions and (uniform) pixel color derive from the id, pushed
+      // through the javax.imageio mapPartitions decoder. PNG is
+      // lossless, so the oracle can predict the entire round-trip from
+      // the id alone — a full hash check on an actual codec path, not a
+      // stub
+      Multimodal.decodeImageInfo(
+        Multimodal.encodeTestImages(
+          t(s, d, "documents").select("doc_id"), "doc_id")).toDF(),
+      Some("""SELECT doc_id AS media_id, TRUE AS ok,
+         | CAST(doc_id % 7 + 1 AS INTEGER) AS width,
+         | CAST(doc_id % 5 + 1 AS INTEGER) AS height,
+         | 3 AS channels,
+         | CAST(doc_id % 256 AS INTEGER) AS mean_r,
+         | CAST(doc_id * 7 % 256 AS INTEGER) AS mean_g,
+         | CAST(doc_id * 13 % 256 AS INTEGER) AS mean_b
+         |FROM documents""".stripMargin)),
+
     ("q113_bloom_decontaminate", (s, d) => {
       // q65's decontamination through a Bloom prefilter: most training
       // rows never join at all (one-row sketch broadcast), only

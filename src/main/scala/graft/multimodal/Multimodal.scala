@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * decoder instantiation per partition, batch-shaped access, no
   * per-row driver involvement).
   *
-  * The actual codec step is STUBBED (`decodeStub`): image/audio
-  * libraries are not in this build, so it produces deterministic fake
-  * features derived from the bytes. The Spark-side contract — schema,
-  * partitioning, batch shape, null behavior — is real and tested;
-  * swap `decodeStub` for a JNI/JavaCV decoder in production.
+  * IMAGE decode is REAL: [[decodeImageInfo]] reads PNG/JPEG/GIF/BMP via
+  * the JDK's `javax.imageio` (no external dependency) and emits
+  * dimensions, channel count, and per-channel means; undecodable bytes
+  * degrade to an `ok = false` row, never an exception. Audio/video
+  * codecs are not in the JDK, so those payloads still go through the
+  * deterministic [[decodeStub]] — the Spark-side contract (schema,
+  * partitioning, batch shape, null behavior) is identical either way;
+  * swap the stub for a JNI/JavaCV decoder in production.
   */
 object Multimodal {
 
@@ -60,6 +63,96 @@ object Multimodal {
           MediaFeatures(id, b.length.toLong, crc, decodeStub(b, featureDim))
         }
       }
+  }
+
+  final case class ImageInfo(media_id: Long, ok: Boolean, width: Int,
+                             height: Int, channels: Int,
+                             mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** REAL image decode over (id, bytes) rows: `javax.imageio` parses
+    * the payload (PNG/JPEG/GIF/BMP — whatever the JDK registry knows),
+    * yielding dimensions, raster channel count, and floor'd per-channel
+    * sRGB means. Runs as the same partition-local `mapPartitions` stage
+    * as [[extractFeatures]] — one decoder context per partition, no
+    * driver involvement, decoder memory bounded by partition sizing.
+    * `ImageIO.setUseCache(false)` keeps decode in-memory: the default
+    * temp-FILE stream cache would put a disk round-trip under every
+    * image on every executor. Bytes that fail to parse (corrupt,
+    * truncated, not an image, null) produce `(id, ok=false, 0…)` rows —
+    * at 100 TB some payloads WILL be garbage and one bad row must not
+    * kill a stage.
+    */
+  def decodeImageInfo(df: DataFrame, idCol: String = "media_id",
+                      binCol: String = "media"): Dataset[ImageInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.length == 0) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) ImageInfo(id, ok = false, 0, 0, 0, 0, 0, 0)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val n = w.toLong * h
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xFF
+                sg += (rgb >> 8) & 0xFF
+                sb += rgb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            ImageInfo(id, ok = true, w, h, img.getRaster.getNumBands,
+              (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+          }
+        }
+      }
+  }
+
+  /** Deterministic PNG fixture generator: one `(id%7+1) × (id%5+1)`
+    * image per id, every pixel `rgb(id%256, 7id%256, 13id%256)`. PNG is
+    * lossless, so [[decodeImageInfo]] must return exactly those
+    * dimensions and means — which makes the REAL decode path
+    * oracle-checkable in plain SQL (the oracle predicts the round-trip
+    * from the id; q128). Fixture/test utility: a production corpus
+    * arrives with its binaries.
+    */
+  def encodeTestImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (id % 7 + 1).toInt
+          val h = (id % 5 + 1).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val rgb = (((id % 256) << 16) | ((id * 7 % 256) << 8) | (id * 13 % 256)).toInt
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("media_id", "media")
   }
 
   /** Declarative media stats — byte length and head byte straight off

@@ -26,6 +26,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out1(2).checksum == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
   }
 
+  test("decodeImageInfo round-trips real PNG bytes (dims, channels, means)") {
+    val ids = Seq(3L, 10L, 260L).toDF("doc_id")
+    val out = Multimodal.decodeImageInfo(Multimodal.encodeTestImages(ids, "doc_id"))
+      .collect().sortBy(_.media_id)
+    out.foreach { r =>
+      assert(r.ok, r.toString)
+      assert(r.width == (r.media_id % 7 + 1).toInt, r.toString)
+      assert(r.height == (r.media_id % 5 + 1).toInt, r.toString)
+      assert(r.channels == 3, r.toString)
+      assert(r.mean_r == (r.media_id % 256).toInt, r.toString)
+      assert(r.mean_g == (r.media_id * 7 % 256).toInt, r.toString)
+      assert(r.mean_b == (r.media_id * 13 % 256).toInt, r.toString)
+    }
+  }
+
+  test("decodeImageInfo decodes a non-uniform JPEG's dimensions and averages pixels") {
+    // 2x1 PNG with distinct pixels: mean is the floor'd per-channel avg
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (21 << 16) | (40 << 8) | 51)
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    val jpg = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jpg)
+    val rows = Seq((1L, png.toByteArray), (2L, jpg.toByteArray))
+      .toDF("media_id", "media")
+    val out = Multimodal.decodeImageInfo(rows).collect().sortBy(_.media_id)
+    assert(out(0).ok && out(0).width == 2 && out(0).height == 1)
+    assert((out(0).mean_r, out(0).mean_g, out(0).mean_b) == ((15, 30, 40)))
+    // JPEG is lossy: dimensions are exact, pixels only approximate
+    assert(out(1).ok && out(1).width == 2 && out(1).height == 1)
+  }
+
+  test("decodeImageInfo degrades corrupt/empty/null payloads to ok=false") {
+    val rows = Seq(
+      (1L, Array[Byte](1, 2, 3, 4)),
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "media")
+    val out = Multimodal.decodeImageInfo(rows).collect().sortBy(_.media_id)
+    assert(out.length == 3 && out.forall(r => !r.ok && r.width == 0))
+  }
+
   test("mediaStats reads bytes declaratively") {
     val out = Multimodal.mediaStats(media, "media_id", "media")
       .orderBy("media_id").collect()
