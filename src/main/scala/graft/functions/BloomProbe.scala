@@ -87,16 +87,18 @@ case class BloomProbe(sketch: Array[Byte], child: Expression)
 
 object BloomProbe {
 
-  /** DataFrame-API entry; session must carry [[GraftExtensions]]. The
-    * sketch bytes become an expression field (see class doc), so `null`
-    * means "probe always false".
+  /** DataFrame-API entry: constructs the expression DIRECTLY (no
+    * registry round-trip), so the sketch bytes are a constructor field
+    * from the first moment the plan exists — `call_function` +
+    * `lit(sketch)` would leave a multi-MB Literal in the unresolved
+    * tree for every analyzer rule to hash until ResolveFunctions folds
+    * it (see [[CmsProbe]] doc). `null` sketch means "probe always
+    * false". The SQL registry form (`graft_bloom_probe`,
+    * [[GraftExtensions]]) remains for SQL callers.
     */
   def of(sketch: Array[Byte], key: Column): Column =
-    call_function("graft_bloom_probe",
-      if (sketch == null) {
-        lit(null).cast(org.apache.spark.sql.types.BinaryType)
-      } else lit(sketch),
-      key)
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      BloomProbe(sketch, org.apache.spark.sql.graftshim.ColumnShim.expression(key)))
 
   /** The matching sketch builder (Spark's internal `bloom_filter_agg`,
     * registered by [[GraftExtensions]]): an aggregate over a LONG column

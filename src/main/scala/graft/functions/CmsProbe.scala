@@ -97,14 +97,16 @@ case class CmsProbe(sketch: Array[Byte], child: Expression)
 
 object CmsProbe {
 
-  /** DataFrame-API entry; session must carry [[GraftExtensions]]. The
-    * sketch bytes become an expression field (see class doc), so `null`
-    * means "probe always 0".
+  /** DataFrame-API entry: constructs the expression DIRECTLY (no
+    * registry round-trip), so the sketch bytes are a constructor field
+    * from the first moment the plan exists — routing through
+    * `call_function` + `lit(sketch)` would leave a multi-MB Literal in
+    * the unresolved tree for every analyzer rule to hash until
+    * ResolveFunctions folds it into the field (see class doc). `null`
+    * sketch means "probe always 0". The SQL registry form
+    * (`graft_cms_probe`, [[GraftExtensions]]) remains for SQL callers.
     */
   def of(sketch: Array[Byte], key: Column): Column =
-    call_function("graft_cms_probe",
-      if (sketch == null) {
-        lit(null).cast(org.apache.spark.sql.types.BinaryType)
-      } else lit(sketch),
-      key)
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      CmsProbe(sketch, org.apache.spark.sql.graftshim.ColumnShim.expression(key)))
 }

@@ -258,6 +258,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def foldedBytes(e: Expression, what: String): Array[Byte] = {
       if (!e.foldable) throw new IllegalArgumentException(
         s"$what must be a foldable binary expression (a literal sketch)")
+      // Type-check before the cast: a foldable non-binary argument
+      // (e.g. graft_bloom_probe('abc', key) from SQL) must fail with
+      // the same descriptive error, not an opaque ClassCastException
+      // at resolution.
+      e.dataType match {
+        case org.apache.spark.sql.types.BinaryType |
+            org.apache.spark.sql.types.NullType =>
+        case other => throw new IllegalArgumentException(
+          s"$what must be a BINARY sketch, got ${other.simpleString}")
+      }
       e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
         .asInstanceOf[Array[Byte]]
     }

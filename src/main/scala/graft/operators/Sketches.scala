@@ -25,10 +25,23 @@ object Sketches {
   /** Exact `(key, n)` rows for every non-null key occurring at least
     * `minCount` times, computed as CMS-prefilter + exact rescore.
     * EAGER: the sketch (fixed-size; ~1.1 MB at the defaults) is
-    * materialized on the driver here and embedded as a LITERAL — the
-    * same shape as [[graft.text.CorpusClean.decontaminateBloom]], and
-    * for the same reason: a literal keeps the probe's per-row cost at
-    * reference-equality O(1) (see [[graft.functions.CmsProbe]]).
+    * materialized on the driver here and handed to the probe as an
+    * expression constructor FIELD — the same shape as
+    * [[graft.text.CorpusClean.decontaminateBloom]], and for the same
+    * measured reasons: as a field it hashes by identity instead of the
+    * O(length)-per-tree-hash a multi-MB `Literal` node costs every
+    * analyzer/AQE rule, and the probe caches one deserialized sketch
+    * per JVM (see [[graft.functions.CmsProbe]]).
+    *
+    * The pattern is inherently TWO passes over `df` — one to build the
+    * sketch, one to probe + rescore — so with `persistInput = true`
+    * (default) the input is persisted across them and the (tiny) heavy
+    * key set eagerly checkpointed so the cache can be dropped before
+    * returning: a derived input (tokenize → ngram → explode, q122's
+    * shape) is computed ONCE, not once per pass — at 100 TB the
+    * redundant tokenize pass is real money. Pass `persistInput =
+    * false` when `df` is a bare columnar scan that is cheaper to
+    * re-scan than to cache, which also keeps the result lazy.
     *
     * Key column must be bigint or string (the types the probe and
     * Spark's `count_min_sketch` aggregate hash identically). Null keys
@@ -43,16 +56,27 @@ object Sketches {
     */
   def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
                    eps: Double = 1e-4, confidence: Double = 0.99,
-                   seed: Int = 42): DataFrame = {
+                   seed: Int = 42, persistInput: Boolean = true): DataFrame = {
     require(minCount > 0, s"minCount must be positive, got $minCount")
     val key = col(keyCol)
-    val sketch: Array[Byte] = df
+    val in =
+      if (persistInput)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val sketch: Array[Byte] = in
       .agg(call_function("count_min_sketch",
         key, lit(eps), lit(confidence), lit(seed)).as("__graft_cms"))
       .head.getAs[Array[Byte]](0)
-    df.filter(key.isNotNull &&
+    val out = in.filter(key.isNotNull &&
         graft.functions.CmsProbe.of(sketch, key) >= minCount)
       .groupBy(key).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+    if (persistInput) {
+      // Materialize off the cache, then free it (nearDupPairs pattern:
+      // eager result, truncated lineage, blocks live until GC).
+      val ckpt = out.localCheckpoint(true)
+      in.unpersist()
+      ckpt
+    } else out
   }
 }

@@ -79,13 +79,17 @@ object CorpusClean {
     * same oracle as [[decontaminate]].
     *
     * EAGER: the sketch (≤ 8 MB under the clamp below) is materialized
-    * on the driver here and embedded as a LITERAL, so calling this
-    * runs the eval-side aggregate immediately. The literal matters for
-    * speed, not just shape: a one-row-sketch broadcast JOIN hands the
-    * probe a fresh byte-array copy per row (UnsafeRow.getBinary), so
-    * the probe's cache could only re-validate by content — O(sketch
-    * bytes) PER ROW, measured 596 s for a 2.5 MB sketch × 2 M rows
-    * where the literal path takes the probe to reference-equality O(1)
+    * on the driver here and handed to the probe as an expression
+    * constructor FIELD ([[graft.functions.BloomProbe]] doc has the
+    * mechanism — NOT a `Literal` node, whose O(length) hashCode/equals
+    * every tree-hashing rule would rescan), so calling this runs the
+    * eval-side aggregate immediately. The driver-constant shape
+    * matters for speed, not just plan hygiene: the alternative — a
+    * one-row-sketch broadcast JOIN — hands the probe a fresh
+    * byte-array copy per row (UnsafeRow.getBinary), so the probe's
+    * cache could only re-validate by content — O(sketch bytes) PER
+    * ROW, measured 596 s for a 2.5 MB sketch × 2 M rows where the
+    * constant-sketch path takes the probe to reference-equality O(1)
     * (see BENCH in COVERAGE.md). Spark's own runtime-filter rewrite
     * makes the same choice: `might_contain` demands a foldable sketch.
     *
