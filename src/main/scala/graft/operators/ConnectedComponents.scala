@@ -42,6 +42,15 @@ object ConnectedComponents {
     * for single-node and test speed. Note `setCheckpointDir` is
     * SparkContext-global: the dir remains this session's checkpoint
     * location after the call.
+    *
+    * Checkpoint storage is RECLAIMED as the loop advances: once round
+    * N+1 materializes, round N's copy of the edge set is superseded
+    * (N+1's lineage was truncated at the checkpoint, so nothing can
+    * re-read it) and its durable files are deleted / local blocks
+    * unpersisted — a 30-round loop holds at most two rounds of edges,
+    * not thirty. Only the FINAL round's checkpoint survives: it backs
+    * the returned frame, so it lives until the session's checkpoint
+    * dir is cleaned (durable) or the frame is GC'd (local).
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
@@ -74,6 +83,9 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < maxIter) {
       val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(e)), chk)
+      // `next` is materialized with truncated lineage, so the PREVIOUS
+      // round's checkpoint is now unreachable — reclaim it.
+      freeCheckpoint(e)
       converged = nextSig == sig
       sig = nextSig
       e = next
@@ -129,6 +141,23 @@ object ConnectedComponents {
     * BIGINT sum of full-range xxhash64 values would overflow, and
     * Spark's ANSI mode makes that a runtime error, not a wraparound.
     */
+  /** Reclaim a superseded round's checkpoint storage: durable files
+    * are deleted from the checkpoint dir, local-checkpoint blocks are
+    * unpersisted from executors. Without this a long loop accumulates
+    * one full copy of the edge set per round (nothing else deletes
+    * reliable checkpoint files until the dir itself is cleaned).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graftshim.ColumnShim.backingRdd(df).foreach { rdd =>
+      rdd.getCheckpointFile match {
+        case Some(file) =>
+          val path = new org.apache.hadoop.fs.Path(file)
+          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        case None => rdd.unpersist(blocking = false)
+      }
+    }
+
   private val obsId = new java.util.concurrent.atomic.AtomicLong(0)
   private def checkpointWithSignature(e: DataFrame, chk: DataFrame => DataFrame)
       : (DataFrame, (Long, String)) = {

@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   * pure narrow filter: same rows kept on any cluster size, any file
   * split, any engine that can do 64-bit arithmetic (the DuckDB oracle
   * runs the identical expression).
+  *
+  * ID CONTRACT: ids must be NONNEGATIVE. The engine normalizes the
+  * final bucket with `pmod` (always in `[0, m)`), but SQL engines'
+  * `%` truncates toward zero, so a negative id gives the oracle a
+  * negative bucket that trivially passes every `< threshold` cut —
+  * engine and oracle verdicts silently diverge. Surrogate ids from a
+  * negative or hashed space should be masked into the nonnegative
+  * range (`abs` is NOT enough: abs(Long.MinValue) overflows — use
+  * `& Long.MaxValue`) before sampling.
   */
 object Sample {
 

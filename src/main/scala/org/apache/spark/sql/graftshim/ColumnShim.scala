@@ -20,4 +20,16 @@ object ColumnShim {
 
   /** The Catalyst expression behind a classic Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The RDD backing a checkpointed Dataset (its analyzed plan is a
+    * `LogicalRDD`); None for any other plan. Lets an iterative operator
+    * free a superseded round's checkpoint storage (unpersist local
+    * blocks / delete durable files) instead of accumulating one copy
+    * per round — see `graft.operators.ConnectedComponents`.
+    */
+  def backingRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }

@@ -54,10 +54,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
           checkpointDir = Some(dir))
         .as[(Long, Long)].collect().toMap
       assert(durable == run(chain))
-      // the loop actually checkpointed into the durable dir (one
-      // subdirectory per reliable checkpoint, one per round + seed)
-      val written = new java.io.File(dir).listFiles()
-      assert(written != null && written.nonEmpty, s"no checkpoint data in $dir")
+      // the loop actually checkpointed into the durable dir, AND
+      // reclaimed every superseded round: a 60-node chain runs several
+      // rounds, but only the FINAL round's rdd-* directory may remain
+      // (it backs the returned frame; earlier rounds are deleted as
+      // soon as the next one materializes)
+      def rddDirs(f: java.io.File): Array[java.io.File] = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.filter(_.getName.startsWith("rdd-")) ++ kids.filter(_.isDirectory).flatMap(rddDirs)
+      }
+      val remaining = rddDirs(new java.io.File(dir))
+      assert(remaining.nonEmpty, s"no checkpoint data in $dir")
+      assert(remaining.length == 1,
+        s"superseded round checkpoints not reclaimed: ${remaining.mkString(", ")}")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -42,6 +42,18 @@ class PackSpec extends AnyFunSuite {
     assert(base == shuffled)
   }
 
+  test("plan shape: pack plans keep their one-exchange budget") {
+    // the promised scale shape (Pack scaladoc): ONE shuffle on the
+    // shard key — a second exchange would mean the running sum stopped
+    // riding the shard partitioning
+    graft.audit.PlanGuard.assertMaxExchanges(plan, 1)
+    graft.audit.PlanGuard.assertNoCartesian(plan)
+    val batches = Pack.lengthBucketBatches(docs, "doc_id",
+      size(split(col("text"), " ")).cast("long"), bucketTokens = 16,
+      batchSize = 8, nShards = 4)
+    graft.audit.PlanGuard.assertMaxExchanges(batches, 1)
+  }
+
   test("every shard is used and sharding is hash-balanced-ish") {
     val counts = plan.groupBy("shard").count().as[(Long, Long)].collect().toMap
     assert(counts.keySet == Set(0L, 1L, 2L, 3L))

@@ -25,6 +25,24 @@ class SaltSpec extends AnyFunSuite {
     assert(s.toSeq == p.toSeq)
   }
 
+  test("plan shape: salted paths keep their exchange budgets, no cartesian") {
+    val fact = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (3L, 2L))).toDF("user_id", "v")
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("user_id", "tier")
+    // two-phase agg = exactly two exchanges: (keys, salt) then keys
+    val agg = Salt.saltedAgg(fact, Seq("user_id"), saltBuckets = 8,
+      Map("total" -> (col("v"), "sum")))
+    graft.audit.PlanGuard.assertMaxExchanges(agg, 2)
+    graft.audit.PlanGuard.assertNoCartesian(agg)
+    // the replicate-the-other-side join must stay an equi-join on
+    // (keys, salt) — a cartesian here would mean the salt key fell out
+    // of the join condition; one exchange per side at most
+    val joined = Salt.saltedJoin(fact, dim, Seq("user_id"), saltBuckets = 8)
+    graft.audit.PlanGuard.assertMaxExchanges(joined, 2)
+    graft.audit.PlanGuard.assertNoCartesian(joined)
+  }
+
   test("saltedJoin equals the plain join on a skewed key (inner + left)") {
     // hot key 1 dominates the fact side; key 9 matches nothing
     val fact = ((1 to 5000).map(i => (1L, i.toLong)) ++

@@ -20,6 +20,17 @@ class UpsertSpec extends AnyFunSuite {
       (1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("plan shape: merge is one anti-join + union, no extra exchange") {
+    // the anti join may shuffle each side once (or broadcast and
+    // shuffle nothing); the union must add NO exchange of its own
+    val out = Upsert.merge(current, updates, Seq("id"))
+    graft.audit.PlanGuard.assertMaxExchanges(out, 2)
+    graft.audit.PlanGuard.assertNoCartesian(out)
+    val evolving = Upsert.mergeEvolving(current,
+      updates.withColumn("extra", lit(1)), Seq("id"))
+    graft.audit.PlanGuard.assertMaxExchanges(evolving, 2)
+  }
+
   test("merge is idempotent: f(f(x)) == f(x)") {
     val once = Upsert.merge(current, updates, Seq("id"))
     val twice = Upsert.merge(once, updates, Seq("id"))
