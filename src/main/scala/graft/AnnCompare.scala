@@ -91,6 +91,17 @@ object AnnCompare {
     println(f"RESULT ivf(64/8)  build=$tIvfBuild%6.2fs query=$tIvf%6.2fs " +
       f"recall@$K=${recall(ivf, truth)}%.3f")
 
+    val (ivfpqPrep, tIvfpqBuild) = timed {
+      val coarse = Pq.pqTrain(corpus, "vec_id", "embedding", m = 1, k = 64)
+      val pqcb = Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
+      (coarse, pqcb)
+    }
+    val (ivfpq, tIvfpq) = timed(topSets(Pq.ivfPqTopK(
+      corpus, queries, "vec_id", "embedding", ivfpqPrep._1, ivfpqPrep._2,
+      nprobe = 8, topK = K)))
+    println(f"RESULT ivfpq(64/8) build=$tIvfpqBuild%6.2fs query=$tIvfpq%6.2fs " +
+      f"recall@$K=${recall(ivfpq, truth)}%.3f")
+
     val (pqPrep, tPqBuild) = timed {
       val cb = Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
       val codes = Pq.pqEncode(corpus, "vec_id", "embedding", cb)

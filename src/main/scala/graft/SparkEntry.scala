@@ -991,6 +991,74 @@ object SparkEntry {
          |QUALIFY rnk <= 5""".stripMargin
     }),
 
+    ("q129_ivfpq_topk", (s, d) => {
+      // the full ANN serving stack (Jégou IVFADC): coarse cell prune ->
+      // PQ-ADC re-rank, both quantizers from the PORTABLE hash codebook
+      // so the ENTIRE stack replays in SQL — coarse assign, probe
+      // selection, subdistances, and the final (adist, id) ranking are
+      // one hash compare. The xxhash-seeded IVF (q56) stays rows-only;
+      // this is its oracled twin at serving-layout fidelity
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val coarse = graft.sim.Pq.pqTrain(emb, "vec_id", "embedding", m = 1, k = 16)
+      val pqcb = graft.sim.Pq.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+      graft.sim.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", coarse, pqcb, nprobe = 4, topK = 5)
+    }, Some {
+      def subTerms(a: String, b: String) = (1 to 8).map { i =>
+        s"(CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      def fullTerms(a: String, b: String) = (1 to 64).map { i =>
+        s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      s"""WITH cb AS (
+         |  SELECT * FROM (
+         |    SELECT row_number() OVER (ORDER BY
+         |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
+         |      embedding
+         |    FROM embeddings) WHERE code < 16),
+         |assign AS (
+         |  SELECT vec_id, code AS list_id FROM (
+         |    SELECT e.vec_id, cb.code, (${fullTerms("e", "cb")}) AS cdist
+         |    FROM embeddings e CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, code) = 1),
+         |probes AS (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.vec_id AS query_id, cb.code AS list_id,
+         |      (${fullTerms("q", "cb")}) AS cdist
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cdist, list_id) <= 4),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, s.sub, cb.code,
+         |      (${subTerms("e", "cb")}) AS dist
+         |    FROM embeddings e
+         |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |    CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, s.sub, cb.code,
+         |    (${subTerms("q", "cb")}) AS d
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |  CROSS JOIN cb),
+         |adist AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d ORDER BY l.sub)),
+         |      (a, b) -> a + b) AS adist
+         |  FROM codes c
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN probes p ON p.list_id = a.list_id
+         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         |FROM adist
+         |QUALIFY rnk <= 5""".stripMargin
+    }),
+
     ("q66_sessionize", (s, d) =>
       // 30-min-gap clickstream sessions: one shuffle on user_id shared by
       // the lag window, the running sum, and the session rollup

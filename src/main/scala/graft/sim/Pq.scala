@@ -125,4 +125,91 @@ object Pq {
       .filter(col("rnk") <= topK)
       .select("query_id", "neighbor_id", "rnk")
   }
+
+  /** The production ANN serving stack as ONE operator: IVF coarse
+    * pruning + PQ-ADC re-rank. [[pqTopK]] alone is a brute scan over
+    * codes (every code row meets every query — its win is memory, not
+    * pruning; see COVERAGE's ANN table); pairing it with an inverted
+    * file means each query only scores the `nprobe`/`nlist` fraction
+    * of the corpus whose coarse cell it probes — the Jégou et al. 2011
+    * IVFADC layout.
+    *
+    * Everything is derived from the PORTABLE hash codebook
+    * ([[pqTrain]]), including the coarse quantizer (`coarseCb` =
+    * `pqTrain(emb, id, vec, m = 1, k = nlist)` — full-width
+    * "subvectors" are exactly coarse centroids), so coarse assignment,
+    * probe selection, subdistances, and the final ranking ALL replay
+    * in SQL: the whole serving stack is hash-oracled end-to-end
+    * (q129), unlike the xxhash-seeded [[Similarity.ivfTopK]]. Swap in
+    * k-means codebooks without changing the plan.
+    *
+    * Scale shape: corpus side = one narrow projection emitting
+    * (coarse cell, sub, code) from two native [[graft.functions.PqCodes]]
+    * calls — 1 + m smallints per vector, never the vectors; probes and
+    * the per-query LUT broadcast; the only exchange is the final
+    * (query, neighbor) aggregate, whose input is already pruned to the
+    * probed cells. Determinism: every distance is a fold-ordered
+    * double sum, every argmin/rank ties to the lowest code/id
+    * ([[pqTopK]] notes apply verbatim).
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, coarseCb: Array[Array[Array[Double]]],
+                pqCb: Array[Array[Array[Double]]], nprobe: Int,
+                topK: Int): DataFrame = {
+    require(coarseCb.length == 1, "coarseCb must be pqTrain(..., m = 1, ...)")
+    val m = pqCb.length
+    val dim = coarseCb.head.head.length
+    val nlist = coarseCb.head.length
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]")
+    // corpus: (neighbor_id, list_id, sub, code) in one pass — both
+    // quantizers are native projections over the same scan
+    val corpusSide = emb.select(col(idCol).as("neighbor_id"),
+        element_at(graft.functions.PqCodes.of(col(vecCol), coarseCb), 1)
+          .as("list_id"),
+        posexplode(graft.functions.PqCodes.of(col(vecCol), pqCb)))
+      .select(col("neighbor_id"), col("list_id"),
+        col("pos").cast("long").as("sub"), col("col").as("code"))
+    // probes: the nprobe coarse cells nearest each query, ties to the
+    // lowest cell id — same (dist, code) order the assign argmin uses
+    val qd = Similarity.toDouble(col(vecCol))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cdist").asc, col("list_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), qd.as("qv"))
+      .select(col("query_id"), posexplode(array(
+        coarseCb.head.indices.map(c =>
+          subDist(col("qv"), 0, dim, coarseCb.head(c))).toIndexedSeq: _*)))
+      .select(col("query_id"), col("pos").cast("long").as("list_id"),
+        col("col").as("cdist"))
+      .withColumn("prnk", row_number().over(pw))
+      .filter(col("prnk") <= nprobe)
+      .select("query_id", "list_id")
+    // per-query subdistance LUT (as pqTopK), keyed by query for the
+    // probe-restricted join
+    val sub = pqCb.head.head.length
+    val lut = queries.select(col(idCol).as("query_id"), qd.as("qv"))
+      .select(col("query_id"), posexplode(array((0 until m).map { s =>
+        array(pqCb(s).indices.map(c =>
+          subDist(col("qv"), s, sub, pqCb(s)(c))).toIndexedSeq: _*)
+      }: _*)))
+      .select(col("query_id"), col("pos").cast("long").as("sub"),
+        posexplode(col("col")))
+      .select(col("query_id"), col("sub"), col("pos").cast("long").as("code"),
+        col("col").as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    val dcols = (0 until m).map(s =>
+      first(when(col("sub") === s, col("d")), ignoreNulls = true).as(s"__d$s"))
+    val adist = (0 until m).map(s => col(s"__d$s")).reduce(_ + _)
+    corpusSide
+      .join(broadcast(probes), Seq("list_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(dcols.head, dcols.tail: _*)
+      .withColumn("adist", adist)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "neighbor_id", "rnk")
+  }
 }

@@ -68,6 +68,30 @@ class PqSpec extends AnyFunSuite {
     assert(Pq.pqEncode(bad, "vec_id", "embedding", cb).count() == 0)
   }
 
+  test("ivfPqTopK with nprobe = nlist equals the unpruned ADC ranking") {
+    val coarse = Pq.pqTrain(emb, "vec_id", "embedding", m = 1, k = 4)
+    val pqcb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
+    val queries = emb.filter($"vec_id" <= 2)
+    // probing every cell prunes nothing, so the stack must reproduce
+    // pqTopK's full ADC ranking bit-for-bit
+    val full = Pq.pqTopK(Pq.pqEncode(emb, "vec_id", "embedding", pqcb),
+        queries, "vec_id", "embedding", pqcb, topK = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val stacked = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        coarse, pqcb, nprobe = 4, topK = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(stacked == full)
+    // pruned probing returns a (deterministic) subset of candidates
+    val pruned = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        coarse, pqcb, nprobe = 1, topK = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pruned.nonEmpty && pruned.length <= full.size)
+    val again = Pq.ivfPqTopK(emb.repartition(5), queries, "vec_id", "embedding",
+        coarse, pqcb, nprobe = 1, topK = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pruned.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("pqTopK reproduces the driver-computed ADC ranking exactly") {
     val cb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
     val codes = Pq.pqEncode(emb, "vec_id", "embedding", cb)
