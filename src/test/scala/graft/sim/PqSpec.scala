@@ -90,6 +90,13 @@ class PqSpec extends AnyFunSuite {
         coarse, pqcb, nprobe = 1, topK = 3)
       .as[(Long, Long, Int)].collect()
     assert(pruned.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+    // plan budget: probes and LUT broadcast; exchanges are exactly the
+    // probe-rank window (tiny: queries x nlist), the (query, neighbor)
+    // aggregate, and the rank window — never the corpus vectors
+    val plan = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      coarse, pqcb, nprobe = 2, topK = 3)
+    graft.audit.PlanGuard.assertNoCartesian(plan)
+    graft.audit.PlanGuard.assertMaxExchanges(plan, 3)
   }
 
   test("pqTopK reproduces the driver-computed ADC ranking exactly") {
