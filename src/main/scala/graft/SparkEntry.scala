@@ -2266,6 +2266,20 @@ object SparkEntry {
          | CAST(doc_id * 13 % 256 AS INTEGER) AS mean_b
          |FROM documents""".stripMargin)),
 
+    ("q130_audio_decode", (s, d) =>
+      // q128's audio twin: deterministic 8 kHz mono 16-bit PCM WAV
+      // fixtures through the JDK's real javax.sound.sampled codec; WAV
+      // is lossless, so the oracle predicts rate/channels/bits/frames
+      // and the exact constant amplitude from the id alone
+      Multimodal.decodeAudioInfo(
+        Multimodal.encodeTestWavs(
+          t(s, d, "documents").select("doc_id"), "doc_id")).toDF(),
+      Some("""SELECT doc_id AS media_id, TRUE AS ok,
+         | 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+         | CAST(doc_id % 100 + 1 AS BIGINT) AS n_frames,
+         | CAST(doc_id % 30000 - 15000 AS BIGINT) AS mean_amp
+         |FROM documents""".stripMargin)),
+
     ("q113_bloom_decontaminate", (s, d) => {
       // q65's decontamination through a Bloom prefilter: most training
       // rows never join at all (one-row sketch broadcast), only

@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: [[decodeImageInfo]] reads PNG/JPEG/GIF/BMP via
   * the JDK's `javax.imageio` (no external dependency) and emits
-  * dimensions, channel count, and per-channel means; undecodable bytes
-  * degrade to an `ok = false` row, never an exception. Audio/video
+  * dimensions, channel count, and per-channel means. AUDIO decode is
+  * REAL for WAV: [[decodeAudioInfo]] parses PCM via
+  * `javax.sound.sampled` and emits format metadata, frame count, and
+  * mean amplitude. In both, undecodable bytes degrade to an
+  * `ok = false` row, never an exception. Compressed audio and video
   * codecs are not in the JDK, so those payloads still go through the
   * deterministic [[decodeStub]] — the Spark-side contract (schema,
   * partitioning, batch shape, null behavior) is identical either way;
@@ -149,6 +152,93 @@ object Multimodal {
           }
           val out = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("media_id", "media")
+  }
+
+  final case class AudioInfo(media_id: Long, ok: Boolean, sample_rate: Int,
+                             channels: Int, bits: Int, n_frames: Long,
+                             mean_amp: Long)
+
+  /** REAL audio decode for WAV payloads via the JDK's
+    * `javax.sound.sampled` (no external dependency): container metadata
+    * (sample rate, channels, bit depth), frame count, and the floor'd
+    * mean of all 16-bit PCM samples — the "did we actually decode the
+    * waveform" witness. Same partition-local mapPartitions stage and
+    * same degradation contract as [[decodeImageInfo]]: unparseable or
+    * non-PCM-16 payloads yield `(id, ok=false, 0…)` rows, never a
+    * stage failure. Compressed codecs (MP3/AAC/opus) are not in the
+    * JDK — those payloads still route through [[decodeStub]].
+    */
+  def decodeAudioInfo(df: DataFrame, idCol: String = "media_id",
+                      binCol: String = "media"): Dataset[AudioInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val bad = (id: Long) => AudioInfo(id, ok = false, 0, 0, 0, 0L, 0L)
+        rows.map { case (id, bytes) =>
+          if (bytes == null || bytes.length == 0) bad(id)
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val pcm16 =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+            if (!pcm16) bad(id)
+            else {
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              var sum = 0L
+              var i = 0
+              while (i < n) {
+                sum += ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
+                i += 1
+              }
+              AudioInfo(id, ok = true, fmt.getSampleRate.toInt,
+                fmt.getChannels, fmt.getSampleSizeInBits,
+                n.toLong / fmt.getChannels,
+                if (n == 0) 0L else Math.floorDiv(sum, n.toLong))
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => bad(id)
+            case _: java.io.IOException => bad(id)
+          }
+        }
+      }
+  }
+
+  /** Deterministic WAV fixture generator: 8 kHz mono 16-bit PCM,
+    * `(id % 100) + 1` frames, every sample `id % 30000 − 15000`. WAV is
+    * lossless PCM, so [[decodeAudioInfo]] must return exactly those
+    * values — the audio twin of [[encodeTestImages]] (q130's oracle
+    * predicts the round-trip from the id).
+    */
+  def encodeTestWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        ids.map { id =>
+          val frames = (id % 100 + 1).toInt
+          val amp = (id % 30000 - 15000).toShort
+          val data = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            data(2 * i) = (amp & 0xFF).toByte
+            data(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
           (id, out.toByteArray)
         }
       }

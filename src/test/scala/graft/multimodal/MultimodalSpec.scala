@@ -70,6 +70,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 3 && out.forall(r => !r.ok && r.width == 0))
   }
 
+  test("decodeAudioInfo round-trips real WAV bytes (format, frames, amplitude)") {
+    val ids = Seq(3L, 17L, 30017L).toDF("doc_id")
+    val out = Multimodal.decodeAudioInfo(Multimodal.encodeTestWavs(ids, "doc_id"))
+      .collect().sortBy(_.media_id)
+    out.foreach { r =>
+      assert(r.ok, r.toString)
+      assert(r.sample_rate == 8000 && r.channels == 1 && r.bits == 16, r.toString)
+      assert(r.n_frames == r.media_id % 100 + 1, r.toString)
+      assert(r.mean_amp == r.media_id % 30000 - 15000, r.toString)
+    }
+  }
+
+  test("decodeAudioInfo degrades corrupt/non-WAV payloads to ok=false") {
+    val rows = Seq(
+      (1L, Array[Byte](1, 2, 3, 4)),
+      (2L, Array.empty[Byte]),
+      (3L, "not audio".getBytes("UTF-8"))
+    ).toDF("media_id", "media")
+    val out = Multimodal.decodeAudioInfo(rows).collect()
+    assert(out.length == 3 && out.forall(r => !r.ok && r.n_frames == 0L))
+  }
+
   test("mediaStats reads bytes declaratively") {
     val out = Multimodal.mediaStats(media, "media_id", "media")
       .orderBy("media_id").collect()
