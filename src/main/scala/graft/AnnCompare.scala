@@ -37,7 +37,9 @@ object AnnCompare {
     spark.range(1000000).selectExpr("sum(id) s").collect()
 
     // corpus: each source vector spawns `expand` deterministic ~2%
-    // perturbations (copy 0 is the original); queries are originals
+    // perturbations; the j=0 copy gets ZERO noise, so it IS the
+    // original and every query is a true member of the expanded corpus
+    // (self-match counts toward recall, the usual ANN-bench setup)
     val base = graft.Tables.t(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
     val corpus = base
@@ -45,8 +47,9 @@ object AnnCompare {
         explode(sequence(lit(0), lit(expand - 1))).as("j"))
       .select((col("vec_id") * expand + col("j")).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          (x + x * (pmod(col("vec_id") * 7919 + i * 104729 + col("j") * 15485863,
-            lit(97)).cast("double") - 48) / 2400.0).cast("float"))
+          (x + x * when(col("j") === 0, lit(0.0)).otherwise(
+            (pmod(col("vec_id") * 7919 + i * 104729 + col("j") * 15485863,
+              lit(97)).cast("double") - 48) / 2400.0)).cast("float"))
           .as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = corpus.count()

@@ -22,7 +22,12 @@ object NearDup {
     */
   private[graft] def ensureParallel(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target, key)
+    // Read the partition count off the Dataset's OWN cached
+    // QueryExecution: `df.rdd` would build a second, deserializing
+    // QueryExecution (rddQueryExecution) — physically planning a wide
+    // input twice just to read a number.
+    val nParts = df.queryExecution.toRdd.getNumPartitions
+    if (nParts >= target) df else df.repartition(target, key)
   }
 
   /** MinHash signatures over token `n`-gram shingles: one row per doc,

@@ -26,9 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * ties break to the lowest code.
   *
   * Accepts `array<float>` or `array<double>` input so float embeddings
-  * skip the per-element cast projection entirely. A null vector or a
-  * vector whose length differs from `m·sub` yields null (a corpus with
-  * mixed dims is a data bug surfaced by the count, not a crash).
+  * skip the per-element cast projection entirely. A null vector, a
+  * vector with a null slot, or a vector whose length differs from
+  * `m·sub` yields null (a corpus with mixed dims is a data bug
+  * surfaced by the count, not a crash).
   */
 case class PqCodes(child: Expression, codebook: Array[Array[Array[Double]]])
     extends UnaryExpression {
@@ -60,12 +61,26 @@ case class PqCodes(child: Expression, codebook: Array[Array[Array[Double]]])
   }
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // Null-slot guard only pays its branch when the schema says slots CAN
+  // be null; parquet-read arrays typically carry containsNull=true even
+  // when no null ever occurs.
+  @transient private lazy val mayHaveNullSlots =
+    child.dataType.asInstanceOf[ArrayType].containsNull
 
   /** Shared by eval and codegen (reference-object call — one virtual
     * call per row against ~m·k·sub interpreted lambda steps composed).
     */
   def computeCodes(arr: ArrayData): ArrayData = {
     if (arr.numElements() != m * sub) return null
+    // A null SLOT nulls the row, matching the composed HOF formulation
+    // (null propagates through aggregate/zip_with) and the SQL oracle —
+    // unchecked, getFloat/getDouble would read the slot as 0.0 and emit
+    // silently divergent codes.
+    if (mayHaveNullSlots) {
+      var i = 0
+      val n = m * sub
+      while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    }
     val out = new Array[Long](m)
     var s = 0
     while (s < m) {

@@ -83,7 +83,9 @@ object Multimodal {
     * image on every executor. Bytes that fail to parse (corrupt,
     * truncated, not an image, null) produce `(id, ok=false, 0…)` rows —
     * at 100 TB some payloads WILL be garbage and one bad row must not
-    * kill a stage.
+    * kill a stage. The guard is `NonFatal`, not just `IOException`:
+    * JDK image readers throw RuntimeExceptions (ArrayIndexOutOfBounds,
+    * NegativeArraySize, IllegalArgument) on malformed payloads.
     */
   def decodeImageInfo(df: DataFrame, idCol: String = "media_id",
                       binCol: String = "media"): Dataset[ImageInfo] = {
@@ -98,9 +100,9 @@ object Multimodal {
             if (bytes == null || bytes.length == 0) null
             else
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ImageInfo(id, ok = false, 0, 0, 0, 0, 0, 0)
-          else {
+          else try {
             val w = img.getWidth
             val h = img.getHeight
             val n = w.toLong * h
@@ -119,6 +121,11 @@ object Multimodal {
             }
             ImageInfo(id, ok = true, w, h, img.getRaster.getNumBands,
               (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+          } catch {
+            // getRGB/raster access on exotic color models can also blow
+            // up with RuntimeExceptions — same degradation contract.
+            case scala.util.control.NonFatal(_) =>
+              ImageInfo(id, ok = false, 0, 0, 0, 0, 0, 0)
           }
         }
       }
@@ -205,8 +212,11 @@ object Multimodal {
                 if (n == 0) 0L else Math.floorDiv(sum, n.toLong))
             }
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => bad(id)
-            case _: java.io.IOException => bad(id)
+            // NonFatal, not just the checked pair: JDK audio parsers
+            // throw RuntimeExceptions on malformed headers (negative
+            // sizes, bad chunk lengths) and one garbage payload must
+            // not kill the stage.
+            case scala.util.control.NonFatal(_) => bad(id)
           }
         }
       }

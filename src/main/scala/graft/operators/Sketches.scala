@@ -41,7 +41,12 @@ object Sketches {
     * shape) is computed ONCE, not once per pass — at 100 TB the
     * redundant tokenize pass is real money. Pass `persistInput =
     * false` when `df` is a bare columnar scan that is cheaper to
-    * re-scan than to cache, which also keeps the result lazy.
+    * re-scan than to cache, which also keeps the result lazy. NOTE:
+    * `persistInput = true` makes this call EAGER (the sketch build and
+    * the checkpoint both run inside the call) — callers composing lazy
+    * pipelines should pass `false`. If the caller ALREADY persisted
+    * `df`, this call leaves that cache alone (no re-persist, no
+    * unpersist): it only frees a cache entry it created itself.
     *
     * Key column must be bigint or string (the types the probe and
     * Spark's `count_min_sketch` aggregate hash identically). Null keys
@@ -59,8 +64,14 @@ object Sketches {
                    seed: Int = 42, persistInput: Boolean = true): DataFrame = {
     require(minCount > 0, s"minCount must be positive, got $minCount")
     val key = col(keyCol)
+    // Persist only if the caller hasn't: re-persisting an already-cached
+    // Dataset is a no-op in Spark (warn + keep existing level), so an
+    // unconditional unpersist below would silently drop the CALLER's
+    // cache entry. Track whether this call owns the persist.
+    val ownsPersist = persistInput && df.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
     val in =
-      if (persistInput)
+      if (ownsPersist)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
     val sketch: Array[Byte] = in
@@ -71,9 +82,11 @@ object Sketches {
         graft.functions.CmsProbe.of(sketch, key) >= minCount)
       .groupBy(key).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-    if (persistInput) {
+    if (ownsPersist) {
       // Materialize off the cache, then free it (nearDupPairs pattern:
-      // eager result, truncated lineage, blocks live until GC).
+      // eager result, truncated lineage, blocks live until GC). Only
+      // runs when WE created the cache — a caller-owned cache is left
+      // for the caller to manage.
       val ckpt = out.localCheckpoint(true)
       in.unpersist()
       ckpt

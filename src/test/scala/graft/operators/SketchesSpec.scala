@@ -77,6 +77,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(hh.count() > 0)
   }
 
+  test("a caller-owned cache survives heavyHitters (no unpersist theft)") {
+    // Re-persisting an already-cached Dataset is a Spark no-op, so if
+    // the operator unpersisted unconditionally it would free the
+    // CALLER's cache entry. It must only free a cache it created.
+    val df = longKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      df.count()
+      val got = Sketches.heavyHitters(df, "k", 1500L)
+        .as[(Long, Long)].collect().toSet
+      val want = df.groupBy("k").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 1500).as[(Long, Long)].collect().toSet
+      assert(got == want)
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "caller's cache was dropped by heavyHitters")
+    } finally df.unpersist()
+  }
+
   test("null keys are excluded; empty input yields empty output") {
     val withNulls = Seq(Some(1L), Some(1L), Some(1L), None, None, None, None)
       .toDF("k")

@@ -66,6 +66,16 @@ class PqSpec extends AnyFunSuite {
     // posexplode, not a crash
     val bad = Seq((9L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     assert(Pq.pqEncode(bad, "vec_id", "embedding", cb).count() == 0)
+    // a null SLOT also nulls the row (HOF-composed semantics: null
+    // propagates), never silently encodes the slot as 0.0
+    val nullSlot = Seq(
+        (10L, Array[java.lang.Float](1f, null, 0f, 0f, 9f, 9f, 0f, 0f)),
+        (11L, Array[java.lang.Float](1f, 0f, 0f, 0f, 9f, 9f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val codes = nullSlot.select($"vec_id",
+      graft.functions.PqCodes.of($"embedding", cb).as("codes"))
+    assert(codes.filter($"codes".isNull).select("vec_id")
+      .as[Long].collect().toSeq == Seq(10L))
   }
 
   test("ivfPqTopK with nprobe = nlist equals the unpruned ADC ranking") {
