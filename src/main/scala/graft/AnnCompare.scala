@@ -105,18 +105,58 @@ object AnnCompare {
     println(f"RESULT ivfpq(64/8) build=$tIvfpqBuild%6.2fs query=$tIvfpq%6.2fs " +
       f"recall@$K=${recall(ivfpq, truth)}%.3f")
 
-    val (pqPrep, tPqBuild) = timed {
-      val cb = Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
-      val codes = Pq.pqEncode(corpus, "vec_id", "embedding", cb)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      codes.count()
-      (cb, codes)
+    // PQ at k=16 (the oracled small config) and k=256 (the production
+    // serving layout), hash-picked vs Lloyd-trained codebooks. Training
+    // runs on the unexpanded originals (the j=0 rows) — the
+    // sample-train / full-corpus-encode regime.
+    val trainSet = corpus.filter(pmod(col("vec_id"), lit(expand)) === 0)
+    def pqRun(label: String, kk: Int,
+              train: () => Array[Array[Array[Double]]]): Unit = {
+      val (prep, tBuild) = timed {
+        val cb = train()
+        val codes = Pq.pqEncode(corpus, "vec_id", "embedding", cb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        (cb, codes)
+      }
+      val (got, tQ) = timed(topSets(Pq.pqTopK(
+        prep._2, queries, "vec_id", "embedding", prep._1, K)))
+      prep._2.unpersist()
+      val mse = Pq.quantizationError(corpus, "vec_id", "embedding", prep._1)
+      println(f"RESULT $label%-13s build=$tBuild%6.2fs query=$tQ%6.2fs " +
+        f"recall@$K=${recall(got, truth)}%.3f mse=$mse%.5f")
     }
-    val (pq, tPq) = timed(topSets(Pq.pqTopK(
-      pqPrep._2, queries, "vec_id", "embedding", pqPrep._1, K)))
-    pqPrep._2.unpersist()
-    println(f"RESULT pq(8x16)   build=$tPqBuild%6.2fs query=$tPq%6.2fs " +
-      f"recall@$K=${recall(pq, truth)}%.3f")
+    pqRun("pq(8x16)", 16,
+      () => Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16))
+    pqRun("pqKM(8x16)", 16,
+      () => Pq.kmeansTrain(trainSet, "vec_id", "embedding", m = 8, k = 16, iters = 4))
+    pqRun("pq(8x256)", 256,
+      () => Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 256))
+    pqRun("pqKM(8x256)", 256,
+      () => Pq.kmeansTrain(trainSet, "vec_id", "embedding", m = 8, k = 256, iters = 4))
+
+    val (ivfpqtPrep, tIvfpqtBuild) = timed {
+      val coarse = Pq.kmeansTrain(trainSet, "vec_id", "embedding",
+        m = 1, k = 64, iters = 4)
+      val pqcb = Pq.kmeansTrain(trainSet, "vec_id", "embedding",
+        m = 8, k = 256, iters = 4)
+      (coarse, pqcb)
+    }
+    val (ivfpqt, tIvfpqt) = timed(topSets(Pq.ivfPqTopK(
+      corpus, queries, "vec_id", "embedding", ivfpqtPrep._1, ivfpqtPrep._2,
+      nprobe = 8, topK = K)))
+    println(f"RESULT ivfpqKM(64/8,8x256) build=$tIvfpqtBuild%6.2fs query=$tIvfpqt%6.2fs " +
+      f"recall@$K=${recall(ivfpqt, truth)}%.3f")
+
+    // ADC+R: the quantized stack nominates 10K candidates per query,
+    // exact distances re-rank ONLY those — recall recovers to ~1
+    // without ever scanning the corpus with true vectors
+    val (rr, tRr) = timed(topSets(Pq.exactRerank(
+      Pq.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        ivfpqtPrep._1, ivfpqtPrep._2, nprobe = 8, topK = 10 * K),
+      corpus, queries, "vec_id", "embedding", K)))
+    println(f"RESULT ivfpqKM+rerank(R=${10 * K}) query=$tRr%6.2fs " +
+      f"recall@$K=${recall(rr, truth)}%.3f")
 
     spark.stop()
   }

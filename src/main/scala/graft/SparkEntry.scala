@@ -2280,6 +2280,147 @@ object SparkEntry {
          | CAST(doc_id % 30000 - 15000 AS BIGINT) AS mean_amp
          |FROM documents""".stripMargin)),
 
+    ("q131_pq_kmeans_codes", (s, d) => {
+      // q124's quantizer with a TRAINED codebook: two Lloyd's k-means
+      // iterations refine the portable-hash init (assign via the fused
+      // native PqCodes, means as id-ordered folds — see Pq.kmeansTrain's
+      // determinism contract). The oracle unrolls both iterations in
+      // SQL: every centroid is reproduced BIT-identically from the same
+      // pinned folds, so the trained-codebook codes are one hash
+      // compare — the training loop itself is oracled, not just encode
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val cb = graft.sim.Pq.kmeansTrain(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      graft.sim.Pq.pqEncode(emb, "vec_id", "embedding", cb)
+    }, Some {
+      // one Lloyd iteration: assign (fold-ordered distances, first-min
+      // argmin) -> per-(s,code,j) mean (id-ordered fold / count) ->
+      // next codebook (empty cluster keeps the previous centroid)
+      def iter(i: Int): String = {
+        val prev = s"cb${i - 1}"
+        s"""d$i AS (
+           |  SELECT l.vec_id, l.s, c.code,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list((l.val - c.cval) * (l.val - c.cval) ORDER BY l.j)),
+           |      (a, b) -> a + b) AS dist
+           |  FROM elong l JOIN $prev c ON c.s = l.s AND c.j = l.j
+           |  GROUP BY l.vec_id, l.s, c.code),
+           |a$i AS (
+           |  SELECT vec_id, s, code FROM d$i
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) = 1),
+           |m$i AS (
+           |  SELECT a.s, a.code, l.j,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.val ORDER BY l.vec_id)),
+           |      (x, y) -> x + y) / count(*) AS cval
+           |  FROM a$i a JOIN elong l ON l.vec_id = a.vec_id AND l.s = a.s
+           |  GROUP BY a.s, a.code, l.j),
+           |cb$i AS (
+           |  SELECT c.s, c.code, c.j, coalesce(m.cval, c.cval) AS cval
+           |  FROM $prev c LEFT JOIN m$i m ON m.s = c.s AND m.code = c.code AND m.j = c.j)"""
+      }
+      s"""WITH elong AS (
+         |  SELECT e.vec_id, CAST((t.i - 1) // 8 AS BIGINT) AS s,
+         |    CAST((t.i - 1) % 8 AS BIGINT) AS j,
+         |    CAST(e.embedding[t.i] AS DOUBLE) AS val
+         |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
+         |cb0 AS (
+         |  SELECT h.code, l.s, l.j, l.val AS cval
+         |  FROM (SELECT vec_id, row_number() OVER (ORDER BY
+         |      ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code
+         |    FROM embeddings) h
+         |  JOIN elong l ON l.vec_id = h.vec_id
+         |  WHERE h.code < 16),
+         |${iter(1)},
+         |${iter(2)},
+         |dfin AS (
+         |  SELECT l.vec_id, l.s, c.code,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list((l.val - c.cval) * (l.val - c.cval) ORDER BY l.j)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM elong l JOIN cb2 c ON c.s = l.s AND c.j = l.j
+         |  GROUP BY l.vec_id, l.s, c.code)
+         |SELECT vec_id, CAST(s AS BIGINT) AS sub, code FROM dfin
+         |QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) = 1""".stripMargin
+    }),
+
+    ("q132_ivfpq_rerank", (s, d) => {
+      // the COMPLETE serving pipeline (Jégou ADC+R): IVF coarse prune ->
+      // PQ-ADC nominate R=20 candidates -> EXACT re-rank of only those.
+      // Quantization caps ADC's within-cell resolution (near-tied codes
+      // rank arbitrarily); re-ranking queries×R true vectors — never the
+      // corpus — recovers exact-ranking quality. Every stage replays in
+      // SQL on the portable-hash codebook: q129's stack plus a
+      // fold-ordered exact-distance tail, one hash compare end-to-end
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val coarse = graft.sim.Pq.pqTrain(emb, "vec_id", "embedding", m = 1, k = 16)
+      val pqcb = graft.sim.Pq.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+      val qs = emb.filter(col("vec_id") < 5)
+      val cands = graft.sim.Pq.ivfPqTopK(emb, qs, "vec_id", "embedding",
+        coarse, pqcb, nprobe = 4, topK = 20)
+      graft.sim.Pq.exactRerank(cands, emb, qs, "vec_id", "embedding", topK = 5)
+    }, Some {
+      def subTerms(a: String, b: String) = (1 to 8).map { i =>
+        s"(CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      def fullTerms(a: String, b: String) = (1 to 64).map { i =>
+        s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      s"""WITH cb AS (
+         |  SELECT * FROM (
+         |    SELECT row_number() OVER (ORDER BY
+         |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
+         |      embedding
+         |    FROM embeddings) WHERE code < 16),
+         |assign AS (
+         |  SELECT vec_id, code AS list_id FROM (
+         |    SELECT e.vec_id, cb.code, (${fullTerms("e", "cb")}) AS cdist
+         |    FROM embeddings e CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, code) = 1),
+         |probes AS (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.vec_id AS query_id, cb.code AS list_id,
+         |      (${fullTerms("q", "cb")}) AS cdist
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cdist, list_id) <= 4),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, s.sub, cb.code,
+         |      (${subTerms("e", "cb")}) AS dist
+         |    FROM embeddings e
+         |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |    CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, s.sub, cb.code,
+         |    (${subTerms("q", "cb")}) AS d
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |  CROSS JOIN cb),
+         |adist AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d ORDER BY l.sub)),
+         |      (a, b) -> a + b) AS adist
+         |  FROM codes c
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN probes p ON p.list_id = a.list_id
+         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT query_id, neighbor_id FROM adist
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 20)
+         |SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+         |FROM (
+         |  SELECT c.query_id, c.neighbor_id, (${fullTerms("q", "e")}) AS dist
+         |  FROM cands c
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id)
+         |QUALIFY rnk <= 5""".stripMargin
+    }),
+
     ("q113_bloom_decontaminate", (s, d) => {
       // q65's decontamination through a Bloom prefilter: most training
       // rows never join at all (one-row sketch broadcast), only

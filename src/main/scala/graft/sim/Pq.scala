@@ -48,6 +48,102 @@ object Pq {
     }
   }
 
+  /** Lloyd's k-means refinement of the [[pqTrain]] codebook — the
+    * production-quality training the hash-pick codebook stands in for.
+    * Each iteration assigns every training vector's `m` subvectors to
+    * their nearest centroids (the same fused native
+    * [[graft.functions.PqCodes]] projection the encode path uses) and
+    * recomputes each centroid as the mean of its assigned subvectors;
+    * `iters = 0` degenerates to [[pqTrain]] exactly.
+    *
+    * DETERMINISM — the property that makes a distributed k-means
+    * oracle-able at all: floating-point summation order is pinned
+    * everywhere. Assignment distances are [[graft.functions.PqCodes]]'s
+    * fixed fold; the per-centroid mean is a left fold of `0.0 + v₁ +
+    * v₂ + …` over values sorted by vector id (collect → sort → fold,
+    * never a partial-aggregation `sum` whose combine order varies
+    * run-to-run), divided by the count. A DuckDB replay of the same
+    * folds reproduces every centroid BIT-identically, so codes encoded
+    * with a trained codebook hash-match plain SQL (q131) — see the
+    * q131 oracle for the unrolled-iteration SQL twin. An empty cluster
+    * keeps its previous centroid (both sides).
+    *
+    * SCALE: each iteration is one job — explode the training set to
+    * `N·dim` (id, subspace, dim, value) rows, map-side-attach the
+    * assignment code, and shuffle into `m·k·dim/m` groups whose
+    * per-group sorted arrays drive the fold. The sorted-array mean is
+    * O(cluster size) memory per group, which is why this trains on a
+    * SAMPLE by design — pass a deterministic sample
+    * ([[graft.operators.Sample]]) of ≤~1M vectors, the standard PQ
+    * training regime (Jégou et al. train on a learning subset, not the
+    * corpus); encode/serve then run over the full corpus with the
+    * frozen codebook.
+    */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, k: Int = 16, iters: Int = 4): Array[Array[Array[Double]]] = {
+    var cb = pqTrain(emb, idCol, vecCol, m, k)
+    val sub = cb.head.head.length
+    var it = 0
+    while (it < iters) {
+      val stats = emb
+        .select(col(idCol).as("__id"),
+          graft.functions.PqCodes.of(col(vecCol), cb).as("__codes"),
+          posexplode(Similarity.toDouble(col(vecCol))))
+        .select(col("__id"),
+          (col("pos") / sub).cast("int").as("s"),
+          pmod(col("pos"), lit(sub)).cast("int").as("j"),
+          element_at(col("__codes"), (col("pos") / sub).cast("int") + 1).as("code"),
+          col("col").as("v"))
+        .groupBy("s", "code", "j")
+        .agg(count(lit(1)).as("cnt"),
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("__id").as("i"), col("v").as("v")))),
+              st => st.getField("v")),
+            lit(0.0), (acc, x) => acc + x).as("fsum"))
+        .select(col("s"), col("code").cast("int").as("c"), col("j"),
+          (col("fsum") / col("cnt")).as("cval"))
+        .collect()
+      val next = Array.tabulate(m, k, sub)((s, c, j) => cb(s)(c)(j))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** Mean squared quantization error of a codebook over a corpus — the
+    * objective Lloyd's descends; the training-quality witness the spec
+    * asserts (monotone non-increasing across iterations).
+    */
+  def quantizationError(emb: DataFrame, idCol: String, vecCol: String,
+                        codebook: Array[Array[Array[Double]]]): Double = {
+    val k = codebook.head.length
+    val sub = codebook.head.head.length
+    // flat(s*k*sub + c*sub + j) == codebook(s)(c)(j), as a (small:
+    // m·k·sub doubles) array literal for a declarative lookup
+    val flat = typedLit(codebook.flatMap(_.flatMap(_.toSeq)).toSeq)
+    emb
+      .select(
+        graft.functions.PqCodes.of(col(vecCol), codebook).as("__codes"),
+        posexplode(Similarity.toDouble(col(vecCol))))
+      .select(
+        (col("pos") / sub).cast("int").as("s"),
+        pmod(col("pos"), lit(sub)).cast("int").as("j"),
+        element_at(col("__codes"), (col("pos") / sub).cast("int") + 1)
+          .cast("int").as("code"),
+        col("col").as("v"))
+      .select(
+        ((col("v") - element_at(flat,
+          col("s") * (k * sub) + col("code") * sub + col("j") + 1)) *
+          (col("v") - element_at(flat,
+            col("s") * (k * sub) + col("code") * sub + col("j") + 1))).as("se"))
+      .agg(avg(col("se")))
+      .head.getDouble(0)
+  }
+
   /** Squared-L2 of a subvector against a literal centroid: sequential
     * left fold, bit-matched by the SQL twin's explicit term sum.
     */
@@ -152,6 +248,44 @@ object Pq {
     * double sum, every argmin/rank ties to the lowest code/id
     * ([[pqTopK]] notes apply verbatim).
     */
+  /** Exact re-rank of an ANN candidate list — the final stage of a
+    * production serving stack (Jégou et al.'s ADC+R): the quantized
+    * search ([[pqTopK]] / [[ivfPqTopK]] with `topK = R`, R ≈ 5-10× the
+    * final k) nominates R candidates per query, then ONLY those
+    * candidates are scored against the true vectors and re-ranked.
+    * Quantization error caps ADC's within-cell resolution — near-tied
+    * codes rank arbitrarily — so re-ranking is what lifts recall to
+    * ~1 while still never scanning the corpus: the exact distance runs
+    * on `queries × R` rows, not `queries × N`.
+    *
+    * Scale shape: the candidate list (queries·R rows of two ids) is
+    * broadcast to the corpus scan — the corpus vectors never shuffle;
+    * only the R-per-query matches leave the scan, and the per-query
+    * window ranks those tiny groups. Determinism: squared-L2 is the
+    * same fold-ordered double sum as everywhere else (0.0 + t₁ + … in
+    * dimension order — exact under IEEE for the leading 0.0), ranking
+    * ties break to the lowest neighbor id, so the re-ranked list
+    * replays in SQL (q132).
+    */
+  def exactRerank(candidates: DataFrame, emb: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, topK: Int): DataFrame = {
+    val docs = emb.select(col(idCol).as("neighbor_id"),
+      Similarity.toDouble(col(vecCol)).as("__dv"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      Similarity.toDouble(col(vecCol)).as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id").asc)
+    docs
+      .join(broadcast(candidates.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("__qv"), col("__dv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, t) => acc + t))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, coarseCb: Array[Array[Array[Double]]],
                 pqCb: Array[Array[Array[Double]]], nprobe: Int,

@@ -78,6 +78,62 @@ class PqSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(10L))
   }
 
+  /** Driver-side Lloyd's with the SAME pinned fold orders (assign:
+    * j-ascending distance fold, first-min argmin; mean: 0.0-seeded fold
+    * over values in id order) — the single-threaded truth kmeansTrain
+    * must reproduce bit-for-bit.
+    */
+  private def refKmeans(init: Array[Array[Array[Double]]],
+                        vecs: Seq[(Long, Array[Double])],
+                        iters: Int): Array[Array[Array[Double]]] = {
+    val m = init.length; val k = init.head.length; val sub = init.head.head.length
+    var cb = init.map(_.map(_.clone))
+    for (_ <- 1 to iters) {
+      val assign = refCodes(cb, vecs.toMap)
+      val next = Array.tabulate(m, k, sub)((s, c, j) => cb(s)(c)(j))
+      for (s <- 0 until m; c <- 0 until k; j <- 0 until sub) {
+        val members = vecs.filter { case (id, _) => assign((id, s.toLong)) == c }
+          .sortBy(_._1)
+        if (members.nonEmpty) {
+          var acc = 0.0
+          members.foreach { case (_, v) => acc += v(s * sub + j) }
+          next(s)(c)(j) = acc / members.length
+        }
+      }
+      cb = next
+    }
+    cb
+  }
+
+  test("kmeansTrain: iters=0 is pqTrain; matches driver-side Lloyd bit-for-bit") {
+    def flat(cb: Array[Array[Array[Double]]]) = cb.map(_.map(_.toSeq).toSeq).toSeq
+    assert(flat(Pq.kmeansTrain(emb, "vec_id", "embedding", m = 2, k = 4, iters = 0)) ==
+      flat(Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)))
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    val init = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
+    for (t <- Seq(1, 3)) {
+      val got = Pq.kmeansTrain(emb, "vec_id", "embedding", m = 2, k = 4, iters = t)
+      assert(flat(got) == flat(refKmeans(init, vecs, t)), s"iters=$t")
+    }
+    // partitioning must not leak into the floats (the fold is ordered)
+    val repart = Pq.kmeansTrain(emb.repartition(7), "vec_id", "embedding",
+      m = 2, k = 4, iters = 3)
+    assert(flat(repart) == flat(refKmeans(init, vecs, 3)))
+  }
+
+  test("kmeansTrain descends the quantization objective; empty clusters persist") {
+    // 6 vectors, k=4: at least one centroid can end up empty — it must
+    // keep its previous value (both here and in the SQL twin)
+    val e0 = Pq.quantizationError(emb, "vec_id", "embedding",
+      Pq.kmeansTrain(emb, "vec_id", "embedding", m = 2, k = 4, iters = 0))
+    val errs = (1 to 3).map(t => Pq.quantizationError(emb, "vec_id", "embedding",
+      Pq.kmeansTrain(emb, "vec_id", "embedding", m = 2, k = 4, iters = t)))
+    (e0 +: errs).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-12, s"objective rose: $a -> $b") }
+    assert(errs.last < e0, "training never improved on the hash codebook")
+  }
+
   test("ivfPqTopK with nprobe = nlist equals the unpruned ADC ranking") {
     val coarse = Pq.pqTrain(emb, "vec_id", "embedding", m = 1, k = 4)
     val pqcb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
@@ -107,6 +163,42 @@ class PqSpec extends AnyFunSuite {
       coarse, pqcb, nprobe = 2, topK = 3)
     graft.audit.PlanGuard.assertNoCartesian(plan)
     graft.audit.PlanGuard.assertMaxExchanges(plan, 3)
+  }
+
+  test("exactRerank on a full candidate list reproduces the exact L2 top-k") {
+    val cands = emb.select($"vec_id".as("neighbor_id"))
+      .crossJoin(emb.filter($"vec_id" === 1).select($"vec_id".as("query_id")))
+      .filter($"neighbor_id" =!= $"query_id")
+    val got = Pq.exactRerank(cands, emb, emb.filter($"vec_id" === 1),
+        "vec_id", "embedding", topK = 3)
+      .orderBy("rnk").as[(Long, Long, Int)].collect().toSeq
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(1L)
+    val expected = vecs.toSeq.filter(_._1 != 1L)
+      .map { case (id, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { val t = q(i) - v(i); acc += t * t; i += 1 }
+        (id, acc)
+      }
+      .sortBy { case (id, dd) => (dd, id) }.take(3).zipWithIndex
+      .map { case ((id, _), i) => (1L, id, i + 1) }
+    assert(got == expected)
+    // the exact dup of vec 1 must re-rank to the top — the within-cell
+    // resolution ADC alone cannot provide
+    assert(got.head._2 == 6L)
+    // ADC+R composition: quantized nominate -> exact re-rank
+    val cb = Pq.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4)
+    val coarse = Pq.pqTrain(emb, "vec_id", "embedding", m = 1, k = 2)
+    val nominated = Pq.ivfPqTopK(emb, emb.filter($"vec_id" === 1), "vec_id",
+      "embedding", coarse, cb, nprobe = 2, topK = 5)
+    val rr = Pq.exactRerank(nominated, emb, emb.filter($"vec_id" === 1),
+        "vec_id", "embedding", topK = 3)
+      .orderBy("rnk").as[(Long, Long, Int)].collect().toSeq
+    assert(rr == expected) // nprobe=all nominates a superset of the true top-3
+    graft.audit.PlanGuard.assertNoCartesian(
+      Pq.exactRerank(nominated, emb, emb.filter($"vec_id" === 1),
+        "vec_id", "embedding", topK = 3))
   }
 
   test("pqTopK reproduces the driver-computed ADC ranking exactly") {
