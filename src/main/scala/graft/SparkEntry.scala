@@ -831,6 +831,46 @@ object SparkEntry {
          |  CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.t) AS coverage
          |FROM toks t LEFT JOIN c USING (doc_id)""".stripMargin)),
 
+    ("q135_excise_dup_spans", (s, d) =>
+      // q123's REWRITE: Lee et al. ExactSubstr dedup at token
+      // granularity — duplicated spans are cut out of the text, one
+      // canonical copy (lowest doc id) survives. Owners via ONE
+      // groupBy(gram) min/max pass, removal = surviving windows
+      // exploded ×3, rebuild = position-sorted kept tokens; the
+      // reassembled STRINGS hash-replay in SQL
+      graft.text.SpanDedup.exciseDupSpans(
+        t(s, d, "documents"), "doc_id", "text", n = 3),
+      Some("""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
+         |    i -> struct_pack(pos := i,
+         |           gram := array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS u
+         |  FROM toks),
+         |ge AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+         |own AS (
+         |  SELECT gram, min(doc_id) AS owner FROM ge
+         |  GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+         |rem AS (
+         |  SELECT DISTINCT ge.doc_id, ge.pos + off.o AS p
+         |  FROM ge JOIN own USING (gram)
+         |  CROSS JOIN (VALUES (0), (1), (2)) AS off(o)
+         |  WHERE ge.doc_id <> own.owner),
+         |tp AS (
+         |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(t)),
+         |      i -> struct_pack(p := i, tok := t[i + 1]))) AS u
+         |    FROM toks)),
+         |kept AS (
+         |  SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+         |  FROM tp ANTI JOIN rem ON tp.doc_id = rem.doc_id AND tp.p = rem.p
+         |  GROUP BY tp.doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN kept k USING (doc_id)""".stripMargin)),
+
     ("q126_corpus_build", (s, d) => {
       // the full corpus build as ONE oracled composite — every stage of
       // CorpusDemo that is SQL-replayable, chained: token-length gate
@@ -2278,6 +2318,46 @@ object SparkEntry {
          | 8000 AS sample_rate, 1 AS channels, 16 AS bits,
          | CAST(doc_id % 100 + 1 AS BIGINT) AS n_frames,
          | CAST(doc_id % 30000 - 15000 AS BIGINT) AS mean_amp
+         |FROM documents""".stripMargin)),
+
+    ("q133_mp4_metadata", (s, d) =>
+      // video-container metadata WITHOUT a codec: a real ISO-BMFF box
+      // walk (ftyp brand, mvhd timescale/duration, tkhd 16.16 dims,
+      // hdlr fourcc) over deterministic minimal-MP4 fixtures — the
+      // metadata a curation pipeline filters on (duration, resolution,
+      // codec identity) parsed by pure byte slicing; only sample DECODE
+      // remains behind the labeled stub. Oracle predicts the walk from
+      // the id (q128/q130 pattern)
+      graft.multimodal.Containers.decodeMp4Info(
+        graft.multimodal.Containers.encodeTestMp4s(
+          t(s, d, "documents").select("doc_id"), "doc_id")).toDF(),
+      Some("""SELECT doc_id AS media_id, TRUE AS ok, 'isom' AS major_brand,
+         | CAST(600 AS BIGINT) AS timescale,
+         | (doc_id % 9000 + 600) * 1000 // 600 AS duration_ms,
+         | 1 AS n_tracks, 'vide' AS handler,
+         | CAST(doc_id % 320 + 16 AS INTEGER) AS width,
+         | CAST(doc_id % 240 + 16 AS INTEGER) AS height
+         |FROM documents""".stripMargin)),
+
+    ("q134_mp3_metadata", (s, d) =>
+      // compressed-audio container metadata: MPEG-1 Layer III frame
+      // walk (11-bit sync, ISO 11172-3 bitrate/sample-rate tables,
+      // 144·br/sr+pad frame hop, ID3v2 skip) over deterministic CBR
+      // fixtures; format, frame count, and CBR duration all replay
+      // from the id in SQL
+      graft.multimodal.Containers.decodeMp3Info(
+        graft.multimodal.Containers.encodeTestMp3s(
+          t(s, d, "documents").select("doc_id"), "doc_id")).toDF(),
+      Some("""SELECT doc_id AS media_id, TRUE AS ok, 1 AS mpeg_version,
+         | 3 AS layer,
+         | CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+         |   CAST(doc_id % 14 + 1 AS INT)) AS INTEGER) AS bitrate_kbps,
+         | CAST(list_extract([44100,48000,32000],
+         |   CAST(doc_id % 3 + 1 AS INT)) AS INTEGER) AS sample_rate,
+         | CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+         | CAST(doc_id % 40 + 1 AS BIGINT) AS n_frames,
+         | (doc_id % 40 + 1) * 1152 * 1000 // list_extract([44100,48000,32000],
+         |   CAST(doc_id % 3 + 1 AS INT)) AS duration_ms
          |FROM documents""".stripMargin)),
 
     ("q131_pq_kmeans_codes", (s, d) => {

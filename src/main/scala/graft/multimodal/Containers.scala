@@ -104,8 +104,11 @@ object Containers {
             walkBoxes(b, p1, e1) {
               case ("tkhd", p, _) if firstTrack =>
                 val v = b(p) & 0xFF
-                // width/height are the LAST 8 bytes of tkhd, 16.16 fixed
-                val wOff = p + (if (v == 1) 84 else 72)
+                // width/height are the LAST 8 bytes of tkhd, 16.16
+                // fixed: ver/flags + times/ids/duration (v1 widens the
+                // three time fields) + 8 reserved + layer/group +
+                // volume/reserved + 36-byte matrix
+                val wOff = p + (if (v == 1) 88 else 76)
                 width = (u32(b, wOff) >> 16).toInt
                 height = (u32(b, wOff + 4) >> 16).toInt
               case ("mdia", p2, e2) if firstTrack =>

@@ -17,11 +17,15 @@ import org.apache.spark.sql.types._
   * REAL for WAV: [[decodeAudioInfo]] parses PCM via
   * `javax.sound.sampled` and emits format metadata, frame count, and
   * mean amplitude. In both, undecodable bytes degrade to an
-  * `ok = false` row, never an exception. Compressed audio and video
-  * codecs are not in the JDK, so those payloads still go through the
-  * deterministic [[decodeStub]] — the Spark-side contract (schema,
-  * partitioning, batch shape, null behavior) is identical either way;
-  * swap the stub for a JNI/JavaCV decoder in production.
+  * `ok = false` row, never an exception. For MP4/MP3-class payloads,
+  * CONTAINER metadata (duration, dimensions, codec fourcc, frame
+  * structure) is parsed for real by [[Containers]] — pure
+  * byte-slicing of the public ISO-BMFF / MPEG-audio layouts, no codec
+  * needed. Only compressed-sample DECODE (H.264 frames, MP3 PCM) has
+  * no JDK codec and goes through the deterministic [[decodeStub]] —
+  * the Spark-side contract (schema, partitioning, batch shape, null
+  * behavior) is identical either way; swap the stub for a JNI/JavaCV
+  * decoder in production.
   */
 object Multimodal {
 

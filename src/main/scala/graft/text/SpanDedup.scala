@@ -79,4 +79,60 @@ object SpanDedup {
         .filter(col("coverage") <= maxCoverage)
         .select(idCol),
       Seq(idCol), "left_semi")
+
+  /** The REWRITE built on the diagnostic — Lee et al.'s ExactSubstr
+    * dedup at token granularity: duplicated spans are EXCISED from the
+    * text instead of gating whole docs ([[dropHighDupSpanDocs]]) or
+    * dropping whole near-dup docs. One canonical copy survives: for
+    * each cross-doc n-gram the LOWEST doc id owns it; every position of
+    * that gram's windows is removed from every OTHER doc (the owner
+    * keeps its copy — removing all copies is the known Lee et al.
+    * footgun that deletes common idioms from the corpus entirely).
+    * Output per doc: original token count, kept count, and the
+    * rewritten text (kept tokens joined by single spaces — a
+    * token-normalized rewrite; tokenization is [[TextOps.tokens]]).
+    *
+    * Scale shape, same family as [[spanDupCoverage]] (no pair joins):
+    * gram owners are ONE `groupBy(gram)` with min/max extremes (no
+    * count-distinct); removal positions are the surviving windows
+    * exploded ×n and distinct'd; the rebuild is a per-doc sort of kept
+    * (position, token) rows — doc-bounded memory, grouped on the same
+    * doc-id exchange the final join uses. Everything is deterministic
+    * (position sort, fixed owner rule), so the whole rewrite —
+    * including the reassembled strings — hash-replays in SQL (q135).
+    */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val toks = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+    val grams = toks
+      .select(col(idCol), posexplode(TextOps.ngrams(col("__toks"), n)))
+      .select(col(idCol), col("pos"), col("col").as("gram"))
+    val owners = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("__owner"), max(col(idCol)).as("__mx"))
+      .filter(col("__owner") =!= col("__mx"))
+      .select(col("gram"), col("__owner"))
+    val removedPos = grams.join(owners, Seq("gram"))
+      .filter(col(idCol) =!= col("__owner"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val tokPos = toks
+      .select(col(idCol), posexplode(col("__toks")))
+      .select(col(idCol), col("pos").as("p"), col("col").as("tok"))
+    val kept = tokPos.join(removedPos, Seq(idCol, "p"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -39,4 +39,28 @@ class SpanDedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L, 5L)) // docs 1 and 2 sit at 4/7 ≈ 0.571 > 0.5
   }
+
+  test("exciseDupSpans removes shared spans everywhere but the owning doc") {
+    val out = SpanDedup.exciseDupSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 owns the shared "a b c d" run (lowest id) and keeps it all
+    assert(out(1L) == ((7L, 7L, "a b c d x y z")))
+    // doc 2 loses positions 2..5 (the shared windows), keeps the rest
+    assert(out(2L) == ((7L, 3L, "q r s")))
+    // untouched docs round-trip token-normalized
+    assert(out(3L) == ((6L, 6L, "u v w k l m")))
+    assert(out(4L) == ((2L, 2L, "t u")))
+    assert(out(5L) == ((8L, 8L, "p p p p p q7 q8 q9")))
+    // a doc whose every position is covered rewrites to the empty string
+    val blanket = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val b = SpanDedup.exciseDupSpans(blanket, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(b(1L) == ((1L, 5L, 5L, "a b c d e")))
+    assert(b(2L) == ((2L, 5L, 0L, "")))
+    graft.audit.PlanGuard.assertNoCartesian(
+      SpanDedup.exciseDupSpans(docs, "doc_id", "text", n = 3))
+  }
 }
