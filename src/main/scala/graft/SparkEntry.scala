@@ -2140,6 +2140,48 @@ object SparkEntry {
         k = 5, bits = 8, dim = 64, tables = 8)
     }, None),
 
+    ("q136_ann_lsh_topk_portable", (s, d) => {
+      // q51's oracled twin: same SRP-LSH plan (bucket equi-join in any
+      // of 8 tables -> exact cosine rank), but every hyperplane sign
+      // derives from the portable two-round multiplicative hash of its
+      // (table, bit, dim) coordinate, so the planes CTE below re-derives
+      // them in SQL and the WHOLE path — signatures, candidate set,
+      // (cosine, id) ranking — is one hash compare. The projection fold
+      // is replayed in exact order (prepend 0.0, ascending dim), so the
+      // sign of every projection is bit-identical
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, bits = 8, dim = 64, tables = 8, seed = 7L)
+    }, Some("""WITH planes AS (
+       |  SELECT tt.t, bb.b, jj.j,
+       |    CASE WHEN (((tt.t*8 + bb.b)*64 + jj.j) % 100000007)
+       |        * 2654435768 % 99999989 * 2246822519 % 1000000 < 500000
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(8) tt(t), range(8) bb(b), range(64) jj(j)),
+       |proj AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w ORDER BY p.j)),
+       |      (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.t, p.b),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sig c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+       |SELECT cand.query_id, cand.neighbor_id,
+       |  row_number() OVER (PARTITION BY cand.query_id
+       |    ORDER BY list_cosine_similarity(e.embedding, qe.embedding) DESC,
+       |      cand.neighbor_id) AS rnk
+       |FROM cand
+       |JOIN embeddings e ON e.vec_id = cand.neighbor_id
+       |JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |QUALIFY rnk <= 5""".stripMargin)),
+
     ("q56_ann_ivf_topk", (s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",

@@ -21,16 +21,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Output: array<long> of length `tables`; element t is the bucket of
   * hash table t.
+  *
+  * Sign derivation: `portableSeed < 0` (default) keeps the original
+  * JVM-Random planes. `portableSeed >= 0` derives each sign from the
+  * ENGINE-PORTABLE two-round multiplicative hash
+  * ([[graft.operators.Sample.hashMod2]] arithmetic) of the plane
+  * coordinate `(t·bits + b)·dim + d` — plain integer arithmetic any SQL
+  * engine replays, which is what lets an SRP-LSH top-k be
+  * oracle-checked end-to-end (q136) instead of rows-only (q51's
+  * JVM-Random planes cannot be re-derived in SQL).
   */
-case class SrpSignatures(child: Expression, bits: Int, dim: Int, tables: Int)
+case class SrpSignatures(child: Expression, bits: Int, dim: Int, tables: Int,
+                         portableSeed: Long = -1L)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_srp_buckets"
 
-  // signs(t)(b*dim + d) ∈ {-1, +1}, identical to Similarity.hyperplanes
+  // signs(t)(b*dim + d) ∈ {-1, +1}: JVM-Random (identical to
+  // Similarity.hyperplanes) or the portable hash of the coordinate
   private lazy val signs: Array[Array[Byte]] =
-    Array.tabulate(tables) { t =>
+    if (portableSeed >= 0L) {
+      Array.tabulate(tables) { t =>
+        Array.tabulate(bits * dim) { bd =>
+          val k = t.toLong * bits * dim + bd
+          // Sample.hashMod2(k, 1000000, portableSeed), driver-side:
+          // every intermediate < 2^63 (see hashMod2's bound note)
+          val h = (k % graft.operators.Sample.Prime) *
+            (graft.operators.Sample.Mult + portableSeed) %
+            graft.operators.Sample.Prime2 *
+            graft.operators.Sample.Mult2 % 1000000L
+          if (h < 500000L) 1.toByte else (-1).toByte
+        }
+      }
+    } else Array.tabulate(tables) { t =>
       val rnd = new scala.util.Random(1000L + t)
       Array.fill(bits * dim)(if (rnd.nextBoolean()) 1.toByte else (-1).toByte)
     }
@@ -102,4 +126,12 @@ object SrpSignatures {
     */
   def buckets(vec: Column, bits: Int, dim: Int, tables: Int): Column =
     call_function("graft_srp_buckets", vec, lit(bits), lit(dim), lit(tables))
+
+  /** Portable-hash planes variant — seed >= 0; see the class doc. */
+  def portableBuckets(vec: Column, bits: Int, dim: Int, tables: Int,
+                      seed: Long): Column = {
+    require(seed >= 0L, s"portable seed must be >= 0, got $seed")
+    call_function("graft_srp_buckets", vec, lit(bits), lit(dim), lit(tables),
+      lit(seed))
+  }
 }

@@ -28,8 +28,8 @@ object Sample {
     * runs ANSI mode, where a silent overflow would instead be a runtime
     * error at scale.
     */
-  private val Mult = 2654435761L
-  private val Prime = 100000007L
+  private[graft] val Mult = 2654435761L
+  private[graft] val Prime = 100000007L
   // Second multiplicative round for the sampler family (xxhash
   // PRIME32_2 and a different large prime): one multiplicative hash is
   // LINEAR mod 1000, so any seeded/re-multiplied single-round variant
@@ -38,8 +38,8 @@ object Sample {
   // multiplying rates, and a hash-sampled subset would land in one
   // split instead of stratifying. The intermediate mod by a different
   // prime breaks the linearity. See [[hashMod2]].
-  private val Mult2 = 2246822519L
-  private val Prime2 = 99999989L
+  private[graft] val Mult2 = 2246822519L
+  private[graft] val Prime2 = 99999989L
 
   /** Stable per-row hash of the id reduced mod `m` — the engine-portable
     * primitive behind SHARD assignment ([[graft.operators.Pack]]). One

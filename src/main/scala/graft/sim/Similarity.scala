@@ -83,8 +83,13 @@ object Similarity {
     * [[graft.functions.SrpSignatures]] expression — one fused pass over
     * the vector instead of tables×bits interpreted folds.
     */
-  private def lshKeys(vec: Column, bits: Int, dim: Int, tables: Int): Column = {
-    val buckets = graft.functions.SrpSignatures.buckets(vec, bits, dim, tables)
+  private def lshKeys(vec: Column, bits: Int, dim: Int, tables: Int,
+                      portableSeed: Long = -1L): Column = {
+    val buckets =
+      if (portableSeed >= 0L)
+        graft.functions.SrpSignatures.portableBuckets(vec, bits, dim, tables,
+          portableSeed)
+      else graft.functions.SrpSignatures.buckets(vec, bits, dim, tables)
     // zip table index with its bucket value
     zip_with(
       sequence(lit(0), lit(tables - 1)), buckets,
@@ -231,13 +236,33 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 8, dim: Int = 64,
-              tables: Int = 8): DataFrame = {
+              tables: Int = 8): DataFrame =
+    lshTopKImpl(corpus, queries, idCol, vecCol, k, bits, dim, tables, -1L)
+
+  /** [[lshTopK]] with PORTABLE-hash hyperplanes
+    * ([[graft.functions.SrpSignatures.portableBuckets]]): every plane
+    * sign derives from the two-round multiplicative hash of its
+    * coordinate, so bucket choice — and with it the whole candidate
+    * set and final (cosine, id) ranking — replays in plain SQL. This
+    * is the oracle-checkable SRP-LSH (q136); [[lshTopK]]'s JVM-Random
+    * planes stay rows-only (q51). Same plan, same cost.
+    */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, bits: Int = 8, dim: Int = 64,
+                      tables: Int = 8, seed: Long = 7L): DataFrame = {
+    require(seed >= 0L, s"portable seed must be >= 0, got $seed")
+    lshTopKImpl(corpus, queries, idCol, vecCol, k, bits, dim, tables, seed)
+  }
+
+  private def lshTopKImpl(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int, bits: Int, dim: Int,
+                          tables: Int, portableSeed: Long): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"), col("cv"),
-        explode(lshKeys(col("cv"), bits, dim, tables)).as("key"))
+        explode(lshKeys(col("cv"), bits, dim, tables, portableSeed)).as("key"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(lshKeys(col("qv"), bits, dim, tables)).as("key"))
+        explode(lshKeys(col("qv"), bits, dim, tables, portableSeed)).as("key"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("key"))

@@ -49,6 +49,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(native == reference)
   }
 
+  test("portable SrpSignatures buckets equal a driver-side replay of the hash + fold") {
+    val (bits, dim, tables, seed) = (8, 64, 3, 7L)
+    val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(20).select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+    val native = df.select($"vec_id",
+        graft.functions.SrpSignatures.portableBuckets($"v", bits, dim, tables, seed).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent reimplementation: portable sign per coordinate, then
+    // the same ascending-dim left fold
+    def sign(t: Int, b: Int, j: Int): Double = {
+      val k = (t.toLong * bits + b) * dim + j
+      val h = (k % 100000007L) * (2654435761L + seed) % 99999989L * 2246822519L % 1000000L
+      if (h < 500000L) 1.0 else -1.0
+    }
+    val vecs = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expected = vecs.map { case (id, v) =>
+      id -> (0 until tables).map { t =>
+        (0 until bits).map { b =>
+          var proj = 0.0
+          var j = 0
+          while (j < dim && j < v.length) { proj += v(j) * sign(t, b, j); j += 1 }
+          if (proj >= 0) 1L << b else 0L
+        }.sum
+      }
+    }
+    assert(native.keySet == expected.keySet)
+    native.foreach { case (id, bk) => assert(bk.toSeq == expected(id), s"id=$id") }
+  }
+
+  test("lshTopKPortable matches lshTopK's contract on the identical-direction vector") {
+    val out = Similarity.lshTopKPortable(emb, emb.filter($"vec_id" === 1), "vec_id",
+        "embedding", k = 3, bits = 8, dim = 4, tables = 8, seed = 7L)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.head._2 == 2L) // identical direction => identical signs in every table
+  }
+
   test("cosineNearDupPairs: finds scale-invariant duplicates, never unrelated") {
     val withDup = emb.unionByName(
       Seq((10L, Array(3.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
