@@ -1928,6 +1928,39 @@ object SparkEntry {
         "doc_id", maxHamming = 7)
     }, None),
 
+    ("q137_incremental_dedup", (s, d) => {
+      // daily-batch dedup against a PERSISTED signature index: docs with
+      // doc_id % 10 == 0 arrive as the new batch; the rest are the
+      // existing corpus whose minhash signatures are already
+      // materialized. Output = verified pairs touching the batch. The
+      // oracle is the BRUTE-FORCE bipartite Jaccard at the same
+      // threshold — sound because shingleN = 1 makes the MinHash
+      // similarity THE SAME measure the verify thresholds (token-SET
+      // Jaccard; at 3-gram shingles a reordered doc has J_shingle ≪
+      // J_token and legitimately never collides): at 16 bands × 4 rows
+      // a J ≥ 0.9 pair is missed with probability (1−0.9⁴)¹⁶ ≈ 4e-8,
+      // so LSH recall here is exactly 1 and candidate generation +
+      // verify must reproduce the exact brute-force pair set — a
+      // STRONGER check than the rows-only q49 (whose xxhash signatures
+      // are the only un-replayable part)
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val isNew = col("doc_id") % 10 === 0
+      val indexSigs = graft.dedup.NearDup.minhashSignatures(
+        docs.filter(!isNew), "doc_id", "text", shingleN = 1)
+      graft.dedup.NearDup.nearDupPairsIncremental(
+        docs.filter(isNew), indexSigs, docs, "doc_id", "text",
+        threshold = 0.9, shingleN = 1)
+    }, Some("""WITH toks AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS t
+       |  FROM documents)
+       |SELECT id1, id2, jaccard FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+       |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+       |WHERE jaccard >= 0.9""".stripMargin)),
+
     ("q58_ngram_jaccard", (s, d) => {
       // exact token-set Jaccard over a deterministic pair list
       // (adjacent doc ids) — the verify primitive of the LSH pipeline

@@ -201,6 +201,83 @@ object NearDup {
     out
   }
 
+  /** Incremental (daily-batch) MinHash-LSH near-dup detection against a
+    * PERSISTED signature index — the 100 TB daily-cadence shape: a new
+    * batch dedups against the whole corpus without recomputing corpus
+    * signatures, and the corpus never shuffles.
+    *
+    * `indexSigs` is the materialized output of [[minhashSignatures]]
+    * over the existing corpus (write it to a table once per corpus
+    * build; append each day's batch signatures after ingesting).
+    * `corpus` provides (idCol, textCol) for EVERY id either side of a
+    * candidate pair can name (old + new) — the exact-Jaccard verify
+    * reads only the matched candidates out of it.
+    *
+    * Output: verified pairs (id1 < id2, jaccard ≥ threshold) where at
+    * least one side is in the new batch — within-batch pairs AND
+    * batch-vs-corpus pairs. Old-old pairs are exactly what is NOT
+    * recomputed (they were found when their own batches arrived) —
+    * union with the prior pair table for the complete corpus state.
+    *
+    * Scale shape (the point of the operator): the index side is a
+    * NARROW banding projection over the stored signatures — tokenize/
+    * shingle/minhash (the dominant cost) never reruns — and the batch's
+    * bucket keys are BROADCAST to it, so the index is scanned once and
+    * shuffles nothing; the only exchanges carry the batch and the
+    * (near-linear) candidate set. Unlike the self-join family, the
+    * batch-vs-index join is BIPARTITE: a degenerate boilerplate bucket
+    * costs |bucket| × (batch rows in it) — linear in the index, never
+    * N_b² — so the [[capBuckets]] window runs on the batch side only
+    * (bounding that product at maxBucketSize per index row) and the
+    * index needs no cap pass at all. Within-batch pairs use the
+    * standard capped self-join on the (small) batch.
+    *
+    * Equality contract (unit-proven, and q137 oracles the composite
+    * against a brute-force SQL twin): on any corpus split (old, new),
+    * the result equals the full-corpus [[nearDupPairs]] recompute
+    * restricted to pairs touching `newBatch` — same signatures, same
+    * bands, same verify.
+    */
+  def nearDupPairsIncremental(newBatch: DataFrame, indexSigs: DataFrame,
+                              corpus: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.8, k: Int = 64,
+                              bands: Int = 16, shingleN: Int = 3,
+                              maxBucketSize: Int = 10000): DataFrame = {
+    val newSigs = minhashSignatures(newBatch, idCol, textCol, k, shingleN)
+    val newKeys = capBuckets(lshBuckets(newSigs, idCol, bands, k / bands),
+        Seq("band_id", "band_hash"), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxKeys = lshBuckets(indexSigs, idCol, bands, k / bands)
+    val pairs = incrementalCandidates(newKeys, idxKeys, idCol)
+    val out = jaccardVerify(pairs, corpus, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    newKeys.unpersist()
+    out
+  }
+
+  /** Candidate pairs of [[nearDupPairsIncremental]]: the batch's capped
+    * self-join plus the bipartite batch-keys-broadcast-to-index join —
+    * the index side contributes ZERO exchanges (plan-asserted in the
+    * spec; a sort-merge strategy here would silently shuffle the whole
+    * corpus index every day).
+    */
+  private[graft] def incrementalCandidates(newKeys: DataFrame,
+                                           idxKeys: DataFrame,
+                                           idCol: String): DataFrame = {
+    val newNew = bucketSelfJoin(newKeys, idCol, Seq("band_id", "band_hash"))
+    val newOld = idxKeys
+      .join(broadcast(newKeys.select(col("band_id"), col("band_hash"),
+        col(idCol).as("__new_id"))), Seq("band_id", "band_hash"))
+      .filter(col(idCol) =!= col("__new_id"))
+      .select(least(col(idCol), col("__new_id")).as("id1"),
+        greatest(col(idCol), col("__new_id")).as("id2"))
+      .distinct()
+    // a pair can reach both branches only when an id was re-ingested
+    // (present in the batch AND the index) — the union distinct folds it
+    newNew.unionByName(newOld).distinct()
+  }
+
   /** 64-bit SimHash over tokens: per-bit vote of token-hash sign bits,
     * computed by the native codegen'd [[graft.functions.SimHash64]]
     * expression — a pure projection, NO shuffle (the earlier explode +

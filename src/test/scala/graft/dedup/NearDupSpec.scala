@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 
 class NearDupSpec extends AnyFunSuite {
@@ -131,5 +132,45 @@ class NearDupSpec extends AnyFunSuite {
     val j = NearDup.jaccardVerify(pairs, docs, "doc_id", "text")
       .select("jaccard").as[Double].collect().head
     assert(j >= 0.0 && j < 0.2)
+  }
+
+  test("incremental dedup vs a signature index == full recompute restricted to the batch") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val isNew = col("doc_id") % 10 === 0
+    val newBatch = corpus.filter(isNew)
+    val indexSigs = NearDup.minhashSignatures(corpus.filter(!isNew), "doc_id", "text")
+    val inc = NearDup.nearDupPairsIncremental(newBatch, indexSigs, corpus,
+        "doc_id", "text", threshold = 0.9)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val newIds = newBatch.select("doc_id").as[Long].collect().toSet
+    val full = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    assert(inc == full)
+    assert(inc.nonEmpty) // the fixture corpus is template-heavy; must find pairs
+  }
+
+  test("incremental candidates: the index side contributes zero exchanges") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val isNew = col("doc_id") % 10 === 0
+    val newKeys = NearDup.lshBuckets(
+      NearDup.minhashSignatures(corpus.filter(isNew), "doc_id", "text"),
+      "doc_id", 16, 4)
+    val idxKeys = NearDup.lshBuckets(
+      NearDup.minhashSignatures(corpus.filter(!isNew), "doc_id", "text"),
+      "doc_id", 16, 4)
+    val cand = NearDup.incrementalCandidates(newKeys, idxKeys, "doc_id")
+    graft.audit.PlanGuard.assertNoCartesian(cand)
+    // budget: batch self-join exchange + its distinct, bipartite-side
+    // distinct, union distinct — the INDEX subtree adds none (its join
+    // is the broadcast of the batch keys; a sort-merge regression here
+    // would shuffle the whole corpus index daily and trip this pin)
+    cand.collect()
+    graft.audit.PlanGuard.assertMaxExchanges(cand, 5)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"index join is not broadcast:\n${plan.take(2000)}")
   }
 }
