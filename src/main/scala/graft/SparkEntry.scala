@@ -2576,6 +2576,70 @@ object SparkEntry {
          |QUALIFY rnk <= 5""".stripMargin
     }),
 
+    ("q138_cluster_balanced_sample", (s, d) =>
+      // mixture refresh on the corpus's OWN semantic structure: k-means
+      // (m=1 full-vector Lloyd, portable-hash init, 1 iteration) labels
+      // every embedding with its cluster, then the deterministic ppm
+      // mixture EQUALIZES cluster volumes — boilerplate/template blobs
+      // are downweighted even when no metadata column names them. The
+      // oracle unrolls the training iteration (q131's pinned folds),
+      // the assignment argmin, AND the per-cluster ppm rates in SQL —
+      // the full train->assign->rebalance composite is one hash compare
+      graft.sim.Pq.clusterBalancedSample(
+          t(s, d, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", k = 8, iters = 1)
+        .select("vec_id", "cluster"),
+      Some("""WITH elong AS (
+         |  SELECT e.vec_id, CAST(t.i - 1 AS BIGINT) AS j,
+         |    CAST(e.embedding[t.i] AS DOUBLE) AS val
+         |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
+         |cb0 AS (
+         |  SELECT h.code, l.j, l.val AS cval
+         |  FROM (SELECT vec_id, row_number() OVER (ORDER BY
+         |      ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code
+         |    FROM embeddings) h
+         |  JOIN elong l ON l.vec_id = h.vec_id
+         |  WHERE h.code < 8),
+         |d1 AS (
+         |  SELECT l.vec_id, c.code,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list((l.val - c.cval) * (l.val - c.cval) ORDER BY l.j)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM elong l JOIN cb0 c ON c.j = l.j
+         |  GROUP BY l.vec_id, c.code),
+         |a1 AS (
+         |  SELECT vec_id, code FROM d1
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1),
+         |m1 AS (
+         |  SELECT a.code, l.j,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.val ORDER BY l.vec_id)),
+         |      (x, y) -> x + y) / count(*) AS cval
+         |  FROM a1 a JOIN elong l ON l.vec_id = a.vec_id
+         |  GROUP BY a.code, l.j),
+         |cb1 AS (
+         |  SELECT c.code, c.j, coalesce(m.cval, c.cval) AS cval
+         |  FROM cb0 c LEFT JOIN m1 m ON m.code = c.code AND m.j = c.j),
+         |dfin AS (
+         |  SELECT l.vec_id, c.code,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list((l.val - c.cval) * (l.val - c.cval) ORDER BY l.j)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM elong l JOIN cb1 c ON c.j = l.j
+         |  GROUP BY l.vec_id, c.code),
+         |assign AS (
+         |  SELECT vec_id, code AS cluster FROM dfin
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1),
+         |cnts AS (
+         |  SELECT cluster, CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM assign GROUP BY 1),
+         |tm AS (SELECT min(cnt) AS tmax FROM cnts),
+         |r AS (SELECT cluster, floor(1000000 * tmax / cnt) AS ppm
+         |  FROM cnts CROSS JOIN tm)
+         |SELECT a.vec_id, a.cluster
+         |FROM assign a JOIN r USING (cluster)
+         |WHERE (((a.vec_id % 100000007) * (2654435761 + 67867967) % 99999989)
+         |    * 2246822519) % 1000000 < ppm""".stripMargin)),
+
     ("q113_bloom_decontaminate", (s, d) => {
       // q65's decontamination through a Bloom prefilter: most training
       // rows never join at all (one-row sketch broadcast), only

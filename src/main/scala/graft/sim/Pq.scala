@@ -171,6 +171,58 @@ object Pq {
       .select(col(idCol), col("pos").cast("long").as("sub"),
         col("col").as("code"))
 
+  /** Full-vector k-means cluster assignment: the `m = 1` degenerate of
+    * the PQ machinery IS Lloyd's k-means over whole vectors (one
+    * subspace spanning every dimension), so assignment is a single
+    * fused [[graft.functions.PqCodes]] projection — no join, no
+    * shuffle, and bit-portable like every code in this file (fixed
+    * fold, first-min argmin). Train the codebook with
+    * `kmeansTrain(…, m = 1, k, iters)`.
+    */
+  def kmeansAssign(df: DataFrame, vecCol: String,
+                   codebook: Array[Array[Array[Double]]],
+                   clusterCol: String = "cluster"): DataFrame = {
+    require(codebook.length == 1,
+      s"full-vector assignment needs an m = 1 codebook, got m = ${codebook.length}")
+    df.withColumn(clusterCol,
+      element_at(graft.functions.PqCodes.of(col(vecCol), codebook), 1))
+  }
+
+  /** Cluster-balanced sampling: stratify the corpus by its OWN
+    * embedding-space structure instead of a metadata column — train a
+    * full-vector k-means codebook, assign every vector its cluster
+    * ([[kmeansAssign]], a pure projection), and draw the deterministic
+    * parts-per-million mixture sample that EQUALIZES cluster volumes
+    * (every cluster contributes ~min-cluster-size rows). This is the
+    * data-mixing step language/domain stratification cannot express:
+    * semantic over-representation (boilerplate clusters, template
+    * blobs) is downweighted even when metadata says nothing.
+    *
+    * Output: the sampled rows of `emb` plus `clusterCol`. Everything
+    * downstream of training is declarative — the per-cluster rates come
+    * from [[graft.operators.Sample.mixtureSample]]'s aggregate + AQE
+    * broadcast-back join, no driver collect — and the id-hash ppm
+    * verdict keeps the draw deterministic across cluster sizes, file
+    * splits, and reruns. Training cost is `iters` jobs over the
+    * training frame; at 100 TB pass a deterministic sample as `emb`'s
+    * training stand-in via [[kmeansTrain]] directly and reuse the
+    * frozen codebook here.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                            k: Int = 8, iters: Int = 1,
+                            clusterCol: String = "cluster",
+                            seed: Long = 67867967L): DataFrame = {
+    val cb = kmeansTrain(emb, idCol, vecCol, m = 1, k = k, iters = iters)
+    val assigned = kmeansAssign(emb, vecCol, cb, clusterCol)
+      .withColumn("__graft_cluster_s", col(clusterCol).cast("string"))
+    // equal weights: the mixture rate floor(1e6·w·tmax/cnt) is scale-
+    // invariant in w, so 1.0 per cluster equalizes at max volume
+    val weights = (0 until k).map(c => c.toString -> 1.0).toMap
+    graft.operators.Sample.mixtureSample(
+        assigned, idCol, "__graft_cluster_s", weights, seed)
+      .drop("__graft_cluster_s")
+  }
+
   /** Asymmetric-distance (ADC) approximate top-k: the query stays
     * exact, corpus vectors are represented by their codes. Per query,
     * a `k × m` lookup table of subdistances to every centroid (a tiny

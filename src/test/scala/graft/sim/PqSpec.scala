@@ -229,4 +229,49 @@ class PqSpec extends AnyFunSuite {
     // must be present in the top ranks
     assert(out.map(_._2).contains(6L))
   }
+
+  test("kmeansAssign (m=1) is the full-vector nearest-centroid argmin") {
+    val cb = Pq.kmeansTrain(emb, "vec_id", "embedding", m = 1, k = 4, iters = 1)
+    val got = Pq.kmeansAssign(emb, "embedding", cb)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val expected = vecs.map { case (id, v) =>
+      id -> refCodes(cb, Map(id -> v))((id, 0L))
+    }
+    assert(got == expected)
+    assert(got(1L) == got(6L)) // exact dup, same cluster
+  }
+
+  test("clusterBalancedSample equals the driver-side replay exactly") {
+    val embR = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val out = Pq.clusterBalancedSample(embR, "vec_id", "embedding",
+        k = 8, iters = 1)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toSet
+
+    // replay: trained assignment (kmeansTrain/Assign are bit-pinned and
+    // unit-proven above), per-cluster ppm rate floor(1e6·min/cnt), and
+    // the exact hashMod2 verdict — the composite must match row-for-row
+    val cb = Pq.kmeansTrain(embR, "vec_id", "embedding", m = 1, k = 8, iters = 1)
+    val assigned = Pq.kmeansAssign(embR, "embedding", cb)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    val cnts = assigned.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val tmax = cnts.values.min
+    def ppmBucket(id: Long): Long = {
+      val p = 100000007L; val p2 = 99999989L
+      ((id % p) * (2654435761L + 67867967L) % p2) * 2246822519L % 1000000L
+    }
+    val expected = assigned.filter { case (id, c) =>
+      ppmBucket(id) < math.floor(1000000.0 * tmax / cnts(c)).toLong
+    }.toSet
+    assert(out == expected)
+    assert(out.nonEmpty)
+    // rebalance direction: no sampled cluster exceeds the pre-sample
+    // minimum by more than hash-uniformity noise
+    val sampled = out.groupBy(_._2).view.mapValues(_.size).toMap
+    sampled.foreach { case (c, n) =>
+      assert(n <= tmax * 1.5 + 8, s"cluster $c kept $n of target ~$tmax")
+    }
+  }
 }
