@@ -69,6 +69,73 @@ object Streams {
       }
       .start()
 
+  /** Continuous near-duplicate detection: the streaming face of
+    * [[graft.dedup.NearDup.nearDupPairsIncremental]] — each micro-batch
+    * of documents dedups against the ACCUMULATED signature index
+    * (tokenize/shingle/minhash run once per document, ever), then its
+    * own signatures join the index for the batches that follow. Under
+    * `root`: `corpus/` (id, text), `signatures/` (the MinHash index),
+    * and `pairs/` (verified id1 < id2 pairs, at least one side in the
+    * emitting batch). Because every batch emits exactly the pairs that
+    * TOUCH it, the union of `pairs/` telescopes to the full-corpus
+    * [[graft.dedup.NearDup.nearDupPairs]] pair set (the per-batch
+    * equality is unit-proven on the incremental operator; the spec
+    * proves the telescoped union too).
+    *
+    * Exactly-once without a transactional sink: each batch writes its
+    * three outputs under `batch=<id>` subdirectories with overwrite —
+    * a checkpoint replay rewrites the same directories and reads of
+    * the index/corpus EXCLUDE the replaying batch's own partition
+    * (a partition-pruned filter, no scan cost), so a replayed batch
+    * produces byte-identical state instead of duplicates. The index
+    * side of the join stays exchange-free exactly as in the batch
+    * operator. Housekeeping at scale: many small `batch=` dirs build
+    * up under daily cadence — compact them periodically (read, coalesce,
+    * rewrite) outside the stream; the stream itself never rewrites old
+    * partitions.
+    */
+  def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
+                  root: String, checkpoint: String, threshold: Double = 0.8,
+                  k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                  maxBucketSize: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val nd = graft.dedup.NearDup
+        val b = batch.select(col(idCol), col(textCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (corpusDir, indexDir, pairsDir) =
+          (s"$root/corpus", s"$root/signatures", s"$root/pairs")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+        val pairs =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexDir))) {
+            // `batch` is the discovered partition column of the per-batch
+            // dirs; excluding our own id makes a replay see exactly the
+            // state the original run saw (partition-pruned, not scanned)
+            val idx = spark.read.parquet(indexDir)
+              .filter(col("batch") =!= batchId).drop("batch")
+            val corpus = spark.read.parquet(corpusDir)
+              .filter(col("batch") =!= batchId).drop("batch")
+              .select(col(idCol), col(textCol))
+              .unionByName(b)
+            nd.nearDupPairsIncremental(b, idx, corpus, idCol, textCol,
+              threshold, k, bands, shingleN, maxBucketSize)
+          } else
+            nd.nearDupPairs(b, idCol, textCol, threshold, k, bands,
+              shingleN, maxBucketSize)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        nd.minhashSignatures(b, idCol, textCol, k, shingleN)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        b.unpersist()
+        ()
+      }
+      .start()
+
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserSession(user_id: Long, events: Long, total: Double,
                                lastSeen: Timestamp)

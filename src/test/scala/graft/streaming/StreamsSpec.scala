@@ -97,6 +97,34 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupSink: streamed batches telescope to the full-corpus pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ndsink").toString
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nearDupSink(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/state", s"$root/ckpt", threshold = 0.9)
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/state/pairs")
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val full = graft.dedup.NearDup.nearDupPairs(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.9)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(streamed == full)
+    assert(streamed.nonEmpty)
+    // each batch emits only pairs touching it -> batch pair sets are
+    // disjoint (no double counting across the stream's lifetime)
+    assert(spark.read.parquet(s"$root/state/pairs")
+      .select("id1", "id2").distinct().count() ==
+      spark.read.parquet(s"$root/state/pairs").count())
+  }
+
   test("hash sampling is replay-stable: batch split doesn't change the sample") {
     // df.sample draws from partition-seeded RNG, so a streaming replay
     // or re-batching changes which rows survive — Sample.hashSample
