@@ -91,15 +91,42 @@ object NearDup {
     * mega-bucket lands in one window group; WindowExec buffers it via
     * its spilling row array, so the cost stays linear in the bucket
     * (disk-bound, not N²) and the filter then drops it.
+    *
+    * `skewSafe = true` trades that measured common-case win for
+    * mega-bucket immunity: the window funnels a degenerate bucket into
+    * ONE task's spilling buffer before dropping it — linear, but a
+    * single-task disk/straggler hit in exactly the pathological case
+    * the cap exists for. The skew-safe shape never concentrates the
+    * bucket anywhere: exact per-key counts from a map-side-combined
+    * aggregate (each input partition contributes one row per key — the
+    * mega-bucket arrives at the agg as P partials, not M rows), the
+    * few over-cap keys broadcast back as a map-side anti-join on the
+    * UNSHUFFLED input, and a repartition on the bucket key restores
+    * the distribution the self-join wants — same exchange count for
+    * the big table, plus the small counts shuffle and a broadcast
+    * barrier. Use it when the corpus is known to carry mass-duplicated
+    * blobs (unfiltered crawl, license boilerplate); the input's
+    * lineage is scanned twice, so persist upstream when it is
+    * expensive ([[nearDupPairs]] does when its `skewSafe` is set).
     */
   private[graft] def capBuckets(keyed: DataFrame, keyCols: Seq[String],
-                                maxBucketSize: Int): DataFrame = {
+                                maxBucketSize: Int,
+                                skewSafe: Boolean = false): DataFrame = {
     require(maxBucketSize > 0, s"maxBucketSize must be positive, got $maxBucketSize")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-    keyed.withColumn("__graft_bucket_n", count(lit(1)).over(w))
-      .filter(col("__graft_bucket_n") <= maxBucketSize)
-      .drop("__graft_bucket_n")
+    if (skewSafe) {
+      val overCap = keyed.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__graft_bucket_n"))
+        .filter(col("__graft_bucket_n") > maxBucketSize)
+        .select(keyCols.map(col): _*)
+      keyed.join(broadcast(overCap), keyCols, "left_anti")
+        .repartition(keyCols.map(col): _*)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      keyed.withColumn("__graft_bucket_n", count(lit(1)).over(w))
+        .filter(col("__graft_bucket_n") <= maxBucketSize)
+        .drop("__graft_bucket_n")
+    }
   }
 
   /** Candidate (id1 < id2) pairs from a capped, bucket-keyed table via
@@ -185,19 +212,32 @@ object NearDup {
     * pair blocks stay on executors until the returned frame is GC'd,
     * and the truncated lineage means an executor loss cannot recompute
     * them (re-run the call in that case).
+    *
+    * `skewSafe`: set when the corpus carries mass-duplicated blobs —
+    * the bucket cap then trims over-full buckets BEFORE any exchange
+    * can concentrate one in a single task (see [[capBuckets]] for the
+    * shape and its measured common-case cost). The uncapped bucket
+    * table is persisted in that mode because the cap scans it twice.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
-                   shingleN: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+                   shingleN: Int = 3, maxBucketSize: Int = 10000,
+                   skewSafe: Boolean = false): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
-    val capped = capBuckets(lshBuckets(sigs, idCol, bands, k / bands),
-        Seq("band_id", "band_hash"), maxBucketSize)
+    val buckets = lshBuckets(sigs, idCol, bands, k / bands)
+    val raw =
+      if (skewSafe)
+        buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else buckets
+    val capped = capBuckets(raw, Seq("band_id", "band_hash"), maxBucketSize,
+        skewSafe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bucketSelfJoin(capped, idCol, Seq("band_id", "band_hash"))
     val out = jaccardVerify(pairs, df, idCol, textCol)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     capped.unpersist()
+    if (skewSafe) raw.unpersist()
     out
   }
 

@@ -114,6 +114,40 @@ class NearDupSpec extends AnyFunSuite {
     assert(verified == Set((5000L, 5001L)))
   }
 
+  test("skew-safe cap: equals the window cap; no window buffers the blob") {
+    // same degenerate corpus as the window-cap test: the 1000-doc blob
+    // must vanish and the real pair survive, with IDENTICAL output —
+    // but via the pre-exchange trim, so no plan node ever holds the
+    // blob's bucket in one task's buffer
+    val blob = (0L until 1000L).map(i => (i, base * 2))
+    val pairDocs = Seq(
+      (5000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val corpus = (blob ++ pairDocs).toDF("doc_id", "text")
+    val safe = NearDup.nearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 10, skewSafe = true)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val window = NearDup.nearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 10)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(safe == window)
+    assert(safe.map(p => (p._1, p._2)) == Set((5000L, 5001L)))
+
+    // plan shape: the trim is a broadcast left-anti on the unshuffled
+    // input — no Window node anywhere, and the only full-table
+    // exchange below the self-join is the explicit bucket-key
+    // repartition the join then reuses
+    val buckets = NearDup.lshBuckets(
+      NearDup.minhashSignatures(corpus, "doc_id", "text"), "doc_id", 16, 4)
+    val capped = NearDup.capBuckets(buckets,
+      Seq("band_id", "band_hash"), 10, skewSafe = true)
+    capped.collect()
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"skew-safe cap planned a window:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"over-cap trim is not a broadcast anti-join:\n${plan.take(2000)}")
+  }
+
   test("bucket cap: simhashPairsBlocked drops the identical blob, keeps near pairs") {
     val rnd = new scala.util.Random(7)
     val blobSig = rnd.nextLong()
