@@ -8,14 +8,21 @@ import org.apache.spark.sql.types.DecimalType
 object Tables {
   /** Read one testdata table (TESTDATA.md layout).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — we read it as a long (legacy nanosAsLong) and convert to
-    * a microsecond timestamp with integer division (the data carries no
-    * sub-microsecond component; DuckDB's read does the same µs
-    * conversion, so oracle comparisons line up).
+    * Timestamp columns must come out as TIMESTAMP (LTZ) — downstream
+    * code uses `unix_micros` and friends, and the DuckDB oracle reads
+    * the same µs wall-clock values (sessions run UTC, so LTZ and naive
+    * agree). Two parquet layouts exist across testdata generations:
+    *   - TIMESTAMP(NANOS): no native Spark type — read as long (legacy
+    *     nanosAsLong) and convert with integer division (the data has no
+    *     sub-µs component);
+    *   - timestamp[us] with isAdjustedToUTC=false: would infer as
+    *     TIMESTAMP_NTZ — disable `inferTimestampNTZ` so the SCAN types
+    *     it as TIMESTAMP directly (keeps predicate pushdown on the
+    *     column; a post-hoc cast would not).
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (df.schema.fields.exists(f =>
         f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
