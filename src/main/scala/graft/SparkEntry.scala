@@ -2640,6 +2640,30 @@ object SparkEntry {
          |WHERE (((a.vec_id % 100000007) * (2654435761 + 67867967) % 99999989)
          |    * 2246822519) % 1000000 < ppm""".stripMargin)),
 
+    ("q139_temperature_sample", (s, d) =>
+      // exponentiated domain smoothing (rate ∝ share^alpha): at
+      // alpha=0.5 low-resource languages are upweighted relative to
+      // their natural share without flattening the mix. The oracle
+      // replays the count aggregate, the closed-form
+      // (cnt_min/cnt)^(1-alpha) ppm rate (rounded before flooring —
+      // pow is the one last-ulp-unstable step), and the two-round
+      // sampler hash, so the kept row SET is one hash compare.
+      graft.operators.Sample.temperatureSample(
+          t(s, d, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang"),
+      Some("""WITH cnts AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM documents GROUP BY 1),
+         |cm AS (SELECT min(cnt) AS cmin FROM cnts),
+         |r AS (SELECT lang,
+         |    floor(round(pow(cmin / cnt, 0.5) * 1000000, 6)) AS ppm
+         |  FROM cnts CROSS JOIN cm)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN r USING (lang)
+         |WHERE (((d.doc_id % 100000007) * (2654435761 + 86028121) % 99999989)
+         |    * 2246822519) % 1000000 < r.ppm""".stripMargin)),
+
     ("q113_bloom_decontaminate", (s, d) => {
       // q65's decontamination through a Bloom prefilter: most training
       // rows never join at all (one-row sketch broadcast), only

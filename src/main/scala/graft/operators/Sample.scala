@@ -203,4 +203,36 @@ object Sample {
       .filter(bucketPpm(col(idCol), seed) < col("__ppm"))
       .drop("__ppm")
   }
+
+  /** Temperature-based domain reweighting: sample stratum `s` at a rate
+    * proportional to `p_s^alpha` where `p_s` is the stratum's natural
+    * share — the exponentiated-smoothing mix used by multilingual and
+    * multi-domain LLM corpus recipes. `alpha = 1` keeps the natural
+    * distribution (every row), `alpha = 0` equalizes strata (the
+    * cluster-balance limit), and intermediate values upweight
+    * low-resource strata without flattening the mix entirely. The
+    * maximum-volume realization keeps `(cnt_min / cnt_s)^(1-alpha)` of
+    * each stratum (the smallest stratum keeps everything), applied via
+    * the deterministic ppm hash so the sample is engine-portable. The
+    * single `pow` is the only non-IEEE-exact step (libm vs JVM can
+    * differ in the last ulp), so the ppm rate is rounded to 6 decimals
+    * before flooring — same guard as [[weightedSample]]'s `ln`.
+    * Declarative end-to-end: counts aggregate, one-row global min cross
+    * join, rate join back on the stratum key (AQE broadcasts it) — no
+    * driver collect, composes lazily.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double, seed: Long = 86028121L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    val counts = df.groupBy(stratumCol)
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val cmin = counts.agg(min(col("__cnt")).as("__cmin"))
+    val rates = counts.crossJoin(cmin)
+      .select(col(stratumCol),
+        floor(round(pow(col("__cmin") / col("__cnt"), lit(1.0 - alpha))
+          * lit(1000000.0), 6)).as("__ppm"))
+    df.join(rates, stratumCol)
+      .filter(bucketPpm(col(idCol), seed) < col("__ppm"))
+      .drop("__ppm")
+  }
 }

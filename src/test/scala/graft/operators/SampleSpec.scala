@@ -54,6 +54,37 @@ class SampleSpec extends AnyFunSuite {
     assert(out("small") > 39000L, out.toString)
   }
 
+  test("temperatureSample: alpha=1 keeps everything, alpha=0 equalizes, alpha=0.5 between") {
+    val rows = (1L to 5000L).map { i =>
+      (i, if (i % 5 < 4) "big" else "small")
+    }.toDF("id", "stratum") // counts: big=4000, small=1000
+    val all = Sample.temperatureSample(rows, "id", "stratum", alpha = 1.0)
+    assert(all.count() == 5000)
+
+    val eq = Sample.temperatureSample(rows, "id", "stratum", alpha = 0.0)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // alpha=0: every stratum sampled down to the smallest (1000)
+    assert(eq("small") > 900)
+    assert(math.abs(eq("big") - 1000) < 150, eq.toString)
+
+    val half = Sample.temperatureSample(rows, "id", "stratum", alpha = 0.5)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // alpha=0.5: big keeps sqrt(1000/4000) = 50% -> ~2000 rows
+    assert(half("small") > 900)
+    assert(math.abs(half("big") - 2000) < 200, half.toString)
+    // sampled share of big strictly between the alpha=0 and alpha=1 mixes
+    assert(half("big") > eq("big") && half("big") < 4000)
+  }
+
+  test("temperatureSample is layout-independent") {
+    val rows = (1L to 3000L).map(i => (i, (i % 3).toString)).toDF("id", "stratum")
+    val a = Sample.temperatureSample(rows, "id", "stratum", 0.3)
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    val b = Sample.temperatureSample(rows.repartition(13), "id", "stratum", 0.3)
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("stratifiedHashSample honors fractional permille rates") {
     val rows = (1L to 100000L).map((_, "a")).toDF("id", "stratum")
     val kept = Sample.stratifiedHashSample(rows, "id", "stratum",
