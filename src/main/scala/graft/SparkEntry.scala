@@ -1933,31 +1933,39 @@ object SparkEntry {
       // doc_id % 10 == 0 arrive as the new batch; the rest are the
       // existing corpus whose minhash signatures are already
       // materialized. Output = verified pairs touching the batch. The
-      // oracle is the BRUTE-FORCE bipartite Jaccard at the same
-      // threshold — sound because shingleN = 1 makes the MinHash
-      // similarity THE SAME measure the verify thresholds (token-SET
-      // Jaccard; at 3-gram shingles a reordered doc has J_shingle ≪
-      // J_token and legitimately never collides): at 16 bands × 4 rows
-      // a J ≥ 0.9 pair is missed with probability (1−0.9⁴)¹⁶ ≈ 4e-8,
-      // so LSH recall here is exactly 1 and candidate generation +
-      // verify must reproduce the exact brute-force pair set — a
-      // STRONGER check than the rows-only q49 (whose xxhash signatures
-      // are the only un-replayable part)
+      // oracle is the BRUTE-FORCE bipartite 3-shingle Jaccard at the
+      // same threshold — sound because signatures AND verify use the
+      // SAME measure (distinct 3-gram shingle sets, verifyShingleN =
+      // shingleN = 3): at 16 bands × 4 rows a J ≥ 0.9 pair is missed
+      // with probability (1−0.9⁴)¹⁶ ≈ 4e-8, so LSH recall is exactly 1
+      // and candidate generation + verify must reproduce the exact
+      // brute-force pair set — a STRONGER check than the rows-only q49
+      // (whose xxhash signatures are the only un-replayable part). A
+      // token-level (shingleN = 1) variant is measure-consistent too but
+      // DEGENERATE on this corpus at scale: long docs all cover the same
+      // small vocabulary, token sets collide en masse, and the "near-dup
+      // pair set" itself grows quadratically (~177k pairs at sf0.1);
+      // 3-shingles keep word ORDER in the measure, so only the planted
+      // near-duplicates qualify.
       val docs = t(s, d, "documents").select("doc_id", "text")
       val isNew = col("doc_id") % 10 === 0
       val indexSigs = graft.dedup.NearDup.minhashSignatures(
-        docs.filter(!isNew), "doc_id", "text", shingleN = 1)
+        docs.filter(!isNew), "doc_id", "text", shingleN = 3)
       graft.dedup.NearDup.nearDupPairsIncremental(
         docs.filter(isNew), indexSigs, docs, "doc_id", "text",
-        threshold = 0.9, shingleN = 1)
+        threshold = 0.9, shingleN = 3, verifyShingleN = 3)
     }, Some("""WITH toks AS (
-       |  SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS t
-       |  FROM documents)
+       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |    FOR i IN range(1, len(t) - 1)]) AS g
+       |  FROM toks WHERE len(t) >= 3)
        |SELECT id1, id2, jaccard FROM (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-       |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
-       |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
        |WHERE jaccard >= 0.9""".stripMargin)),
 
@@ -2663,6 +2671,36 @@ object SparkEntry {
          |FROM documents d JOIN r USING (lang)
          |WHERE (((d.doc_id % 100000007) * (2654435761 + 86028121) % 99999989)
          |    * 2246822519) % 1000000 < r.ppm""".stripMargin)),
+
+    ("q140_bm25_topk", (s, d) =>
+      // Okapi BM25 keyword retrieval (Lucene idf variant) for a fixed
+      // 4-term query, one term deliberately absent from the corpus (it
+      // must drop out identically on both engines). ln rounded at 9 dp,
+      // each contribution rounded at 9 dp, per-doc sum in exact decimal
+      // — the top-20 (score desc, id asc) is one hash compare.
+      graft.text.Vocab.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "stream", "shuffle"), k = 20),
+      Some(s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+         |q AS (SELECT * FROM (VALUES ('spark'), ('vector'), ('stream'),
+         |                            ('shuffle')) AS t(token)),
+         |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf JOIN q USING (token) GROUP BY 1),
+         |per AS (
+         |  SELECT tf.doc_id,
+         |    round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+         |      * tf.tf * (1.2 + 1.0)
+         |      / (tf.tf + 1.2 * ((1.0 - 0.75)
+         |          + 0.75 * CAST(dl AS DOUBLE) * n_docs / total_dl)), 9) AS c
+         |  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, ${dsumSql("c")} AS score
+         |FROM per GROUP BY 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
     ("q113_bloom_decontaminate", (s, d) => {
       // q65's decontamination through a Bloom prefilter: most training

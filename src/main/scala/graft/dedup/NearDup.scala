@@ -179,6 +179,32 @@ object NearDup {
           size(array_union(col("t1"), col("t2")))).as("jaccard"))
   }
 
+  /** Exact Jaccard over distinct token n-gram (shingle) sets — the
+    * verify measure that MATCHES what n-shingle MinHash signatures
+    * estimate. [[jaccardVerify]]'s token-set Jaccard is a different
+    * measure at n > 1 (a reordered doc keeps its token set but loses
+    * its shingles), so a pipeline that signatures at `shingleN = n` and
+    * verifies token-wise cannot claim its LSH recall bound end-to-end;
+    * this one can. `n = 1` is exactly [[jaccardVerify]]. Docs with
+    * fewer than `n` tokens have no shingles and drop out (inner-join
+    * semantics, same as [[containmentVerify]]).
+    */
+  def gramJaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+                        textCol: String, n: Int): DataFrame =
+    if (n == 1) jaccardVerify(pairs, df, idCol, textCol)
+    else {
+      val grams = ensureParallel(df, col(idCol))
+        .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col(idCol), array_distinct(TextOps.ngrams(col("toks"), n)).as("g"))
+      pairs
+        .join(grams.select(col(idCol).as("id1"), col("g").as("g1")), Seq("id1"))
+        .join(grams.select(col(idCol).as("id2"), col("g").as("g2")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+            size(array_union(col("g1"), col("g2")))).as("jaccard"))
+    }
+
   /** One-sided n-gram containment for candidate pairs:
     * `|grams(A) ∩ grams(B)| / |grams(A)|` over distinct token n-grams.
     * Jaccard misses QUOTATION — a short doc wholly embedded in a long
@@ -218,11 +244,18 @@ object NearDup {
     * can concentrate one in a single task (see [[capBuckets]] for the
     * shape and its measured common-case cost). The uncapped bucket
     * table is persisted in that mode because the cap scans it twice.
+    *
+    * `verifyShingleN`: the n of the exact-Jaccard verify measure
+    * ([[gramJaccardVerify]]). The default 1 (token sets) is kept for
+    * callers whose downstream thresholds were tuned against it; pass
+    * `verifyShingleN = shingleN` for the measure-consistent pipeline
+    * whose LSH recall bound holds end-to-end (see q137).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, k: Int = 64, bands: Int = 16,
                    shingleN: Int = 3, maxBucketSize: Int = 10000,
-                   skewSafe: Boolean = false): DataFrame = {
+                   skewSafe: Boolean = false,
+                   verifyShingleN: Int = 1): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
     val buckets = lshBuckets(sigs, idCol, bands, k / bands)
     val raw =
@@ -233,7 +266,7 @@ object NearDup {
         skewSafe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bucketSelfJoin(capped, idCol, Seq("band_id", "band_hash"))
-    val out = jaccardVerify(pairs, df, idCol, textCol)
+    val out = gramJaccardVerify(pairs, df, idCol, textCol, verifyShingleN)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     capped.unpersist()
@@ -282,14 +315,15 @@ object NearDup {
                               corpus: DataFrame, idCol: String, textCol: String,
                               threshold: Double = 0.8, k: Int = 64,
                               bands: Int = 16, shingleN: Int = 3,
-                              maxBucketSize: Int = 10000): DataFrame = {
+                              maxBucketSize: Int = 10000,
+                              verifyShingleN: Int = 1): DataFrame = {
     val newSigs = minhashSignatures(newBatch, idCol, textCol, k, shingleN)
     val newKeys = capBuckets(lshBuckets(newSigs, idCol, bands, k / bands),
         Seq("band_id", "band_hash"), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idxKeys = lshBuckets(indexSigs, idCol, bands, k / bands)
     val pairs = incrementalCandidates(newKeys, idxKeys, idCol)
-    val out = jaccardVerify(pairs, corpus, idCol, textCol)
+    val out = gramJaccardVerify(pairs, corpus, idCol, textCol, verifyShingleN)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     newKeys.unpersist()

@@ -97,7 +97,7 @@ object Streams {
   def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
                   root: String, checkpoint: String, threshold: Double = 0.8,
                   k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-                  maxBucketSize: Int = 10000)
+                  maxBucketSize: Int = 10000, verifyShingleN: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -123,10 +123,10 @@ object Streams {
               .select(col(idCol), col(textCol))
               .unionByName(b)
             nd.nearDupPairsIncremental(b, idx, corpus, idCol, textCol,
-              threshold, k, bands, shingleN, maxBucketSize)
+              threshold, k, bands, shingleN, maxBucketSize, verifyShingleN)
           } else
             nd.nearDupPairs(b, idCol, textCol, threshold, k, bands,
-              shingleN, maxBucketSize)
+              shingleN, maxBucketSize, verifyShingleN = verifyShingleN)
         pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
         nd.minhashSignatures(b, idCol, textCol, k, shingleN)
           .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")

@@ -98,6 +98,63 @@ object Vocab {
           .as("w"))
   }
 
+  /** Okapi BM25 scores for a fixed keyword query over the corpus — the
+    * classic lexical-retrieval ranking (Robertson et al.; the
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf variant Lucene uses, which never
+    * goes negative). Shape mirrors [[topTfidfTerm]]: one explode feeds
+    * (doc, term) counts; document lengths and the corpus totals are
+    * aggregates OF that aggregate (the shuffle carries distinct keys,
+    * never token instances); the query-term document frequencies are
+    * computed AFTER filtering the term-count table to the query's terms,
+    * so the df aggregate touches |Q| keys, not the whole vocabulary.
+    * Corpus totals ride in as a one-row cross join — no driver collect,
+    * fully lazy, and the per-query cost at 100 TB is the posting rows of
+    * the query terms, not a vocabulary scan.
+    *
+    * Determinism: `ln` is rounded to 9 dp (JVM vs libm last-ulp), every
+    * other step is exactly-rounded IEEE arithmetic evaluated in the same
+    * order as the SQL twin, each term's contribution is rounded to 9 dp,
+    * and the per-doc sum runs in exact decimal (order-independent on any
+    * partitioning). `dl/avgdl` is computed as `dl · N / total_dl` in
+    * DOUBLE to keep one well-defined rounding per operation.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tfq = tf.filter(col("token").isin(queryTerms: _*))
+    val dfreq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = round(
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)), 9)
+    val contrib = round(
+      idf * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("dl").cast("double") * col("n_docs") / col("total_dl"))),
+      9)
+    tfq.join(dfreq, Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(stats)
+      .groupBy(col(idCol))
+      .agg(graft.Exprs.dsum(contrib).as("score"))
+  }
+
+  /** Global BM25 top-k: [[bm25Scores]] + a deterministic TakeOrdered
+    * (score desc, id asc) — k rows to the driver, never the corpus.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(df, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
   /** Sparse TF-IDF cosine similarity for an explicit pair list
     * (`id1`, `id2`) — the term-JOIN formulation: the dot product is an
     * equi-join of the weight table with itself on (pair, token), so

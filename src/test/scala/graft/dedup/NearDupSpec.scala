@@ -168,6 +168,47 @@ class NearDupSpec extends AnyFunSuite {
     assert(j >= 0.0 && j < 0.2)
   }
 
+  test("gramJaccardVerify: n=1 is token jaccard; n=3 penalizes reordering") {
+    // same token SET, different order: token-J = 1, 3-shingle-J ≪ 1
+    val reordered = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "h g f e d c b a")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val tokJ = NearDup.gramJaccardVerify(pairs, reordered, "doc_id", "text", 1)
+      .select("jaccard").as[Double].collect().head
+    val triJ = NearDup.gramJaccardVerify(pairs, reordered, "doc_id", "text", 3)
+      .select("jaccard").as[Double].collect().head
+    assert(tokJ == 1.0)
+    assert(triJ == 0.0) // no 3-gram survives a full reversal
+    // n=1 delegates to jaccardVerify exactly
+    val viaTok = NearDup.jaccardVerify(pairs, reordered, "doc_id", "text")
+      .select("jaccard").as[Double].collect().head
+    assert(tokJ == viaTok)
+    // docs shorter than n drop out (no shingles, inner-join semantics)
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(NearDup.gramJaccardVerify(pairs, short, "doc_id", "text", 3).isEmpty)
+  }
+
+  test("measure-consistent incremental dedup (verifyShingleN=shingleN) == full recompute restricted") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val isNew = col("doc_id") % 10 === 0
+    val newBatch = corpus.filter(isNew)
+    val indexSigs = NearDup.minhashSignatures(corpus.filter(!isNew),
+      "doc_id", "text", shingleN = 3)
+    val inc = NearDup.nearDupPairsIncremental(newBatch, indexSigs, corpus,
+        "doc_id", "text", threshold = 0.9, shingleN = 3, verifyShingleN = 3)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val newIds = newBatch.select("doc_id").as[Long].collect().toSet
+    val full = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.9,
+        shingleN = 3, verifyShingleN = 3)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    assert(inc == full)
+    assert(inc.nonEmpty) // the fixture corpus has planted near-dups
+  }
+
   test("incremental dedup vs a signature index == full recompute restricted to the batch") {
     val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")

@@ -70,4 +70,36 @@ class VocabSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L)).toDF("id1", "id2")
     assert(Vocab.sparseTfidfCosine(pairs, disjoint, "doc_id", "text").isEmpty)
   }
+
+  test("bm25Scores matches a hand computation; absent terms drop out") {
+    // corpus: N=3, dl = 3, 3, 4, avgdl = 10/3
+    // query {a, d, zzz}: df(a)=2, df(d)=1, zzz absent
+    val k1 = 1.2; val b = 0.75
+    val got = Vocab.bm25Scores(docs, "doc_id", "text", Seq("a", "d", "zzz"))
+      .as[(Long, Double)].collect().toMap
+    def idf(df: Int) = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Long, df: Int, dl: Long) =
+      idf(df) * tf * (k1 + 1.0) /
+        (tf + k1 * (1.0 - b + b * dl * 3.0 / 10.0))
+    // doc1 "a a b": tf(a)=2; doc2 "a b c": tf(a)=1; doc3 "c c c d": tf(d)=1
+    assert(math.abs(got(1L) - term(2, 2, 3)) < 1e-6)
+    assert(math.abs(got(2L) - term(1, 2, 3)) < 1e-6)
+    assert(math.abs(got(3L) - term(1, 1, 4)) < 1e-6)
+    // rarer term at equal tf outscores: doc3's d-hit beats doc2's a-hit
+    assert(got(3L) > got(2L))
+    // tf saturation: doubling tf (doc1 vs doc2) < doubling the score
+    assert(got(1L) < 2 * got(2L) && got(1L) > got(2L))
+  }
+
+  test("bm25TopK is deterministic and k-bounded") {
+    val big = (1L to 500L)
+      .map(i => (i, if (i % 7 == 0) "a d x" else "a b c")).toDF("doc_id", "text")
+    val top = Vocab.bm25TopK(big, "doc_id", "text", Seq("d"), k = 5)
+      .as[(Long, Double)].collect()
+    assert(top.length == 5)
+    assert(top.map(_._1).toSeq == Seq(7L, 14L, 21L, 28L, 35L)) // ties -> id asc
+    val again = Vocab.bm25TopK(big.repartition(17), "doc_id", "text",
+      Seq("d"), k = 5).as[(Long, Double)].collect()
+    assert(top.toSeq == again.toSeq)
+  }
 }
