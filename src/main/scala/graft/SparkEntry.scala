@@ -2672,6 +2672,92 @@ object SparkEntry {
          |WHERE (((d.doc_id % 100000007) * (2654435761 + 86028121) % 99999989)
          |    * 2246822519) % 1000000 < r.ppm""".stripMargin)),
 
+    ("q141_semdedup", (s, d) => {
+      // SemDeDup: cluster on unit vectors, prune within-cluster pairs at
+      // cosine >= 0.999. Scaled copies (x1.5, +1000000 ids) are the
+      // planted semantic dups — normalization puts each copy in its
+      // original's cluster, the copy (higher id) is dropped. The oracle
+      // unrolls normalize -> kmeans train+assign (q138's pinned folds,
+      // on unit vectors) -> within-cluster pair dots -> the drop rule,
+      // so train/assign/prune is ONE hash compare. Natural max pairwise
+      // cosine in this corpus is 0.51 vs the planted ~1.0 — nothing
+      // sits near the 0.999 boundary on either engine.
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      graft.sim.Pq.semDedup(emb.unionByName(scaled), "vec_id", "embedding",
+          k = 8, iters = 1, threshold = 0.999)
+        .select("vec_id", "cluster")
+    }, Some("""WITH u AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |         list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+       |  FROM embeddings),
+       |elong0 AS (
+       |  SELECT u.vec_id, CAST(t.i - 1 AS BIGINT) AS j,
+       |    CAST(u.embedding[t.i] AS DOUBLE) AS val
+       |  FROM u CROSS JOIN range(1, 65) t(i)),
+       |nrm AS (
+       |  SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(val * val ORDER BY j)), (a, b) -> a + b)) AS nv
+       |  FROM elong0 GROUP BY vec_id),
+       |elong AS (
+       |  SELECT e.vec_id, e.j, e.val / n.nv AS val
+       |  FROM elong0 e JOIN nrm n USING (vec_id)),
+       |cb0 AS (
+       |  SELECT h.code, l.j, l.val AS cval
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY
+       |      ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code
+       |    FROM u) h
+       |  JOIN elong l ON l.vec_id = h.vec_id
+       |  WHERE h.code < 8),
+       |d1 AS (
+       |  SELECT l.vec_id, c.code,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list((l.val - c.cval) * (l.val - c.cval) ORDER BY l.j)),
+       |      (a, b) -> a + b) AS dist
+       |  FROM elong l JOIN cb0 c ON c.j = l.j
+       |  GROUP BY l.vec_id, c.code),
+       |a1 AS (
+       |  SELECT vec_id, code FROM d1
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1),
+       |m1 AS (
+       |  SELECT a.code, l.j,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.val ORDER BY l.vec_id)),
+       |      (x, y) -> x + y) / count(*) AS cval
+       |  FROM a1 a JOIN elong l ON l.vec_id = a.vec_id
+       |  GROUP BY a.code, l.j),
+       |cb1 AS (
+       |  SELECT c.code, c.j, coalesce(m.cval, c.cval) AS cval
+       |  FROM cb0 c LEFT JOIN m1 m ON m.code = c.code AND m.j = c.j),
+       |dfin AS (
+       |  SELECT l.vec_id, c.code,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list((l.val - c.cval) * (l.val - c.cval) ORDER BY l.j)),
+       |      (a, b) -> a + b) AS dist
+       |  FROM elong l JOIN cb1 c ON c.j = l.j
+       |  GROUP BY l.vec_id, c.code),
+       |assign AS (
+       |  SELECT vec_id, code AS cluster FROM dfin
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1),
+       |pd AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(ea.val * eb.val ORDER BY ea.j)), (x, y) -> x + y) AS dot
+       |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN elong0 ea ON ea.vec_id = a.vec_id
+       |  JOIN elong0 eb ON eb.vec_id = b.vec_id AND eb.j = ea.j
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT p.id2 AS vec_id
+       |  FROM pd p JOIN nrm n1 ON n1.vec_id = p.id1
+       |  JOIN nrm n2 ON n2.vec_id = p.id2
+       |  WHERE p.dot / (n1.nv * n2.nv) >= 0.999)
+       |SELECT a.vec_id, a.cluster FROM assign a
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = a.vec_id)"""
+      .stripMargin)),
+
     ("q140_bm25_topk", (s, d) =>
       // Okapi BM25 keyword retrieval (Lucene idf variant) for a fixed
       // 4-term query, one term deliberately absent from the corpus (it

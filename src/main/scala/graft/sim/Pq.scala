@@ -223,6 +223,61 @@ object Pq {
       .drop("__graft_cluster_s")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by cluster-then-prune — k-means over L2-NORMALIZED
+    * embeddings partitions the corpus into semantic neighborhoods, and
+    * only WITHIN a cluster are pairwise cosines computed; a row is
+    * dropped when a lower-id row in its cluster is more similar than
+    * `threshold`. Catches what MinHash cannot: paraphrases and
+    * re-encodings share no shingles but sit on the same direction.
+    *
+    * Clustering runs on unit vectors (direction only — a 1.5×-scaled
+    * re-encode must land in its original's cluster, which raw-L2
+    * k-means does not guarantee); the verify cosine runs on the RAW
+    * vectors (cosine is scale-invariant, and skipping the normalize
+    * keeps the verify replayable against un-normalized stores).
+    *
+    * Scale shape: the quadratic is confined to clusters — cost is
+    * Σ n_c², the paper's own knob (k scales with N to bound n_c; at
+    * 100 TB train the codebook on a deterministic sample via
+    * [[kmeansTrain]] and raise k so clusters stay ~10⁴). Degenerate
+    * clusters are trimmed by the same [[graft.dedup.NearDup.capBuckets]]
+    * window the text-LSH family uses (a trimmed cluster forms no pairs —
+    * its rows are all kept; mass-duplicated embeddings should hit exact
+    * dedup first, same recall contract as capBuckets). The self-join is
+    * hinted shuffle-hash on the cluster key — one exchange per side,
+    * never a broadcast of the vector payload — and the dropped-id set
+    * (≪ N) comes back as a LEFT ANTI join.
+    *
+    * Output: the kept rows of `emb` plus `clusterCol`.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int = 8, iters: Int = 1, threshold: Double = 0.999,
+               clusterCol: String = "cluster",
+               maxClusterSize: Int = 10000): DataFrame = {
+    val vd = Similarity.toDouble(col(vecCol))
+    val withUnit = emb.withColumn("__unit",
+      transform(vd, x => x / Similarity.norm(vd)))
+    val cb = kmeansTrain(withUnit, idCol, "__unit", m = 1, k = k, iters = iters)
+    val assigned = kmeansAssign(withUnit, "__unit", cb, clusterCol)
+      .drop("__unit")
+    val va = graft.dedup.NearDup.capBuckets(
+        assigned.select(col(idCol), col(clusterCol), vd.as("__v")),
+        Seq(clusterCol), maxClusterSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = va
+      .select(col(clusterCol), col(idCol).as("__id1"), col("__v").as("__v1"))
+      .join(va.select(col(clusterCol), col(idCol).as("__id2"),
+        col("__v").as("__v2")).hint("shuffle_hash"), Seq(clusterCol))
+      .filter(col("__id1") < col("__id2"))
+      .filter(Similarity.cosine(col("__v1"), col("__v2")) >= threshold)
+      .select(col("__id2").as(idCol))
+      .distinct()
+      .localCheckpoint(true)
+    va.unpersist()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Asymmetric-distance (ADC) approximate top-k: the query stays
     * exact, corpus vectors are represented by their codes. Per query,
     * a `k × m` lookup table of subdistances to every centroid (a tiny

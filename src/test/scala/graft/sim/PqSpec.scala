@@ -274,4 +274,32 @@ class PqSpec extends AnyFunSuite {
       assert(n <= tmax * 1.5 + 8, s"cluster $c kept $n of target ~$tmax")
     }
   }
+
+  test("semDedup drops scaled re-encodes, keeps originals and singletons") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val embR = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    // plant: every vector re-encoded at 1.5x magnitude under a new id
+    val scaled = embR.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val kept = Pq.semDedup(embR.unionByName(scaled), "vec_id", "embedding",
+        k = 8, iters = 1, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    val origIds = embR.select("vec_id").as[Long].collect().toSet
+    // every original survives (it is the lowest id on its direction),
+    // every copy is pruned (cos(v, 1.5v) ~ 1 >= 0.999, same cluster)
+    assert(kept == origIds)
+  }
+
+  test("semDedup with no near-dups keeps everything; layout-independent") {
+    val embR = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val a = Pq.semDedup(embR, "vec_id", "embedding", k = 4, iters = 1)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toSet
+    assert(a.map(_._1) == embR.select("vec_id").as[Long].collect().toSet)
+    val b = Pq.semDedup(embR.repartition(13), "vec_id", "embedding",
+        k = 4, iters = 1)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }
