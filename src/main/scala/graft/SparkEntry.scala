@@ -2758,6 +2758,47 @@ object SparkEntry {
        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = a.vec_id)"""
       .stripMargin)),
 
+    ("q142_hll_distinct", (s, d) =>
+      // portable HyperLogLog distinct-user estimate: bucket (16 md5
+      // bits mod 64) and rho window (next 24 bits) come from
+      // md5(cast(key as string)) — bit-identical in every engine — so
+      // the WHOLE sketch replays in SQL (an xxhash64 sketch is
+      // rows-only; the repo's multiplicative hash lacks low-bit
+      // avalanche — see Sketches.hllRegisters). Integer-exact register
+      // sum (every 2^-r term scaled to a bigint), one deterministic
+      // division; the linear-counting branch's ln is the only rounded
+      // step. rho is a 24-comparison CASE chain, not floor(log2) —
+      // libm log2 misclassifies exact powers of two by one ulp.
+      graft.operators.Sketches.hllEstimate(t(s, d, "events"), "user_id"),
+      Some(s"""WITH h0 AS (
+         |  SELECT md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r0 AS (
+         |  SELECT list_reduce(list_transform(string_split(substr(h, 1, 4), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) % 64 AS bucket,
+         |    list_reduce(list_transform(string_split(substr(h, 5, 6), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) AS w
+         |  FROM h0),
+         |r1 AS (SELECT bucket, CASE ${
+           (1 to 24).map(r => s"WHEN w >= ${1L << (24 - r)} THEN $r")
+             .grouped(3).map(_.mkString(" ")).mkString("\n         |  ")
+         }
+         |  ELSE 25 END AS rho FROM r0),
+         |regs AS (SELECT bucket, max(rho) AS r FROM r1 GROUP BY 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS nz,
+         |  CAST(sum(CAST(1 AS BIGINT) << (25 - r)) AS BIGINT) AS isum0
+         |  FROM regs)
+         |SELECT CAST(64 AS BIGINT) AS m, nz AS nonzero,
+         |  round(CASE WHEN (64 - nz) > 0
+         |      AND 0.709 * 4096.0 * 33554432.0
+         |        / (isum0 + (64 - nz) * 33554432) <= 160.0
+         |    THEN 64.0 * ln(64.0 / (64 - nz))
+         |    ELSE 0.709 * 4096.0 * 33554432.0
+         |      / (isum0 + (64 - nz) * 33554432) END, 9) AS estimate
+         |FROM agg""".stripMargin)),
+
     ("q140_bm25_topk", (s, d) =>
       // Okapi BM25 keyword retrieval (Lucene idf variant) for a fixed
       // 4-term query, one term deliberately absent from the corpus (it

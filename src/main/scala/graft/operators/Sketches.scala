@@ -92,4 +92,92 @@ object Sketches {
       ckpt
     } else out
   }
+
+  /** Window width (bits) of the rho hash of the portable HLL below. */
+  private[graft] val HllW = 24
+
+  /** Position of the highest set bit of the `HllW`-bit window `w`,
+    * counted from the top (1 = top bit set), 25 for w = 0 — HLL's
+    * rho(w), built as an integer-compare CASE chain. log2-free on
+    * purpose: `floor(log(w)/log(2))` misclassifies exact powers of two
+    * when the libm quotient lands one ulp under the integer, and the
+    * SQL twin replays the same 24 exact comparisons instead.
+    */
+  private[graft] def hllRho(w: Column): Column =
+    (2 to HllW).foldLeft(when(w >= lit(1L << (HllW - 1)), lit(1))) {
+      (acc, r) => acc.when(w >= lit(1L << (HllW - r)), lit(r))
+    }.otherwise(lit(HllW + 1))
+
+  /** Flajolet et al.'s alpha_m bias constant. */
+  private[graft] def hllAlpha(m: Long): Double =
+    if (m <= 16L) 0.673 else if (m <= 32L) 0.697 else if (m <= 64L) 0.709
+    else 0.7213 / (1.0 + 1.079 / m)
+
+  /** PORTABLE HyperLogLog register table over a key column: (bucket,
+    * r) with `r` = max rho per bucket — the distinct-count sketch as
+    * data. One map-side-combining aggregate of `m = 2^bucketBits`
+    * groups, independent of N: THE cardinality primitive at 100 TB
+    * (exact countDistinct shuffles every distinct key). MERGEABLE like
+    * every sketch here: union register tables from any corpus split /
+    * day / source and re-`groupBy(bucket).max(r)` — the unit proves
+    * merge == whole-corpus registers.
+    *
+    * Portable = bucket (16 hash bits mod m — exact-uniform for any
+    * power-of-two m <= 2^16) and the rho window (the next 24 bits)
+    * derive from `md5(cast(key as string))`, which is bit-identical in
+    * every engine, so the ENTIRE sketch — registers and estimate —
+    * replays in plain SQL and the oracle compares exactly, where an
+    * xxhash64 sketch is rows-only. (The repo's two-round multiplicative
+    * id hash is NOT usable here: its final odd-multiplier round only
+    * permutes residues mod a power of two, so low-bit buckets inherit
+    * the id lattice — measured 25/64 occupancy on 150 consecutive ids —
+    * and HLL needs avalanche in every bit it reads.) Production swaps
+    * md5 for xxhash64 when the per-row crypto hash shows up in
+    * profiles (one line; loses SQL replay, keeps this algebra).
+    *
+    * `salt` decorrelates independent sketches of the same keys. Null
+    * keys are excluded (countDistinct semantics).
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, bucketBits: Int = 6,
+                   salt: String = ""): DataFrame = {
+    require(bucketBits >= 4 && bucketBits <= 16,
+      s"bucketBits must be in [4, 16], got $bucketBits")
+    val key = col(keyCol)
+    val h = md5(concat(key.cast("string"), lit(salt)))
+    val bucket = conv(substring(h, 1, 4), 16, 10).cast("long") %
+      lit(1L << bucketBits)
+    val w = conv(substring(h, 5, 6), 16, 10).cast("long")
+    df.filter(key.isNotNull)
+      .select(bucket.as("bucket"), hllRho(w).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r"))
+  }
+
+  /** The HLL cardinality estimate off [[hllRegisters]]: one row
+    * `(m, nonzero, estimate)`. The indicator sum is computed in EXACT
+    * integer arithmetic — `sum 2^-r = 2^-(W+1) * sum 2^(W+1-r)` with
+    * the inner sum a bigint (every term a power of two down to r's
+    * maximum W+1, no float-order dependence) — so the raw estimate is
+    * a single deterministic
+    * division; the small-range linear-counting branch (E <= 2.5m with
+    * empty registers) is the one `ln`, rounded at 9 dp like every
+    * transcendental in the repo. Standard error ~1.04/sqrt(m) (~13% at
+    * the default m = 64; raise bucketBits for tighter).
+    */
+  def hllEstimate(df: DataFrame, keyCol: String, bucketBits: Int = 6,
+                  salt: String = ""): DataFrame = {
+    val m = 1L << bucketBits
+    val alpha = hllAlpha(m)
+    val zeros = lit(m) - col("nz")
+    val isum = col("isum0") + zeros * lit(1L << (HllW + 1))
+    val eraw = lit(alpha) * lit((m * m).toDouble) *
+      lit((1L << (HllW + 1)).toDouble) / isum
+    hllRegisters(df, keyCol, bucketBits, salt)
+      .agg(count(lit(1)).as("nz"),
+        sum(expr(s"cast(1 as bigint) << (${HllW + 1} - r)")).as("isum0"))
+      .select(lit(m).as("m"), col("nz").as("nonzero"),
+        round(
+          when(zeros > 0 && eraw <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+            .otherwise(eraw), 9).as("estimate"))
+  }
 }

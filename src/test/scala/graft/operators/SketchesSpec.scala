@@ -106,4 +106,47 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.heavyHitters(longKeys, "k", 0L)
     }
   }
+
+  test("hllEstimate tracks the true cardinality within HLL error bounds") {
+    // duplicates must not move the estimate: 3 copies of every key
+    val n = 20000L
+    val keys = (1L to n).flatMap(k => Seq(k, k, k)).toDF("k")
+    val est = Sketches.hllEstimate(keys, "k", bucketBits = 8)
+      .select("estimate").as[Double].collect().head
+    // se ~ 1.04/sqrt(256) = 6.5%; 4 sigma = 26%
+    assert(math.abs(est - n) / n < 0.26, s"est $est vs true $n")
+    // more buckets, tighter: the m=64 default stays within its own 4sigma
+    val est64 = Sketches.hllEstimate(keys, "k", bucketBits = 6)
+      .select("estimate").as[Double].collect().head
+    assert(math.abs(est64 - n) / n < 0.52, s"est64 $est64 vs true $n")
+  }
+
+  test("hll registers merge: union of split sketches == whole-corpus sketch") {
+    val all = (1L to 5000L).toDF("k")
+    val whole = Sketches.hllRegisters(all, "k")
+      .as[(Long, Int)].collect().toMap
+    val a = Sketches.hllRegisters(all.filter($"k" % 3 === 0), "k")
+    val b = Sketches.hllRegisters(all.filter($"k" % 3 =!= 0), "k")
+    val merged = a.unionByName(b).groupBy("bucket")
+      .agg(max("r").as("r")).as[(Long, Int)].collect().toMap
+    assert(merged == whole)
+  }
+
+  test("hll: null keys excluded; salt decorrelates; layout-independent") {
+    val withNulls = (Seq[Option[Long]](None, None) ++
+      (1L to 1000L).map(Some(_))).toDF("k")
+    val plain = (1L to 1000L).toDF("k")
+    val e1 = Sketches.hllEstimate(withNulls, "k").as[(Long, Long, Double)]
+      .collect().head
+    val e2 = Sketches.hllEstimate(plain, "k").as[(Long, Long, Double)]
+      .collect().head
+    assert(e1 == e2)
+    val e3 = Sketches.hllEstimate(plain.repartition(13), "k")
+      .as[(Long, Long, Double)].collect().head
+    assert(e3 == e2)
+    val salted = Sketches.hllEstimate(plain, "k", salt = "s2")
+      .as[(Long, Long, Double)].collect().head
+    assert(salted != e2) // independent draw, same algebra
+    assert(math.abs(salted._3 - 1000.0) / 1000.0 < 0.52)
+  }
 }
