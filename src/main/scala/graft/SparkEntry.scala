@@ -36,6 +36,42 @@ object SparkEntry {
   private def vioSql(cond: String): String =
     s"CAST(coalesce(sum(CASE WHEN $cond THEN 1 ELSE 0 END), 0) AS BIGINT)"
 
+  /** BPE oracle builders (q143/q144): weighted adjacent-pair counts of
+    * a symbol-table CTE, and the greedy left-to-right merge rewrite —
+    * the exact SQL twins of Vocab.bpeTrain's pair aggregate and
+    * Vocab.applyMerge's catalyst fold.
+    */
+  private def bpePairsSql(src: String): String =
+    s"""SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT cnt,
+       |      unnest([syms[i] FOR i IN range(1, len(syms))]) AS l,
+       |      unnest([syms[i + 1] FOR i IN range(1, len(syms))]) AS r
+       |    FROM $src) GROUP BY 1, 2""".stripMargin
+  private def bpeApplySql(src: String, m: String): String =
+    s"""SELECT $src.cnt, list_reduce(
+       |    list_prepend(CAST([] AS VARCHAR[]), list_transform($src.syms, s -> [s])),
+       |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.l AND x[1] = $m.r
+       |      THEN list_append(acc[1:len(acc)-1], $m.l || $m.r)
+       |      ELSE list_append(acc, x[1]) END) AS syms
+       |  FROM $src CROSS JOIN $m""".stripMargin
+  /** Shared CTE chain: tok/w/s0 then (p_i, m_{i+1}, s_{i+1}) per merge. */
+  private def bpeChainSql(nMerges: Int): String = {
+    val base = s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |  FROM documents),
+       |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok WHERE word <> '' GROUP BY 1),
+       |s0 AS (SELECT cnt,
+       |  [substr(word, i, 1) FOR i IN range(1, len(word) + 1)] AS syms FROM w)""".stripMargin
+    val steps = (0 until nMerges).map { i =>
+      s"""p$i AS (${bpePairsSql(s"s$i")}),
+         |m${i + 1} AS (SELECT l, r, c FROM p$i
+         |  QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+         |s${i + 1} AS (${bpeApplySql(s"s$i", s"m${i + 1}")})""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is", "it")
 
   /** Oracle fragment: per-language marker-hit scores from `documents`
@@ -2798,6 +2834,37 @@ object SparkEntry {
          |    ELSE 0.709 * 4096.0 * 33554432.0
          |      / (isum0 + (64 - nz) * 33554432) END, 9) AS estimate
          |FROM agg""".stripMargin)),
+
+    ("q143_bpe_train", (s, d) =>
+      // tokenizer training: 3 BPE merge rounds over the distinct-word
+      // frequency table. Pair counting is a distributed aggregate per
+      // round; only the argmax row reaches the driver (the k-means
+      // codebook contract). The oracle unrolls ALL three rounds —
+      // char split, weighted pair counts, the (cnt desc, lhs, rhs)
+      // argmax, and the greedy left-to-right merge fold — so the
+      // learned merge table is one hash compare.
+      graft.text.Vocab.bpeTrain(t(s, d, "documents"), "doc_id", "text", 3),
+      Some(s"""${bpeChainSql(3)}
+         |SELECT 1 AS step, l AS lhs, r AS rhs, c AS cnt FROM m1
+         |UNION ALL SELECT 2, l, r, c FROM m2
+         |UNION ALL SELECT 3, l, r, c FROM m3""".stripMargin)),
+
+    ("q144_bpe_segment", (s, d) => {
+      // the encode face: apply the 3 learned merges to every token
+      // instance and report corpus subword frequencies — the sanity
+      // table a tokenizer rollout checks. The oracle re-derives the
+      // merges (same chain as q143) and counts unnested symbols
+      // weighted by word frequency (identical to instance-level
+      // explode + count).
+      val docs = t(s, d, "documents")
+      val merges = graft.text.Vocab.bpeTrain(docs, "doc_id", "text", 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Vocab.bpeSegmentCounts(docs, "text", merges)
+    }, Some(s"""${bpeChainSql(3)}
+       |SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT cnt, unnest(syms) AS sym FROM s3)
+       |GROUP BY 1""".stripMargin)),
 
     ("q140_bm25_topk", (s, d) =>
       // Okapi BM25 keyword retrieval (Lucene idf variant) for a fixed

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,108 @@ object Vocab {
     bm25Scores(df, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  /** One greedy left-to-right BPE merge pass: rewrite each symbol
+    * array replacing every non-overlapping (a, b) adjacency with the
+    * fused symbol — the standard BPE apply step, as a pure catalyst
+    * fold (no UDF): the accumulator array grows left to right, and a
+    * fuse fires only when the PREVIOUS emitted symbol is `a` (so
+    * "a a a" under (a,a) gives [aa, a], the greedy semantics).
+    */
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) over the
+    * corpus: start from character symbols, repeatedly count adjacent
+    * symbol pairs weighted by word frequency and fuse the most frequent
+    * pair. Returns the merge table `(step, lhs, rhs, cnt)` in rank
+    * order — the artifact a tokenizer ships.
+    *
+    * Distribution shape: the corpus collapses to the DISTINCT-word
+    * frequency table first (explode + one partial-agg shuffle — pair
+    * counting then touches each distinct word once per iteration, not
+    * each token instance; the classic trick that makes BPE training
+    * corpus-size-independent after pass one). Each iteration is one
+    * distributed pair-count aggregate over that table; only the single
+    * argmax row comes to the driver (same contract as the k-means
+    * codebook — the merge table is `numMerges` rows, never data). The
+    * word table is persisted across iterations and the symbol rewrite
+    * is the [[applyMerge]] catalyst fold, so every pass is
+    * whole-stage-codegen over ~|vocab| rows.
+    *
+    * Determinism: pair counts are exact integers; the argmax breaks
+    * ties by (count desc, lhs asc, rhs asc) — a total order, so the
+    * learned merges are identical on any partitioning and replayable
+    * in SQL (q143 unrolls two iterations).
+    */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    // char symbols via substring-transform, NOT split(word, ""): Spark's
+    // split uses Java's limit=-1 semantics and keeps a trailing empty
+    // string that DuckDB's splitter drops. Empty words (leading
+    // whitespace artifacts) carry no symbols and are excluded.
+    var words = df
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= numMerges) {
+      // single-symbol words carry no adjacency (and sequence(1, 0)
+      // would generate a DESCENDING [1, 0] — Spark's default step is
+      // sign-inferred — so they must not reach the transform at all)
+      val pair = words.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), posexplode(
+          expr("transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] as l, syms[i] as r))")))
+        .select(col("col.l").as("l"), col("col.r").as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (pair.isEmpty) { step = numMerges + 1 } // no adjacencies left
+      else {
+        val (l, r, c) = (pair.head.getString(0), pair.head.getString(1),
+          pair.head.getLong(2))
+        merges += ((step, l, r, c))
+        val next = words.select(applyMerge(col("syms"), l, r).as("syms"),
+            col("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent cache
+        words.unpersist()
+        words = next
+        step += 1
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /** The encode face of [[bpeTrain]]: per-document subword counts
+    * after applying `merges` in rank order — chained [[applyMerge]]
+    * folds, one per merge, all inside a single codegen'd projection
+    * (expression depth grows with the merge count; segment long merge
+    * lists in stages if the tree gets deep). Output: (token, n) corpus
+    * subword frequencies, the sanity table a tokenizer rollout checks.
+    */
+  def bpeSegmentCounts(df: DataFrame, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val syms0 = expr(
+      "transform(sequence(1, length(__word)), i -> substring(__word, i, 1))")
+    val symsN = merges.foldLeft(syms0) { case (s, (a, b)) => applyMerge(s, a, b) }
+    df.select(explode(TextOps.tokens(col(textCol))).as("__word"))
+      .filter(col("__word") =!= "")
+      .select(explode(symsN).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+  }
 
   /** Sparse TF-IDF cosine similarity for an explicit pair list
     * (`id1`, `id2`) — the term-JOIN formulation: the dot product is an

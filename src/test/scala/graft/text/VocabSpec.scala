@@ -71,6 +71,38 @@ class VocabSpec extends AnyFunSuite {
     assert(Vocab.sparseTfidfCosine(pairs, disjoint, "doc_id", "text").isEmpty)
   }
 
+  test("bpeTrain learns the hand-computed merge sequence; greedy overlap") {
+    // words: aaab x2, ab x1
+    // round 1: (a,a)=4 (two per 'aaab'), (a,b)=3 -> merge (a,a)
+    //   greedy left-to-right: 'aaab' -> [aa, a, b] (no overlap re-fuse)
+    // round 2: (aa,a)=2, (a,b)=3 -> merge (a,b)
+    // round 3: 'aaab' -> [aa, ab]; (aa,ab)=2 -> merge (aa,ab)
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = Vocab.bpeTrain(docs, "doc_id", "text", 3)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
+  test("bpeTrain is layout-independent; stops when no adjacency remains") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val a = Vocab.bpeTrain(docs, "doc_id", "text", 2)
+      .as[(Int, String, String, Long)].collect().toSet
+    val b = Vocab.bpeTrain(docs.repartition(7), "doc_id", "text", 2)
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(a == b)
+    // single-char corpus: zero adjacencies, zero merges, no crash
+    val single = Seq((1L, "a a a")).toDF("doc_id", "text")
+    assert(Vocab.bpeTrain(single, "doc_id", "text", 5).collect().isEmpty)
+  }
+
+  test("bpeSegmentCounts applies merges in rank order over instances") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    // after (a,a) then (a,b): 'aaab' -> [aa, ab], 'ab' -> [ab]
+    val got = Vocab.bpeSegmentCounts(docs, "text", Seq(("a", "a"), ("a", "b")))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aa" -> 2L, "ab" -> 3L))
+  }
+
   test("bm25Scores matches a hand computation; absent terms drop out") {
     // corpus: N=3, dl = 3, 3, 4, avgdl = 10/3
     // query {a, d, zzz}: df(a)=2, df(d)=1, zzz absent
