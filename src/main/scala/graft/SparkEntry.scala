@@ -2866,6 +2866,48 @@ object SparkEntry {
        |  SELECT cnt, unnest(syms) AS sym FROM s3)
        |GROUP BY 1""".stripMargin)),
 
+    ("q145_pagerank", (s, d) => {
+      // link-graph centrality as a quality weight: PageRank over the
+      // part co-purchase graph (parts sharing an order, symmetric so
+      // every node has out-edges and the no-dangling variant is the
+      // classic one), 2 power iterations. The oracle replays BOTH
+      // iterations: per-edge r/outdeg contributions summed in exact
+      // DECIMAL(30,15) (order-independent), rank update in the same
+      // IEEE operand order — no transcendental anywhere, the 9 dp
+      // round is a compare convenience.
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("dst")),
+          Seq("k"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.PageRank.pageRank(e, "src", "dst", iters = 2)
+    }, Some("""WITH e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |   AND a.l_partkey <> b.l_partkey),
+       |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+       |  FROM e0 GROUP BY 1),
+       |r0 AS (SELECT id, 1.0 / nn AS r FROM nodes CROSS JOIN n),
+       |c1 AS (
+       |  SELECT e.dst AS id,
+       |    CAST(sum(CAST(r.r / o.od AS DECIMAL(30,15))) AS DOUBLE) AS m
+       |  FROM e0 e JOIN r0 r ON r.id = e.src JOIN outd o ON o.src = e.src
+       |  GROUP BY 1),
+       |r1 AS (
+       |  SELECT nd.id, (1.0 - 0.85) / nn + 0.85 * coalesce(c1.m, 0.0) AS r
+       |  FROM nodes nd CROSS JOIN n LEFT JOIN c1 ON c1.id = nd.id),
+       |c2 AS (
+       |  SELECT e.dst AS id,
+       |    CAST(sum(CAST(r.r / o.od AS DECIMAL(30,15))) AS DOUBLE) AS m
+       |  FROM e0 e JOIN r1 r ON r.id = e.src JOIN outd o ON o.src = e.src
+       |  GROUP BY 1),
+       |r2 AS (
+       |  SELECT nd.id, (1.0 - 0.85) / nn + 0.85 * coalesce(c2.m, 0.0) AS r
+       |  FROM nodes nd CROSS JOIN n LEFT JOIN c2 ON c2.id = nd.id)
+       |SELECT id, round(r, 9) AS rank FROM r2""".stripMargin)),
+
     ("q140_bm25_topk", (s, d) =>
       // Okapi BM25 keyword retrieval (Lucene idf variant) for a fixed
       // 4-term query, one term deliberately absent from the corpus (it

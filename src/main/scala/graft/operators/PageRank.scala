@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** PageRank — the link-graph centrality web-corpus pipelines use as a
+  * document quality weight (harmonic/PageRank centrality over the crawl
+  * graph is a standard ingredient of crawl-data filtering). Simple
+  * variant: no dangling-mass redistribution (a sink node's mass leaks;
+  * with symmetric edge construction every node has out-degree > 0 and
+  * the variant coincides with the classic one).
+  *
+  * Shape per iteration: one equi-join of the edge list with the rank
+  * vector on `src` (plus the broadcast-able out-degree table) and one
+  * aggregate on `dst` — the standard distributed PageRank step; nothing
+  * ever collects to the driver, and the node count rides along as a
+  * one-row cross join. Edges and nodes are persisted once across
+  * iterations. For DEEP iteration counts compose with the checkpoint
+  * pattern of [[ConnectedComponents]] (each iteration extends the lazy
+  * plan here — fine for the handful of rounds rank scores need to
+  * stabilize for filtering purposes).
+  *
+  * Determinism (what makes a distributed PageRank oracle-able): the
+  * per-edge contribution `r/outdeg` is cast to DECIMAL(30,15) and
+  * summed EXACTLY (order-independent on any partitioning — a plain
+  * double sum is not associative), and every remaining step is
+  * exactly-rounded IEEE arithmetic evaluated in the SQL twin's operand
+  * order. No transcendentals anywhere; the final 9 dp round is only a
+  * hash-compare convenience.
+  */
+object PageRank {
+  private val Acc = DecimalType(30, 15)
+
+  /** Rank every node of the directed edge list after `iters` power
+    * iterations from the uniform start. Output: (id, rank), rank
+    * rounded to 9 dp.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outd = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    var ranks = nodes.crossJoin(nn)
+      .select(col("id"), (lit(1.0) / col("nn")).as("r"))
+    var it = 0
+    while (it < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outd, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum((col("r") / col("od")).cast(Acc)).cast("double").as("m"))
+      ranks = nodes.crossJoin(nn)
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) / col("nn")
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      it += 1
+    }
+    ranks.select(col("id"), round(col("r"), 9).as("rank"))
+  }
+}
