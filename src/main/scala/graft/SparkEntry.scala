@@ -2908,6 +2908,41 @@ object SparkEntry {
        |  FROM nodes nd CROSS JOIN n LEFT JOIN c2 ON c2.id = nd.id)
        |SELECT id, round(r, 9) AS rank FROM r2""".stripMargin)),
 
+    ("q146_histogram_quantiles", (s, d) =>
+      // fixed-state approximate percentiles: 128-bin equi-width
+      // histogram + in-bin interpolation, vs q77's exact sort-based
+      // percentiles. Two scans, 128 counters, error <= one bin width;
+      // bin tables with a shared frame merge by addition. Oracle
+      // replays min/max/count, exact bin counts, the cumulative walk,
+      // and the interpolation in the same operand order — no
+      // transcendental, one hash compare.
+      graft.operators.Sketches.histogramQuantiles(
+        t(s, d, "events"), "value", bins = 128, ps = Seq(0.5, 0.95, 0.99)),
+      Some("""WITH st AS (
+         |  SELECT min(value) AS mn, max(value) AS mx,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (
+         |  SELECT CASE WHEN mx = mn THEN 0 ELSE
+         |    CAST(least(floor((value - mn) / ((mx - mn) / 128)), 127)
+         |      AS BIGINT) END AS bin
+         |  FROM events CROSS JOIN st WHERE value IS NOT NULL),
+         |bc AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         |cum AS (SELECT bin, c, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT)
+         |    AS cum FROM bc),
+         |ps AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+         |  (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) t(p)),
+         |sel AS (
+         |  SELECT p, bin, c, cum - c AS cumb FROM ps
+         |  JOIN cum ON true CROSS JOIN st
+         |  WHERE cum >= p * n
+         |  QUALIFY row_number() OVER (PARTITION BY p ORDER BY bin) = 1)
+         |SELECT p,
+         |  round(CASE WHEN mx = mn THEN mn
+         |    ELSE mn + (mx - mn) / 128 * (bin + (p * n - cumb) / c) END, 9)
+         |    AS q
+         |FROM sel CROSS JOIN st""".stripMargin)),
+
     ("q140_bm25_topk", (s, d) =>
       // Okapi BM25 keyword retrieval (Lucene idf variant) for a fixed
       // 4-term query, one term deliberately absent from the corpus (it

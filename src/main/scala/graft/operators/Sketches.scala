@@ -93,6 +93,59 @@ object Sketches {
     } else out
   }
 
+  /** Fixed-state approximate quantiles: equi-width histogram + linear
+    * interpolation within the selected bin. Exact percentiles sort (or
+    * at best shuffle per-group value multisets); this is TWO scans with
+    * `bins` counters of state — pass one for (min, max, n) (riding
+    * along as a one-row cross join, no driver collect), pass two for
+    * exact integer bin counts — and the quantile walk runs on `bins`
+    * rows. Error is bounded by one bin width, (max-min)/bins; bin-count
+    * tables with a SHARED (min, max, bins) frame merge by addition
+    * (register-style), which is what a per-day rollup wants.
+    *
+    * Fully deterministic, no transcendental: bin assignment, the
+    * cumulative walk, and the interpolation are IEEE arithmetic
+    * replayed in the SQL twin's operand order; a constant column
+    * (max == min) short-circuits to that constant.
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int,
+                         ps: Seq[Double]): DataFrame = {
+    require(bins >= 2 && bins <= 100000, s"bins out of range: $bins")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles must be in (0, 1]: $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol)
+    val in = df.filter(v.isNotNull)
+    val st = in.agg(min(v).as("mn"), max(v).as("mx"),
+      count(lit(1)).as("n"))
+    val width = (col("mx") - col("mn")) / lit(bins)
+    // the mx == mn guard keeps ANSI mode from tripping on 0/0 for a
+    // constant column (CASE branches evaluate lazily per row)
+    val counts = in.crossJoin(st)
+      .select(when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(floor((v - col("mn")) / width),
+          lit((bins - 1).toLong)))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    // <= bins rows: the single-partition cumulative window is bounded
+    // by construction, same contract as the calendar-bounded rollups
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)))
+      .withColumn("cumb", col("cum") - col("c"))
+    val sel = ps.toDF("p").crossJoin(cum).crossJoin(st)
+      .filter(col("cum") >= col("p") * col("n"))
+      .withColumn("__rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("p").orderBy("bin")))
+      .filter(col("__rn") === 1)
+    sel.select(col("p"),
+      round(when(col("mx") === col("mn"), col("mn"))
+        .otherwise(col("mn") + width *
+          (col("bin") + (col("p") * col("n") - col("cumb")) / col("c"))), 9)
+        .as("q"))
+  }
+
   /** Window width (bits) of the rho hash of the portable HLL below. */
   private[graft] val HllW = 24
 
@@ -164,14 +217,24 @@ object Sketches {
     * the default m = 64; raise bucketBits for tighter).
     */
   def hllEstimate(df: DataFrame, keyCol: String, bucketBits: Int = 6,
-                  salt: String = ""): DataFrame = {
+                  salt: String = ""): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, keyCol, bucketBits, salt),
+      bucketBits)
+
+  /** The register→estimate algebra of [[hllEstimate]], exposed for
+    * sketches that arrive as DATA — merged register tables from corpus
+    * splits, days, or a streaming sink's accumulated `batch=` dirs.
+    * `regs` may carry duplicate buckets (a raw union of sub-sketches);
+    * they are re-maxed here first.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, bucketBits: Int): DataFrame = {
     val m = 1L << bucketBits
     val alpha = hllAlpha(m)
     val zeros = lit(m) - col("nz")
     val isum = col("isum0") + zeros * lit(1L << (HllW + 1))
     val eraw = lit(alpha) * lit((m * m).toDouble) *
       lit((1L << (HllW + 1)).toDouble) / isum
-    hllRegisters(df, keyCol, bucketBits, salt)
+    regs.groupBy("bucket").agg(max("r").as("r"))
       .agg(count(lit(1)).as("nz"),
         sum(expr(s"cast(1 as bigint) << (${HllW + 1} - r)")).as("isum0"))
       .select(lit(m).as("m"), col("nz").as("nonzero"),

@@ -136,6 +136,41 @@ object Streams {
       }
       .start()
 
+  /** Continuous distinct-count: the streaming face of
+    * [[graft.operators.Sketches.hllRegisters]]. Each micro-batch writes
+    * ONLY its own (bucket, max-rho) register table — m rows max, never
+    * data — under `root/registers/batch=<id>` with overwrite, so a
+    * checkpoint replay rewrites the identical directory instead of
+    * double-counting (the [[nearDupSink]] exactly-once pattern; HLL
+    * registers make it trivial because max() is idempotent under
+    * replay by construction). The accumulated sketch is read back with
+    * [[hllSnapshot]]: union all batch registers, re-max per bucket,
+    * estimate — the merge the batch unit proves equal to the
+    * whole-corpus sketch. Compact old `batch=` dirs periodically by
+    * rewriting their re-maxed union, outside the stream.
+    */
+  def hllSink(rows: DataFrame, keyCol: String, root: String,
+              checkpoint: String, bucketBits: Int = 6, salt: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.hllRegisters(batch, keyCol, bucketBits, salt)
+          .write.mode("overwrite")
+          .parquet(s"$root/registers/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The read face of [[hllSink]]: the distinct-count estimate over
+    * everything the sink has absorbed so far.
+    */
+  def hllSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                  bucketBits: Int = 6): DataFrame =
+    graft.operators.Sketches.hllEstimateFromRegisters(
+      spark.read.parquet(s"$root/registers").drop("batch"), bucketBits)
+
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class UserSession(user_id: Long, events: Long, total: Double,
                                lastSeen: Timestamp)

@@ -125,6 +125,28 @@ class StreamsSpec extends AnyFunSuite {
       spark.read.parquet(s"$root/state/pairs").count())
   }
 
+  test("hllSink: streamed registers merge to the whole-corpus sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("hllsink").toString
+    val keys = (1L to 5000L).toSeq
+    val chunks = keys.grouped(1700).toSeq // uneven batches, overlapping none
+    val input = MemoryStream[Long]
+    val q = Streams.hllSink(input.toDF().toDF("k"), "k",
+      s"$root/state", s"$root/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = Streams.hllSnapshot(spark, s"$root/state")
+      .as[(Long, Long, Double)].collect().head
+    val batch = graft.operators.Sketches.hllEstimate(keys.toDF("k"), "k")
+      .as[(Long, Long, Double)].collect().head
+    assert(streamed == batch) // register algebra: merge == whole corpus
+    // per-batch register tables are tiny (<= m rows), never data
+    assert(spark.read.parquet(s"$root/state/registers")
+      .groupBy("batch").count().as[(Long, Long)].collect()
+      .forall(_._2 <= 64))
+  }
+
   test("hash sampling is replay-stable: batch split doesn't change the sample") {
     // df.sample draws from partition-seeded RNG, so a streaming replay
     // or re-batching changes which rows survive — Sample.hashSample
