@@ -2943,6 +2943,88 @@ object SparkEntry {
          |    AS q
          |FROM sel CROSS JOIN st""".stripMargin)),
 
+    ("q147_hybrid_rrf", (s, d) => {
+      // hybrid retrieval: BM25 keyword top-50 (q140's scorer) fused
+      // with embedding-cosine top-50 (query = vector 0) by reciprocal
+      // rank — scores from different families are incomparable, ranks
+      // are, so RRF is the standard combiner. Both rankings and the
+      // fusion replay in SQL: BM25's closed form, the pinned cosine
+      // folds, 1/(60+rank) summed in exact decimal, top-10 by (rrf
+      // desc, id). lists=2 marks docs surfaced by both families.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val bm = graft.text.Vocab.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "vector", "stream"), k = 50)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rnk")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(Similarity.toDouble(col("embedding")).as("qv"))
+      val vec = emb.filter(col("vec_id") =!= 0).crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosine(Similarity.toDouble(col("embedding")), col("qv"))
+            .as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(50)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+        .select("doc_id", "rnk")
+      Similarity.rrfFuse(Seq(bm, vec), "doc_id")
+    }, Some(s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+       |q AS (SELECT * FROM (VALUES ('spark'), ('vector'), ('stream'))
+       |      AS t(token)),
+       |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |        FROM tf JOIN q USING (token) GROUP BY 1),
+       |per AS (
+       |  SELECT tf.doc_id,
+       |    round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+       |      * tf.tf * (1.2 + 1.0)
+       |      / (tf.tf + 1.2 * ((1.0 - 0.75)
+       |          + 0.75 * CAST(dl AS DOUBLE) * n_docs / total_dl)), 9) AS c
+       |  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+       |bms AS (SELECT doc_id, ${dsumSql("c")} AS score FROM per GROUP BY 1
+       |        ORDER BY score DESC, doc_id LIMIT 50),
+       |bmr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bms),
+       |elong0 AS (
+       |  SELECT e.vec_id, CAST(t.i - 1 AS BIGINT) AS j,
+       |    CAST(e.embedding[t.i] AS DOUBLE) AS val
+       |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
+       |nrm AS (
+       |  SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(val * val ORDER BY j)), (a, b) -> a + b)) AS nv
+       |  FROM elong0 GROUP BY vec_id),
+       |qd AS (
+       |  SELECT e.vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(e.val * q.val ORDER BY e.j)), (x, y) -> x + y) AS dot
+       |  FROM elong0 e JOIN elong0 q ON q.vec_id = 0 AND q.j = e.j
+       |  WHERE e.vec_id <> 0 GROUP BY 1),
+       |sims AS (
+       |  SELECT d.vec_id AS doc_id, d.dot / (nd.nv * nq.nv) AS sim
+       |  FROM qd d JOIN nrm nd ON nd.vec_id = d.vec_id
+       |  JOIN nrm nq ON nq.vec_id = 0
+       |  ORDER BY sim DESC, doc_id LIMIT 50),
+       |vr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk FROM sims),
+       |u AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rnk) AS DECIMAL(30,15)) AS s
+       |  FROM bmr
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rnk) AS DECIMAL(30,15))
+       |  FROM vr)
+       |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS rrf,
+       |  CAST(count(*) AS BIGINT) AS lists
+       |FROM u GROUP BY 1
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     ("q140_bm25_topk", (s, d) =>
       // Okapi BM25 keyword retrieval (Lucene idf variant) for a fixed
       // 4-term query, one term deliberately absent from the corpus (it

@@ -302,4 +302,31 @@ object Similarity {
       .select(col(idCol), col("dim"),
         ((col("x") - col("mean")) / col("std")).as("z"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-retrieval combiner: each input ranking contributes
+    * `1/(k + rank)` per document and the fused score is the sum, so a
+    * document near the top of ANY list surfaces without score
+    * calibration across retrieval families (BM25 scores and cosines
+    * are not comparable; ranks are). Inputs are (idCol, rnk) frames —
+    * top-N slices, so the union is tiny regardless of corpus size.
+    *
+    * Determinism: each contribution is one exact-rounded IEEE division,
+    * and the cross-list sum runs in DECIMAL(30,15) (a double sum's
+    * partial-aggregation order varies run to run); ties in the fused
+    * score break on id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val acc = org.apache.spark.sql.types.DecimalType(30, 15)
+    val scored = rankings.map(_.select(col(idCol),
+      (lit(1.0) / (lit(k) + col("rnk"))).cast(acc).as("__s")))
+    scored.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).cast("double").as("rrf"),
+        count(lit(1)).as("lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }

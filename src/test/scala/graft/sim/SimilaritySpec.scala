@@ -156,4 +156,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(v * (n - 1) / n - 1.0) < 1e-3)
     }
   }
+
+  test("rrfFuse matches the hand formula and rewards cross-list presence") {
+    // list A ranks 10,20,30; list B ranks 20,40
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rnk")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rnk")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", k = 60, topK = 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r(n: Int) = BigDecimal(1.0 / (60 + n))
+      .setScale(15, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(20L)._1 - (r(2) + r(1))) < 1e-12)
+    assert(got(20L)._2 == 2)
+    assert(math.abs(got(10L)._1 - r(1)) < 1e-12 && got(10L)._2 == 1)
+    // doc 20 (rank 2 + rank 1) outranks doc 10 (rank 1 in one list)
+    assert(got(20L)._1 > got(10L)._1)
+    // topK bound + determinism across layouts
+    val again = Similarity.rrfFuse(Seq(a.repartition(5), b), "id")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(again == Similarity.rrfFuse(Seq(a, b), "id")
+      .as[(Long, Double, Long)].collect().toSet)
+  }
 }
