@@ -2943,6 +2943,45 @@ object SparkEntry {
          |    AS q
          |FROM sel CROSS JOIN st""".stripMargin)),
 
+    ("q148_contrastive_pairs", (s, d) =>
+      // labeled similarity-training pairs: positives = the verified
+      // 3-shingle near-dup set (LSH recall exactly 1 at J>=0.9, so the
+      // oracle's brute-force pair set is THE positive set), negatives =
+      // (id + 7919) mod N stride partners, canonicalized, existence-
+      // checked, anti-joined against positives so an accidental true
+      // near-dup is never mislabeled 0.
+      graft.dedup.NearDup.contrastivePairs(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text")
+        .select(col("id1"), col("id2"), col("label")),
+      Some("""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |    FOR i IN range(1, len(t) - 1)]) AS g
+         |  FROM toks WHERE len(t) >= 3),
+         |pos AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |      CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         |neg AS (
+         |  SELECT DISTINCT least(doc_id, (doc_id + 7919) % nn) AS id1,
+         |    greatest(doc_id, (doc_id + 7919) % nn) AS id2
+         |  FROM documents CROSS JOIN n
+         |  WHERE doc_id <> (doc_id + 7919) % nn),
+         |negk AS (
+         |  SELECT ng.id1, ng.id2 FROM neg ng
+         |  WHERE EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = ng.id2)
+         |    AND NOT EXISTS (SELECT 1 FROM pos p
+         |      WHERE p.id1 = ng.id1 AND p.id2 = ng.id2))
+         |SELECT id1, id2, CAST(1 AS INT) AS label FROM pos
+         |UNION ALL
+         |SELECT id1, id2, CAST(0 AS INT) AS label FROM negk""".stripMargin)),
+
     ("q147_hybrid_rrf", (s, d) => {
       // hybrid retrieval: BM25 keyword top-50 (q140's scorer) fused
       // with embedding-cosine top-50 (query = vector 0) by reciprocal

@@ -352,6 +352,40 @@ object NearDup {
     newNew.unionByName(newOld).distinct()
   }
 
+  /** Labeled contrastive pairs for embedding/similarity training:
+    * positives are the measure-consistent verified near-dup pairs
+    * ([[nearDupPairs]] at `verifyShingleN = shingleN`), negatives are
+    * deterministic stride partners `(id + negStride) mod N` — id-hash
+    * reproducible on any engine/partitioning, no RNG — canonicalized
+    * to id1 < id2, kept only when the partner id exists (left semi),
+    * and anti-joined against the positives so a stride pair that
+    * happens to be a true near-dup is never mislabeled. Output:
+    * (id1, id2, label) with label 1 = near-dup, 0 = negative.
+    *
+    * Scale shape: positives inherit the capped-LSH cost; negatives are
+    * a narrow projection + two id-key joins (semi + anti), both
+    * broadcast-able at the label-table sizes involved. The corpus count
+    * rides as a one-row cross join.
+    */
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.9, shingleN: Int = 3,
+                       negStride: Long = 7919L): DataFrame = {
+    val pos = nearDupPairs(df, idCol, textCol, threshold,
+        shingleN = shingleN, verifyShingleN = shingleN)
+      .select(col("id1"), col("id2"), lit(1).as("label"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val neg = df.select(col(idCol).as("__a")).crossJoin(n)
+      .select(col("__a"), pmod(col("__a") + lit(negStride), col("__n")).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
+      .distinct()
+      .join(df.select(col(idCol).as("id2")), Seq("id2"), "left_semi")
+      .join(pos.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
+      .select(col("id1"), col("id2"), lit(0).as("label"))
+    pos.unionByName(neg)
+  }
+
   /** 64-bit SimHash over tokens: per-bit vote of token-hash sign bits,
     * computed by the native codegen'd [[graft.functions.SimHash64]]
     * expression — a pure projection, NO shuffle (the earlier explode +

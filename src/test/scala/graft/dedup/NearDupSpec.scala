@@ -209,6 +209,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(inc.nonEmpty) // the fixture corpus has planted near-dups
   }
 
+  test("contrastivePairs: positives are the verified dups, negatives never overlap") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val got = NearDup.contrastivePairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    val pos = got.filter(_._3 == 1).map(p => (p._1, p._2)).toSet
+    val neg = got.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    val want = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.9,
+        shingleN = 3, verifyShingleN = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pos == want && pos.nonEmpty)
+    assert(neg.intersect(pos).isEmpty) // no mislabeled true near-dup
+    assert(neg.nonEmpty && neg.forall { case (a, b) => a < b })
+    // negative partners exist in the corpus
+    val ids = corpus.select("doc_id").as[Long].collect().toSet
+    assert(neg.forall { case (a, b) => ids(a) && ids(b) })
+  }
+
   test("incremental dedup vs a signature index == full recompute restricted to the batch") {
     val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
