@@ -104,7 +104,53 @@ object AbBench {
     * registry entries. Bench-only: never part of [[SparkEntry.queries]],
     * never oracled, kept solely so COVERAGE.md's A/B claims replay.
     */
+  /** q145's PageRank as first committed (6df2104): the edge table
+    * cached on distinct's (src, dst) partitioning, so every iteration's
+    * src-key join re-exchanges the whole |E|-sized edge list. The
+    * repartition-by-src-before-persist rewrite pins the big side once;
+    * only the |V|-sized rank vector moves per iteration.
+    */
+  private def pageRankUnpartitioned(edges: DataFrame, srcCol: String,
+                                    dstCol: String, iters: Int,
+                                    damping: Double): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outd = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    var ranks = nodes.crossJoin(nn)
+      .select(col("id"), (lit(1.0) / col("nn")).as("r"))
+    var it = 0
+    while (it < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outd, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum((col("r") / col("od"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double").as("m"))
+      ranks = nodes.crossJoin(nn)
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) / col("nn")
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      it += 1
+    }
+    ranks.select(col("id"), round(col("r"), 9).as("rank"))
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v145_unpartitioned" -> ((s, d) => {
+      val li = Tables.t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("dst")),
+          Seq("k"))
+        .filter(col("src") =!= col("dst"))
+      pageRankUnpartitioned(e, "src", "dst", 2, 0.85)
+    }),
     "v49_cap_countjoin" -> ((s, d) => {
       val docs = Tables.t(s, d, "documents").select("doc_id", "text")
       val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),

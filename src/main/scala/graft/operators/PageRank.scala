@@ -35,12 +35,28 @@ object PageRank {
   /** Rank every node of the directed edge list after `iters` power
     * iterations from the uniform start. Output: (id, rank), rank
     * rounded to 9 dp.
+    *
+    * `prePartitionEdges` caches the edge table RE-EXCHANGED ON src so
+    * each iteration's src-key join reads the cache's partitioning and
+    * only the |V|-sized rank vector moves (distinct leaves the table
+    * hashed on (src, dst), which the src join cannot reuse). That
+    * repartition is one extra |E| exchange at build time, amortized
+    * over the iterations it saves — the interleaved A/B
+    * (`runMain graft.AbBench q145_pagerank v145_unpartitioned`) shows
+    * a wash at iters = 2 (medians within 2.5%, 2-3 win split), so the
+    * default follows iteration depth: convergence-grade runs (10-30
+    * rounds) pay the exchange once and save it every round. A
+    * broadcast of ranks is deliberately NOT the answer — |V| stops
+    * fitting the moment the graph does.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85): DataFrame = {
+               iters: Int, damping: Double = 0.85,
+               prePartitionEdges: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val pin = prePartitionEdges.getOrElse(iters >= 3)
+    val dedup = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+    val e = (if (pin) dedup.repartition(col("src")) else dedup)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
