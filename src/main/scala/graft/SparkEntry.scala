@@ -54,6 +54,30 @@ object SparkEntry {
        |      THEN list_append(acc[1:len(acc)-1], $m.l || $m.r)
        |      ELSE list_append(acc, x[1]) END) AS syms
        |  FROM $src CROSS JOIN $m""".stripMargin
+  /** KN bigram LM oracle chain (q149/q150): aggregated bigram table +
+    * the three aggregates-of-the-aggregate + the closed-form smoothed
+    * probability. Literals are CAST to DOUBLE because DuckDB types a
+    * bare 0.75 as DECIMAL(3,2) and decimal arithmetic diverges from
+    * Spark's double math beyond the 9 dp round.
+    */
+  private val knLmSql: String =
+    """d AS (SELECT regexp_split_to_array(text, '\s+') AS t FROM documents
+       |  WHERE len(regexp_split_to_array(text, '\s+')) >= 2),
+       |pr AS (SELECT unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+       |              unnest([t[i + 1] FOR i IN range(1, len(t))]) AS w2 FROM d),
+       |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |        FROM pr GROUP BY 1, 2),
+       |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |               CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nctx
+       |         FROM big GROUP BY 1),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM big),
+       |lm AS (
+       |  SELECT w1, w2, c12,
+       |    round((c12 - CAST(0.75 AS DOUBLE)) / c1
+       |      + CAST(0.75 AS DOUBLE) * n1p / c1 * (nctx / ntypes), 9) AS p_kn
+       |  FROM big JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ty)""".stripMargin
+
   /** Shared CTE chain: tok/w/s0 then (p_i, m_{i+1}, s_{i+1}) per merge. */
   private def bpeChainSql(nMerges: Int): String = {
     val base = s"""WITH tok AS (
@@ -2981,6 +3005,37 @@ object SparkEntry {
          |SELECT id1, id2, CAST(1 AS INT) AS label FROM pos
          |UNION ALL
          |SELECT id1, id2, CAST(0 AS INT) AS label FROM negk""".stripMargin)),
+
+    ("q149_kn_bigram_lm", (s, d) =>
+      // the shipped n-gram-LM artifact: interpolated Kneser-Ney
+      // probabilities for every observed bigram — absolute discounting
+      // + continuation backoff, all inputs exact counts off ONE
+      // aggregated bigram table, the probability closed-form in the
+      // oracle's operand order (DOUBLE-cast literals: DuckDB types
+      // bare 0.75 as DECIMAL and diverges past the 9 dp round)
+      graft.text.Vocab.knBigramLm(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH $knLmSql
+         |SELECT w1, w2, c12, p_kn FROM lm""".stripMargin)),
+
+    ("q150_kn_surprisal", (s, d) =>
+      // per-doc fluency under the corpus's own KN bigram LM: q114's
+      // unigram surprisal with real context — a shuffled doc keeps its
+      // unigram score but its improbable bigrams light up here. ln
+      // rounded 9 dp per bigram, per-doc mean in exact decimal.
+      graft.text.Vocab.knSurprisal(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH $knLmSql,
+         |d2 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\\s+')) >= 2),
+         |dp AS (SELECT doc_id,
+         |    unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+         |    unnest([t[i + 1] FOR i IN range(1, len(t))]) AS w2 FROM d2),
+         |per AS (
+         |  SELECT dp.doc_id, -round(ln(p_kn), 9) AS c
+         |  FROM dp JOIN lm ON lm.w1 = dp.w1 AND lm.w2 = dp.w2)
+         |SELECT doc_id, round(${dsumSql("c")} / count(*), 9) AS kn_surprisal,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams
+         |FROM per GROUP BY 1""".stripMargin)),
 
     ("q147_hybrid_rrf", (s, d) => {
       // hybrid retrieval: BM25 keyword top-50 (q140's scorer) fused

@@ -263,6 +263,70 @@ object Vocab {
       .groupBy("token").agg(sum(col("__cnt")).as("n"))
   }
 
+  /** Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995;
+    * Chen & Goodman 1998) — the small-LM artifact n-gram pipelines ship
+    * (the KenLM prep shape, one smoothing step further than q103's raw
+    * counts). For every OBSERVED bigram:
+    * `P(w2|w1) = (c12 - D)/c1 + D·N1+(w1,·)/c1 · (N1+(·,w2)/types)` —
+    * absolute discounting plus the continuation-probability backoff
+    * that makes KN the default n-gram smoother. Every input is an
+    * exact distributed count off ONE aggregated bigram table (three
+    * aggregates-of-the-aggregate, the TF-IDF shape); the probability
+    * is closed-form IEEE arithmetic in the SQL twin's operand order,
+    * rounded at 9 dp. The bigram table is persisted across its four
+    * readers and the (vocabulary-sized, not corpus-sized) result is
+    * eagerly checkpointed so the cache can drop — nearDupPairs'
+    * materialization contract.
+    */
+  def knBigramLm(df: DataFrame, idCol: String, textCol: String,
+                 discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val pairs = df.select(TextOps.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(posexplode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))")))
+      .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = big.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("nctx"))
+    val types = big.agg(count(lit(1)).as("ntypes"))
+    val p = round((col("c12") - lit(discount)) / col("c1")
+      + lit(discount) * col("n1p") / col("c1")
+        * (col("nctx") / col("ntypes")), 9)
+    val out = big.join(left, Seq("w1")).join(cont, Seq("w2")).crossJoin(types)
+      .select(col("w1"), col("w2"), col("c12"), p.as("p_kn"))
+      .localCheckpoint(true)
+    big.unpersist()
+    out
+  }
+
+  /** Per-document fluency under the corpus's own KN bigram LM: mean
+    * `-ln P(w2|w1)` over the doc's bigrams — q114's unigram surprisal
+    * upgraded with real context (a shuffled doc keeps its unigram score
+    * but its improbable bigrams light up here). Docs under 2 tokens
+    * drop out; every doc bigram is observed by construction (the LM is
+    * trained on the same corpus). ln rounded 9 dp per bigram, per-doc
+    * sum in exact decimal.
+    */
+  def knSurprisal(df: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75): DataFrame = {
+    val lm = knBigramLm(df, idCol, textCol, discount)
+    val docPairs = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))")))
+      .select(col(idCol), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    docPairs.join(lm.select("w1", "w2", "p_kn"), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(round(graft.Exprs.dsum(-round(log(col("p_kn")), 9))
+          / count(lit(1)), 9).as("kn_surprisal"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Sparse TF-IDF cosine similarity for an explicit pair list
     * (`id1`, `id2`) — the term-JOIN formulation: the dot product is an
     * equi-join of the weight table with itself on (pair, token), so

@@ -103,6 +103,34 @@ class VocabSpec extends AnyFunSuite {
     assert(got == Map("aa" -> 2L, "ab" -> 3L))
   }
 
+  test("knBigramLm matches the hand-computed smoothed probabilities") {
+    // bigrams: (a,b)x2 from 'a b a b', (b,a)x2 (one in-doc, one from 'b a')
+    // c1(a)=2, c1(b)=2, n1p=1 each, nctx=1 each, types=2
+    // P = (2-0.75)/2 + 0.75*1/2*(1/2) = 0.625 + 0.1875 = 0.8125
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = Vocab.knBigramLm(docs, "doc_id", "text")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(("a", "b") -> ((2L, 0.8125)), ("b", "a") -> ((2L, 0.8125))))
+  }
+
+  test("knSurprisal scores improbable bigram order above conforming docs") {
+    val docs = (1L to 20L).map(i => (i, "x y x y x y"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((100L, "y y x x")).toDF("doc_id", "text"))
+    val got = Vocab.knSurprisal(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // the scrambled doc's (y,y)/(x,x) bigrams are corpus-rare
+    assert(got(100L) > got(1L))
+    // conforming docs all score identically
+    assert((1L to 20L).map(got).toSet.size == 1)
+    // single-token docs drop out
+    val short = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    assert(Vocab.knSurprisal(short, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("bm25Scores matches a hand computation; absent terms drop out") {
     // corpus: N=3, dl = 3, 3, 4, avgdl = 10/3
     // query {a, d, zzz}: df(a)=2, df(d)=1, zzz absent
