@@ -3006,6 +3006,38 @@ object SparkEntry {
          |UNION ALL
          |SELECT id1, id2, CAST(0 AS INT) AS label FROM negk""".stripMargin)),
 
+    ("q151_scd2_dimension", (s, d) =>
+      // SCD Type-2 customer-status dimension off the order history:
+      // consecutive identical states collapse, each version carries
+      // [valid_from, valid_to) and is_current — the warehouse history
+      // pattern the flat upsert family overwrites away. o_orderkey
+      // breaks same-date ties (required for determinism). Both windows
+      // share one customer-key exchange.
+      graft.operators.Upsert.scd2FromHistory(
+        t(s, d, "orders").select("o_custkey", "o_orderstatus",
+          "o_orderdate", "o_orderkey"),
+        keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
+        tsCol = "o_orderdate", tieCols = Seq("o_orderkey"))
+        .select("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+          "is_current"),
+      Some("""WITH f AS (
+         |  SELECT o_custkey, o_orderstatus, o_orderdate,
+         |    row_number() OVER w AS rn,
+         |    lag(o_orderstatus) OVER w AS prev,
+         |    o_orderkey
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey
+         |               ORDER BY o_orderdate, o_orderkey)),
+         |c AS (
+         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM f
+         |  WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
+         |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+         |FROM c""".stripMargin)),
+
     ("q149_kn_bigram_lm", (s, d) =>
       // the shipped n-gram-LM artifact: interpolated Kneser-Ney
       // probabilities for every observed bigram — absolute discounting
