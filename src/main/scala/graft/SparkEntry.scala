@@ -3006,6 +3006,51 @@ object SparkEntry {
          |UNION ALL
          |SELECT id1, id2, CAST(0 AS INT) AS label FROM negk""".stripMargin)),
 
+    ("q152_cluster_safe_split", (s, d) => {
+      // leakage-safe 80/10/10: near-dup cluster members all draw the
+      // split of their cluster representative (q71's edges -> CC ->
+      // hash the component id), singletons degenerate to q118's plain
+      // hashSplit. The oracle replays the recursive transitive
+      // closure, the representative coalesce, and the frozen split
+      // hash — assignment-exact.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"),
+          col("doc_id").as("id2")), Seq("id1"))
+      val edges = graft.dedup.NearDup.jaccardVerify(pairs, docs,
+          "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      graft.operators.Sample.clusterSafeSplit(
+        docs.select("doc_id"), "doc_id", edges,
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    }, Some("""WITH RECURSIVE
+       |e AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE CAST(len(list_intersect(list_distinct(regexp_split_to_array(a.text, '\s+')),
+       |                                list_distinct(regexp_split_to_array(b.text, '\s+')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(regexp_split_to_array(a.text, '\s+'),
+       |                                    regexp_split_to_array(b.text, '\s+')))) >= 0.5),
+       |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |lab AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id),
+       |comp AS (SELECT id, min(comp) AS component FROM lab GROUP BY id),
+       |g AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id,
+       |    ((((grp + 7919) % 100000007) * 2654435761 % 99999989)
+       |      * 2246822519) % 1000 AS bucket
+       |  FROM g)
+       |SELECT doc_id,
+       |  CASE WHEN bucket < 800 THEN 'train'
+       |       WHEN bucket < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin)),
+
     ("q151_scd2_dimension", (s, d) =>
       // SCD Type-2 customer-status dimension off the order history:
       // consecutive identical states collapse, each version carries

@@ -204,6 +204,34 @@ object Sample {
       .drop("__ppm")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land in the same split — a paraphrase of a training doc sitting in
+    * the eval split is contamination that [[hashSplit]] on raw ids
+    * cannot see. Dedup-pair edges collapse to connected components
+    * ([[ConnectedComponents]], the same clusters the dedup pass
+    * already computes) and the split verdict hashes the CLUSTER
+    * representative, so every member of a near-dup cluster draws the
+    * same bucket; singleton docs (no edges) hash their own id,
+    * degenerating to exactly [[hashSplit]]. Shares stay approximate at
+    * the cluster granularity (a whole cluster moves together — the
+    * price of zero cross-split leakage).
+    *
+    * Scale: the CC cost is the dedup pipeline's own (run it once,
+    * reuse the pair table); the split itself is a narrow left join on
+    * the component table plus the frozen split hash.
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, edges: DataFrame,
+                       splits: Seq[(String, Int)], splitCol: String = "split",
+                       seed: Long = 7919L, edgeSrc: String = "id1",
+                       edgeDst: String = "id2"): DataFrame = {
+    val comps = ConnectedComponents.components(edges, edgeSrc, edgeDst)
+      .select(col("id").as(idCol), col("component").as("__grp0"))
+    val keyed = df.join(comps, Seq(idCol), "left")
+      .withColumn("__grp", coalesce(col("__grp0"), col(idCol)))
+      .drop("__grp0")
+    hashSplit(keyed, "__grp", splits, splitCol, seed).drop("__grp")
+  }
+
   /** Temperature-based domain reweighting: sample stratum `s` at a rate
     * proportional to `p_s^alpha` where `p_s` is the stratum's natural
     * share — the exponentiated-smoothing mix used by multilingual and

@@ -85,6 +85,29 @@ class SampleSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("clusterSafeSplit keeps every near-dup cluster in one split") {
+    // clusters: {1,2,3}, {10,11}, singletons 20..40
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 40L)).toDF("id")
+    val got = Sample.clusterSafeSplit(docs, "id", edges,
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 26)
+    // the leakage property: cluster members share one split
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(10L) == got(11L))
+    // singletons degenerate to plain hashSplit
+    val plain = Sample.hashSplit((20L to 40L).toDF("id"), "id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .as[(Long, String)].collect().toMap
+    (20L to 40L).foreach(i => assert(got(i) == plain(i)))
+    // and the cluster draws the REPRESENTATIVE's bucket
+    assert(got(1L) == plain.getOrElse(1L,
+      Sample.hashSplit(Seq(1L).toDF("id"), "id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .as[(Long, String)].collect().head._2))
+  }
+
   test("stratifiedHashSample honors fractional permille rates") {
     val rows = (1L to 100000L).map((_, "a")).toDF("id", "stratum")
     val kept = Sample.stratifiedHashSample(rows, "id", "stratum",
