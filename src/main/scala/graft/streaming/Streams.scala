@@ -136,6 +136,32 @@ object Streams {
       }
       .start()
 
+  /** Stream-stream event-time interval join — the attribution shape
+    * (view → purchase within a horizon) as a continuous query. Both
+    * sides carry a watermark and the join predicate bounds the right
+    * event inside `[leftTs, leftTs + horizon]`, which is exactly what
+    * lets Spark EXPIRE join state: without the time bound each side
+    * would buffer forever (Spark rejects the unbounded inner
+    * stream-stream join outright when watermarks are missing).
+    * Non-key column names must be disjoint — the output carries both
+    * timestamp columns for downstream latency math (the key appears
+    * once). State size ≈ horizon × arrival rate per side, independent
+    * of stream lifetime; the batch twin (same predicate on static
+    * frames) is what the unit compares against.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         watermark: String = "1 hour",
+                         horizon: String = "1 hour"): DataFrame = {
+    val r = right.withColumnRenamed(keyCol, "__rkey")
+      .withWatermark(rightTs, watermark)
+    left.withWatermark(leftTs, watermark)
+      .join(r, col(keyCol) === col("__rkey")
+        && col(rightTs) >= col(leftTs)
+        && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+      .drop("__rkey")
+  }
+
   /** Continuous distinct-count: the streaming face of
     * [[graft.operators.Sketches.hllRegisters]]. Each micro-batch writes
     * ONLY its own (bucket, max-rho) register table — m rows max, never

@@ -147,6 +147,43 @@ class StreamsSpec extends AnyFunSuite {
       .forall(_._2 <= 64))
   }
 
+  test("streamIntervalJoin matches the batch interval join") {
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val views = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.streamIntervalJoin(
+      views.toDF().toDF("user", "view_ts"),
+      buys.toDF().toDF("user", "buy_ts"),
+      "user", "view_ts", "buy_ts",
+      watermark = "10 minutes", horizon = "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, ts(0)), (2L, ts(5)), (3L, ts(10)))
+      buys.addData((1L, ts(12)), (2L, ts(30)), (3L, ts(11)), (4L, ts(9)))
+      q.processAllAvailable()
+      // advance both watermarks so in-horizon results are final
+      views.addData((99L, ts(59))); buys.addData((98L, ts(59)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj").select("user", "view_ts", "buy_ts")
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    // user 1: buy 12 min after view -> in horizon; user 2: 25 min -> out;
+    // user 3: 1 min -> in; user 4: buy with no view -> inner join drops
+    assert(got == Set((1L, ts(0), ts(12)), (3L, ts(10), ts(11))))
+    // batch twin: same predicate on static frames
+    val bt = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(10))).toDF("user", "view_ts")
+      .join(Seq((1L, ts(12)), (2L, ts(30)), (3L, ts(11)), (4L, ts(9)))
+        .toDF("u2", "buy_ts"),
+        col("user") === col("u2") && col("buy_ts") >= col("view_ts")
+          && col("buy_ts") <= col("view_ts") + expr("INTERVAL 15 minutes"))
+      .select("user", "view_ts", "buy_ts")
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    assert(got == bt)
+  }
+
   test("hash sampling is replay-stable: batch split doesn't change the sample") {
     // df.sample draws from partition-seeded RNG, so a streaming replay
     // or re-batching changes which rows survive — Sample.hashSample
