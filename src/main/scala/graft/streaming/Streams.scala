@@ -136,6 +136,42 @@ object Streams {
       }
       .start()
 
+  /** Continuous SCD Type-2 maintenance: each micro-batch of history
+    * rows folds into the versioned dimension via
+    * [[graft.operators.Upsert.scd2Apply]] — only batch-touched keys
+    * rebuild, untouched versions pass through, and a batch repeating a
+    * key's current state opens no version, so scd2Apply's idempotence
+    * makes checkpoint replays produce the same table (plus the atomic
+    * directory swap underneath). Because apply == full-rebuild on the
+    * union (the unit-proven contract), the streamed dimension
+    * telescopes to `scd2FromHistory` over everything ever ingested.
+    * Requires (keyCols, tsCol) to uniquely order each key's change
+    * rows, scd2Apply's documented incremental-ingestion property.
+    */
+  def scd2Sink(history: DataFrame, path: String, keyCols: Seq[String],
+               attrCols: Seq[String], tsCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    history.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        val next =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            graft.operators.Upsert.scd2Apply(spark.read.parquet(path),
+              batch, keyCols, attrCols, tsCol)
+          else
+            graft.operators.Upsert.scd2FromHistory(batch, keyCols,
+              attrCols, tsCol)
+        graft.pipeline.Runner.overwriteSwapped(
+          next.select((keyCols ++ attrCols).map(col)
+            :+ col("valid_from") :+ col("valid_to") :+ col("is_current"): _*),
+          path)
+      }
+      .start()
+
   /** Stream-stream event-time interval join — the attribution shape
     * (view → purchase within a horizon) as a continuous query. Both
     * sides carry a watermark and the join predicate bounds the right

@@ -147,6 +147,33 @@ class StreamsSpec extends AnyFunSuite {
       .forall(_._2 <= 64))
   }
 
+  test("scd2Sink: streamed batches telescope to the full-history dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scd2sink").toString
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val hist = (1L to 40L).flatMap { k =>
+      Seq((k, "a", ts(1)), (k, if (k % 2 == 0) "b" else "a", ts(5)),
+        (k, if (k % 3 == 0) "c" else "b", ts(9)))
+    }
+    val chunks = hist.grouped(45).toSeq
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.scd2Sink(input.toDF().toDF("k", "status", "ts"),
+      s"$root/dim", Seq("k"), Seq("status"), "ts", s"$root/ckpt")
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/dim")
+      .select("k", "status", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSet
+    val full = graft.operators.Upsert.scd2FromHistory(
+        hist.toDF("k", "status", "ts"), Seq("k"), Seq("status"), "ts")
+      .select("k", "status", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSet
+    assert(streamed == full && streamed.nonEmpty)
+  }
+
   test("streamIntervalJoin matches the batch interval join") {
     import org.apache.spark.sql.functions.{col, expr}
     implicit val sqlCtx = spark.sqlContext
