@@ -3098,7 +3098,12 @@ object SparkEntry {
       // per-doc fluency under the corpus's own KN bigram LM: q114's
       // unigram surprisal with real context — a shuffled doc keeps its
       // unigram score but its improbable bigrams light up here. ln
-      // rounded 9 dp per bigram, per-doc mean in exact decimal.
+      // rounded 9 dp per bigram, per-doc TOTAL in exact decimal — the
+      // total, not the mean: rounding the quotient total/n lands on a
+      // decimal round-tie ~1 in 1e3 docs (caught by the sf0.1
+      // self-check: 2 of 5000 docs off by exactly 1e-9 between
+      // Spark's exact-binary HALF_UP and DuckDB's float-multiply
+      // round), and a quotient tie cannot be pinned from either side.
       graft.text.Vocab.knSurprisal(t(s, d, "documents"), "doc_id", "text"),
       Some(s"""WITH $knLmSql,
          |d2 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
@@ -3110,7 +3115,7 @@ object SparkEntry {
          |per AS (
          |  SELECT dp.doc_id, -round(ln(p_kn), 9) AS c
          |  FROM dp JOIN lm ON lm.w1 = dp.w1 AND lm.w2 = dp.w2)
-         |SELECT doc_id, round(${dsumSql("c")} / count(*), 9) AS kn_surprisal,
+         |SELECT doc_id, ${dsumSql("c")} AS kn_total_surprisal,
          |  CAST(count(*) AS BIGINT) AS n_bigrams
          |FROM per GROUP BY 1""".stripMargin)),
 

@@ -303,13 +303,22 @@ object Vocab {
     out
   }
 
-  /** Per-document fluency under the corpus's own KN bigram LM: mean
-    * `-ln P(w2|w1)` over the doc's bigrams — q114's unigram surprisal
-    * upgraded with real context (a shuffled doc keeps its unigram score
-    * but its improbable bigrams light up here). Docs under 2 tokens
-    * drop out; every doc bigram is observed by construction (the LM is
-    * trained on the same corpus). ln rounded 9 dp per bigram, per-doc
-    * sum in exact decimal.
+  /** Per-document fluency under the corpus's own KN bigram LM: total
+    * `-ln P(w2|w1)` over the doc's bigrams plus the bigram count —
+    * q114's unigram surprisal upgraded with real context (a shuffled
+    * doc keeps its unigram score but its improbable bigrams light up
+    * here). Docs under 2 tokens drop out; every doc bigram is observed
+    * by construction (the LM is trained on the same corpus).
+    *
+    * The TOTAL is emitted, not the mean, deliberately: ln is rounded
+    * 9 dp per bigram and the per-doc sum runs in exact decimal, so the
+    * total is bit-reproducible on any engine — but rounding the
+    * quotient total/n lands on a decimal ROUND-TIE for ~1 in 10³ docs
+    * (Spark's exact-binary HALF_UP vs a float-multiply `round`
+    * disagree by exactly 1e-9; observed on 2 of 5000 docs at sf0.1),
+    * and a quotient's tie cannot be pinned from either side. Divide
+    * downstream where the last printed digit is presentation, not
+    * contract.
     */
   def knSurprisal(df: DataFrame, idCol: String, textCol: String,
                   discount: Double = 0.75): DataFrame = {
@@ -322,8 +331,8 @@ object Vocab {
       .select(col(idCol), col("col.w1").as("w1"), col("col.w2").as("w2"))
     docPairs.join(lm.select("w1", "w2", "p_kn"), Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(round(graft.Exprs.dsum(-round(log(col("p_kn")), 9))
-          / count(lit(1)), 9).as("kn_surprisal"),
+      .agg(graft.Exprs.dsum(-round(log(col("p_kn")), 9))
+          .as("kn_total_surprisal"),
         count(lit(1)).as("n_bigrams"))
   }
 

@@ -120,7 +120,7 @@ class VocabSpec extends AnyFunSuite {
       .unionByName(Seq((100L, "y y x x")).toDF("doc_id", "text"))
     val got = Vocab.knSurprisal(docs, "doc_id", "text")
       .as[(Long, Double, Long)].collect()
-      .map(r => r._1 -> r._2).toMap
+      .map(r => r._1 -> r._2 / r._3).toMap // mean = total / n, downstream
     // the scrambled doc's (y,y)/(x,x) bigrams are corpus-rare
     assert(got(100L) > got(1L))
     // conforming docs all score identically
