@@ -3316,9 +3316,13 @@ object SparkEntry {
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
     ("q114_unigram_surprisal", (s, d) =>
-      // model-free perplexity proxy: mean -ln p(token) under the
+      // model-free perplexity proxy: TOTAL -ln p(token) under the
       // corpus's own unigram distribution (ln rounded to 9 dp per term,
-      // per-doc sum in exact decimal — see Vocab.unigramSurprisal)
+      // per-doc sum in exact decimal). The total, not the mean — the
+      // decimal-quantized total over a small integer count lands
+      // exactly on 9 dp round-tie midpoints, where engines' round()
+      // legitimately disagree (q150's twin construct was caught at
+      // sf0.1); divide downstream. See Vocab.unigramSurprisal.
       graft.text.Vocab.unigramSurprisal(t(s, d, "documents"), "doc_id", "text"),
       Some(s"""WITH tok AS (
          |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
@@ -3331,7 +3335,7 @@ object SparkEntry {
          |    tf.tf * round(ln(CAST(n_total AS DOUBLE) / n_tok), 9) AS c
          |  FROM tf JOIN freq USING (token) CROSS JOIN tot)
          |SELECT doc_id,
-         |  round(${dsumSql("c")} / CAST(sum(tf) AS BIGINT), 9) AS surprisal,
+         |  ${dsumSql("c")} AS total_surprisal,
          |  CAST(sum(tf) AS BIGINT) AS n_tokens
          |FROM per GROUP BY doc_id""".stripMargin)),
 

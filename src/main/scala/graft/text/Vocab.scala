@@ -53,16 +53,23 @@ object Vocab {
       .select(col(idCol), col("token"), col("tf"), col("score"))
   }
 
-  /** Per-document mean unigram surprisal, `-mean(ln p(token))` with
-    * `p` from the corpus's own token distribution — the model-free
-    * perplexity proxy corpus pipelines use as a fluency gate (gibberish
-    * and boilerplate both sit far from the corpus mean). Shape: the
-    * same aggregated term counts as TF-IDF; the corpus total joins in
-    * as a one-row cross join, so nothing collects to the driver.
+  /** Per-document unigram surprisal: total `-ln p(token)` over the
+    * doc's tokens (plus the token count) with `p` from the corpus's
+    * own token distribution — the model-free perplexity proxy corpus
+    * pipelines use as a fluency gate (gibberish and boilerplate both
+    * sit far from the corpus mean).  Shape: the same aggregated term
+    * counts as TF-IDF; the corpus total joins in as a one-row cross
+    * join, so nothing collects to the driver.
     *
     * Determinism: the transcendental `ln` is rounded to 9 dp per TERM
     * (JVM vs libm differ in the last ulp), and the per-doc sum then
-    * runs in exact decimal — order-independent on any cluster.
+    * runs in exact decimal — order-independent on any cluster. The
+    * TOTAL is emitted, not the mean, for [[knSurprisal]]'s reason: the
+    * decimal-quantized total divided by a small integer count lands
+    * EXACTLY on 9-dp grid midpoints (total is a multiple of 1e-6, so
+    * total/n steps in exact sub-1e-9 rationals), where two engines'
+    * round() legitimately disagree — q150's twin construct was caught
+    * doing exactly that at sf0.1. Divide downstream.
     */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df
@@ -76,7 +83,7 @@ object Vocab {
     tf.join(freq, Seq("token"))
       .crossJoin(total)
       .groupBy(col(idCol))
-      .agg(round(graft.Exprs.dsum(contrib) / sum(col("tf")), 9).as("surprisal"),
+      .agg(graft.Exprs.dsum(contrib).as("total_surprisal"),
         sum(col("tf")).as("n_tokens"))
   }
 

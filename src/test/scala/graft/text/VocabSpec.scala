@@ -43,7 +43,7 @@ class VocabSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val got = Vocab.unigramSurprisal(sealedDocs, "doc_id", "text")
       .as[(Long, Double, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
+      .map(r => r._1 -> ((r._2 / r._3, r._3))).toMap // mean = total / n
     assert(got(1L)._2 == 4L && got(2L)._2 == 3L && got(3L)._2 == 3L)
     val exp1 = math.log(10.0 / 4)                         // every token is a
     val exp2 = (math.log(10.0 / 1) + 2 * math.log(10.0 / 2)) / 3
