@@ -3006,6 +3006,47 @@ object SparkEntry {
          |UNION ALL
          |SELECT id1, id2, CAST(0 AS INT) AS label FROM negk""".stripMargin)),
 
+    ("q153_psi_drift", (s, d) => {
+      // distribution-drift monitor: PSI between the view-event and
+      // purchase-event value distributions over ONE shared 10-bin
+      // frame (per-side bin edges would hide the drift being
+      // measured). Counts exact, empty-bin floor 0.0001 via CASE
+      // (replayable, not an epsilon-add), ln rounded 9 dp, per-bin
+      // contribution rounded 9 dp, total in exact decimal — psi is a
+      // SUM, so no quotient round-tie exposure (the q150 lesson).
+      val ev = t(s, d, "events")
+      graft.operators.Quality.psiDrift(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", bins = 10)
+    }, Some("""WITH u AS (
+       |  SELECT value AS v,
+       |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+       |st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+       |bb AS (
+       |  SELECT side, CASE WHEN mx = mn THEN 0 ELSE
+       |    CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9) AS BIGINT) END
+       |    AS bin
+       |  FROM u CROSS JOIN st),
+       |c AS (SELECT bin,
+       |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM bb GROUP BY 1),
+       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |             CAST(sum(cb) AS BIGINT) AS nb FROM c),
+       |pq AS (SELECT
+       |    CASE WHEN ca = 0 THEN CAST(0.0001 AS DOUBLE)
+       |         ELSE CAST(ca AS DOUBLE) / na END AS p,
+       |    CASE WHEN cb = 0 THEN CAST(0.0001 AS DOUBLE)
+       |         ELSE CAST(cb AS DOUBLE) / nb END AS q
+       |  FROM c CROSS JOIN t)
+       |SELECT CAST(sum(CAST(round((p - q) * round(ln(p / q), 9), 9)
+       |    AS DECIMAL(18,6))) AS DOUBLE) AS psi,
+       |  CAST(count(*) AS BIGINT) AS n_bins
+       |FROM pq""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

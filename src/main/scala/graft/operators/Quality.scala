@@ -114,4 +114,49 @@ object Quality {
       throw new IllegalStateException(
         "quality gate failed: " + failed.map(r => s"${r.table}.${r.check}=${r.violations}").mkString(", "))
   }
+
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard distribution-drift monitor a daily pipeline
+    * gates retraining on (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    * shifted). Both sides histogram over ONE shared equi-width frame
+    * (bin edges from the UNION's min/max — per-side edges would hide
+    * the drift being measured) and
+    * `PSI = Σ (p_i - q_i) · ln(p_i / q_i)` accumulates over the bins.
+    * Cost: one min/max scan of the union + one bin-count aggregate per
+    * side, `bins` counters of state, same merge-by-addition frame
+    * contract as [[Sketches.histogramQuantiles]].
+    *
+    * Determinism: counts are exact; empty-bin shares floor at the
+    * standard 0.0001 (a CASE, not an epsilon-add — exactly replayable);
+    * ln is rounded at 9 dp; each bin's contribution is rounded at 9 dp
+    * and the total runs in exact decimal. One row out:
+    * `(psi, n_bins)` — psi is a SUM (no quotient round-tie exposure).
+    */
+  def psiDrift(baseline: DataFrame, current: DataFrame, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
+    val v = col(valueCol)
+    val a = baseline.filter(v.isNotNull).select(v.as("__v"), lit(0).as("__side"))
+    val b = current.filter(v.isNotNull).select(v.as("__v"), lit(1).as("__side"))
+    val u = a.unionByName(b)
+    val st = u.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+    val width = (col("mx") - col("mn")) / lit(bins)
+    val binned = u.crossJoin(st)
+      .select(col("__side"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("__v") - col("mn")) / width),
+            lit((bins - 1).toLong))).as("bin"))
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val p = when(col("ca") === 0, lit(0.0001))
+      .otherwise(col("ca").cast("double") / col("na"))
+    val q = when(col("cb") === 0, lit(0.0001))
+      .otherwise(col("cb").cast("double") / col("nb"))
+    counts.crossJoin(totals)
+      .select(round((p - q) * round(log(p / q), 9), 9).as("__c"))
+      .agg(graft.Exprs.dsum(col("__c")).as("psi"),
+        count(lit(1)).as("n_bins"))
+  }
 }

@@ -71,4 +71,26 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.nonEmpty(users, "users").passed)
     assert(!Quality.nonEmpty(users.limit(0), "users").passed)
   }
+
+  test("psiDrift: ~0 for identical distributions, large for a shift, floor for empty bins") {
+    val base = (1 to 10000).map(i => (i % 100).toDouble).toDF("v")
+    val same = (1 to 10000).map(i => ((i * 7) % 100).toDouble).toDF("v")
+    val psiSame = Quality.psiDrift(base, same, "v")
+      .select("psi").as[Double].collect().head
+    assert(math.abs(psiSame) < 0.01, s"identical dists scored $psiSame")
+    // shifted: current concentrated in the top half of the range
+    val shifted = (1 to 10000).map(i => (50 + i % 50).toDouble).toDF("v")
+    val psiShift = Quality.psiDrift(base, shifted, "v")
+      .select("psi").as[Double].collect().head
+    assert(psiShift > 0.25, s"shifted dist scored $psiShift") // 'major shift'
+    // one side empty in some bins: the 0.0001 floor keeps ln finite
+    val narrow = (1 to 1000).map(_ => 5.0).toDF("v")
+    val out = Quality.psiDrift(base, narrow, "v")
+      .as[(Double, Long)].collect().head
+    assert(!out._1.isNaN && !out._1.isInfinite && out._1 > 0.25)
+    // layout independence
+    val a = Quality.psiDrift(base.repartition(13), shifted, "v")
+      .select("psi").as[Double].collect().head
+    assert(a == psiShift)
+  }
 }
