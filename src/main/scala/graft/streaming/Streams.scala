@@ -172,6 +172,34 @@ object Streams {
       }
       .start()
 
+  /** Continuous distribution-drift monitoring: every micro-batch is
+    * scored with [[graft.operators.Quality.psiDrift]] against a FROZEN
+    * baseline frame and appends one `(batch_id, psi, n_bins)` row —
+    * the time series a retraining gate or alert reads. The baseline is
+    * deliberately static (drift is measured AGAINST something; a
+    * rolling baseline absorbs the very shift being watched) — refresh
+    * it by restarting the sink with a new baseline path. Exactly-once
+    * by the same `batch=<id>` overwrite idempotence as the other
+    * sinks; one row per batch, so the monitor table stays tiny
+    * forever.
+    */
+  def psiSink(rows: DataFrame, baseline: DataFrame, valueCol: String,
+              root: String, checkpoint: String, bins: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val frozen = baseline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.psiDrift(frozen, batch, valueCol, bins)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$root/psi/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream event-time interval join — the attribution shape
     * (view → purchase within a horizon) as a continuous query. Both
     * sides carry a watermark and the join predicate bounds the right

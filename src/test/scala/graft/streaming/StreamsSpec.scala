@@ -174,6 +174,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == full && streamed.nonEmpty)
   }
 
+  test("psiSink scores each batch against the frozen baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("psisink").toString
+    val baseline = (1 to 5000).map(i => (i % 100).toDouble).toDF("v")
+    val input = MemoryStream[Double]
+    val q = Streams.psiSink(input.toDF().toDF("v"), baseline, "v",
+      s"$root/state", s"$root/ckpt")
+    try {
+      input.addData((1 to 5000).map(i => ((i * 7) % 100).toDouble)) // same dist
+      q.processAllAvailable()
+      input.addData((1 to 5000).map(i => (50 + i % 50).toDouble))   // shifted
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$root/state/psi")
+      .select("batch_id", "psi").as[(Long, Double)].collect().toMap
+    assert(got.size == 2)
+    assert(math.abs(got(0L)) < 0.01, s"stable batch scored ${got(0L)}")
+    assert(got(1L) > 0.25, s"shifted batch scored ${got(1L)}")
+    // batch twin equality: the streamed score IS psiDrift of the batch
+    val batchPsi = graft.operators.Quality.psiDrift(baseline,
+        (1 to 5000).map(i => (50 + i % 50).toDouble).toDF("v"), "v")
+      .select("psi").as[Double].collect().head
+    assert(got(1L) == batchPsi)
+  }
+
   test("streamIntervalJoin matches the batch interval join") {
     import org.apache.spark.sql.functions.{col, expr}
     implicit val sqlCtx = spark.sqlContext
