@@ -3047,6 +3047,71 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_bins
        |FROM pq""".stripMargin)),
 
+    ("q154_association_rules", (s, d) =>
+      // market-basket rules over order baskets: support/confidence/lift
+      // in exact integer ppm (floor division — no float quotient can
+      // drift between engines). Pair candidates come from the basket-key
+      // self-join, so cost is O(N·basketSize), never O(items²); see
+      // MarketBasket scaladoc for the one-exchange basket layout.
+      graft.operators.MarketBasket.associationRules(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minPairCount = 2),
+      Some("""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+       |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM items),
+       |icnt AS (SELECT it, count(*) AS c FROM items GROUP BY 1),
+       |rules AS (
+       |  SELECT a.it AS antecedent, b.it AS consequent, count(*) AS pc
+       |  FROM items a JOIN items b ON a.bk = b.bk AND a.it <> b.it
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT antecedent, consequent, pc AS pair_count,
+       |  ca.c AS antecedent_count, cb.c AS consequent_count, n_baskets,
+       |  pc * 1000000 // n_baskets AS support_ppm,
+       |  pc * 1000000 // ca.c AS confidence_ppm,
+       |  pc * n_baskets * 1000000 // (ca.c * cb.c) AS lift_ppm
+       |FROM rules
+       |JOIN icnt ca ON ca.it = antecedent
+       |JOIN icnt cb ON cb.it = consequent
+       |CROSS JOIN nb""".stripMargin)),
+
+    ("q155_dsir_selection", (s, d) =>
+      // DSIR data selection: hashed-unigram log importance weights of
+      // each doc under the en-lang target vs the whole corpus, top-100
+      // flagged. Bucket hash = portable rolling-hash chain; weights are
+      // integer-product ratios through one double division, ln rounded
+      // 9 dp; per-doc totals in exact decimal (q105/q114 pattern).
+      graft.text.Vocab.dsirScore(t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 1021, topK = 100),
+      Some(s"""WITH tok AS (
+       |  SELECT doc_id, lang = 'en' AS tgt,
+       |    unnest(regexp_split_to_array(text, '\\s+')) AS token
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id, tgt,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(token, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+       |  FROM tok),
+       |bk AS (SELECT doc_id, tgt,
+       |    ((f % 100000007) * 2654435761) % 1021 AS b FROM fp),
+       |tf AS (SELECT doc_id, tgt, b, count(*) AS n FROM bk GROUP BY 1, 2, 3),
+       |cnt AS (SELECT b, CAST(sum(n) AS BIGINT) AS sc,
+       |    CAST(sum(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS tc
+       |  FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(sc) AS BIGINT) AS ts,
+       |               CAST(sum(tc) AS BIGINT) AS tt FROM cnt),
+       |w AS (SELECT b,
+       |    round(ln(CAST((tc + 1) * (ts + 1021) AS DOUBLE)
+       |           / CAST((sc + 1) * (tt + 1021) AS DOUBLE)), 9) AS w
+       |  FROM cnt CROSS JOIN tot),
+       |scored AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    ${dsumSql("n * w")} AS dsir_score
+       |  FROM tf JOIN w USING (b) GROUP BY 1)
+       |SELECT doc_id, n_tokens, dsir_score,
+       |  row_number() OVER (ORDER BY dsir_score DESC, doc_id) <= 100
+       |    AS selected
+       |FROM scored""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -371,4 +371,94 @@ object Vocab {
       .select(col("id1"), col("id2"),
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 9).as("cosine"))
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by its hashed-unigram log importance weight under a TARGET
+    * distribution vs the full SOURCE corpus, and flag the top-k. The
+    * published recipe hashes n-gram features into a FIXED number of
+    * buckets so the model's memory is vocab-independent — that is also
+    * what makes it the 100 TB shape here: the per-bucket weight table
+    * is `buckets` rows regardless of corpus size and broadcasts into
+    * the scoring join.
+    *
+    * Determinism/oracle parity: the token→bucket hash is the portable
+    * rolling-hash + multiplicative-mod chain (replayable in ANSI SQL);
+    * bucket weights use add-one smoothing with all-INTEGER numerator/
+    * denominator products (BIGINT-exact in both engines), one double
+    * division, ln rounded to 9 dp; per-doc totals accumulate in exact
+    * decimal (the q105/q114 pattern). `selected` breaks score ties on
+    * doc id.
+    *
+    * Plan shape: token instances are hash-partitioned by doc id ONCE;
+    * the (doc, bucket) term counts, the per-doc score aggregate, and
+    * the final window all ride that single exchange (grouping keys are
+    * supersets / subsets served by the same partitioning); the bucket
+    * count table re-aggregates the term counts (tiny) and the weight
+    * table joins back by broadcast.
+    *
+    * @param isTarget row predicate defining the target distribution
+    *                 (e.g. `col("lang") === "en"`)
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, buckets: Int = 1021,
+                topK: Int = 100, persistInput: Boolean = true): DataFrame = {
+    // buckets should be PRIME (default 1021): the bucket hash's last
+    // round is multiplicative, and an odd multiplier is a bijection of
+    // the low k bits, so a 2^k modulus keeps only the rolling hash's
+    // own low bits — tokens whose hashes differ by a multiple of 2^k
+    // collide SYSTEMATICALLY (measured: "aa" and "yy" collide mod 64).
+    // A prime modulus mixes all bits of the product.
+    val b = lit(buckets.toLong)
+    val bucket = pmod((graft.functions.RollingHash.of(col("token")) %
+      graft.operators.Sample.Prime) * graft.operators.Sample.Mult, b)
+
+    val tf0 = df
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .withColumn("__b", bucket)
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("n"))
+    // tf feeds both the bucket-count pass and the scoring pass; without
+    // a persist, the weight subtree (under the broadcast boundary,
+    // where AQE's exchange reuse does not reach) re-plans the whole
+    // tokenize+hash chain — the heavyHitters single-sourcing lesson.
+    // tf is the SMALL intermediate: one row per (doc, distinct bucket),
+    // never one per token instance.
+    val tf = if (persistInput)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
+
+    val cnt = tf.groupBy("__b").agg(
+      sum(col("n")).as("sc"),
+      sum(when(col("__tgt"), col("n")).otherwise(lit(0L))).as("tc"))
+    // corpus totals via a global window over the ≤`buckets`-row count
+    // table: a separate .agg would re-plan the whole count chain as a
+    // second subtree (measured: +2 exchanges), where the window is one
+    // single-partition pass over rows already in hand
+    val all = Window.partitionBy()
+    val weights = cnt
+      .withColumn("__ts", sum(col("sc")).over(all))
+      .withColumn("__tt", sum(col("tc")).over(all))
+      .select(col("__b"),
+        round(log(((col("tc") + 1) * (col("__ts") + b)).cast("double") /
+          ((col("sc") + 1) * (col("__tt") + b)).cast("double")), 9).as("__w"))
+
+    val scored = tf.join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        graft.Exprs.dsum(col("n") * col("__w")).as("dsir_score"))
+
+    val w = Window.orderBy(col("dsir_score").desc, col(idCol).asc)
+    val res = scored.withColumn("selected",
+      (row_number().over(w) <= topK).cast("boolean"))
+    if (persistInput) {
+      // eager result off the cache, then free it (heavyHitters pattern:
+      // truncated lineage, blocks live until GC)
+      val ckpt = res.localCheckpoint(true)
+      tf.unpersist()
+      ckpt
+    } else res
+  }
 }
