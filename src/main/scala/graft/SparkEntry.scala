@@ -3112,6 +3112,85 @@ object SparkEntry {
        |    AS selected
        |FROM scored""".stripMargin)),
 
+    ("q156_multi_touch_attribution", (s, d) =>
+      // four attribution models in one pass: linear / first / last /
+      // time-decay credit of purchase value over the user's preceding
+      // 7-day touches, per channel. Only the decay weight is
+      // transcendental (rounded 9 dp before its decimal window sum);
+      // every other share is a single IEEE division.
+      graft.operators.Attribution.multiTouch(t(s, d, "events")),
+      Some(s"""WITH touches AS (
+       |  SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS tus,
+       |    event_id AS tid
+       |  FROM events WHERE event_type <> 'purchase'),
+       |convs AS (
+       |  SELECT user_id AS u, epoch_us(ts) AS cus, value AS v,
+       |    event_id AS cid
+       |  FROM events WHERE event_type = 'purchase'),
+       |paired AS (
+       |  SELECT * FROM touches JOIN convs USING (u)
+       |  WHERE tus < cus AND tus >= cus - 604800000000),
+       |cred AS (
+       |  SELECT channel, cid, v,
+       |    count(*) OVER w AS k,
+       |    row_number() OVER (PARTITION BY cid ORDER BY tus ASC, tid ASC)
+       |      AS rn_a,
+       |    row_number() OVER (PARTITION BY cid ORDER BY tus DESC, tid DESC)
+       |      AS rn_d,
+       |    round(pow(0.5, CAST(cus - tus AS DOUBLE) / 604800000000.0), 9)
+       |      AS w,
+       |    CAST(sum(CAST(round(pow(0.5,
+       |        CAST(cus - tus AS DOUBLE) / 604800000000.0), 9)
+       |      AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sw
+       |  FROM paired
+       |  WINDOW w AS (PARTITION BY cid))
+       |SELECT channel,
+       |  count(DISTINCT cid) AS conversions_touched,
+       |  CAST(count(*) AS BIGINT) AS touches,
+       |  ${dsumSql("v / k")} AS linear_value,
+       |  ${dsumSql("CASE WHEN rn_a = 1 THEN v ELSE 0.0 END")}
+       |    AS first_touch_value,
+       |  ${dsumSql("CASE WHEN rn_d = 1 THEN v ELSE 0.0 END")}
+       |    AS last_touch_value,
+       |  ${dsumSql("v * w / sw")} AS decay_value
+       |FROM cred GROUP BY 1""".stripMargin)),
+
+    ("q157_rfm_segments", (s, d) =>
+      // RFM quintile segmentation of the customer base from the orders
+      // fact: exact integer rank quintiles (never NTILE — its tie
+      // placement is engine-defined), custkey tiebreaks, decimal-exact
+      // monetary totals.
+      graft.gold.Gold.rfmSegments(t(s, d, "orders"), "o_custkey",
+        "o_orderdate", "o_totalprice"),
+      Some(s"""WITH per AS (
+       |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    ${dsumSql("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY 1),
+       |g AS (
+       |  SELECT *,
+       |    CAST(date_diff('day', last_order, max(last_order) OVER ())
+       |      AS BIGINT) AS recency_days,
+       |    count(*) OVER () AS n
+       |  FROM per),
+       |sc AS (
+       |  SELECT o_custkey, recency_days, frequency, monetary,
+       |    5 - (5 * (row_number() OVER (ORDER BY recency_days ASC,
+       |      o_custkey ASC) - 1)) // n AS r_score,
+       |    5 - (5 * (row_number() OVER (ORDER BY frequency DESC,
+       |      o_custkey ASC) - 1)) // n AS f_score,
+       |    5 - (5 * (row_number() OVER (ORDER BY monetary DESC,
+       |      o_custkey ASC) - 1)) // n AS m_score
+       |  FROM g)
+       |SELECT o_custkey, recency_days, frequency, monetary,
+       |  r_score, f_score, m_score,
+       |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+       |       WHEN r_score >= 4 THEN 'recent'
+       |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+       |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+       |       ELSE 'regular' END AS segment
+       |FROM sc""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -178,6 +178,55 @@ object Gold {
   /** operations_mart daily rows (publish_gold.py:75-84):
     * COALESCE(AVG(discount_percentage), 0) per day.
     */
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM analytic the reference's marts stop short of. Each
+    * customer gets 1-5 quintile scores per dimension and a coarse
+    * segment label.
+    *
+    * Determinism: quintiles come from exact integer rank arithmetic
+    * (`(rank-1)·5 div n`), never NTILE (whose tie placement is
+    * engine-defined) and never a floating percentile; ranks break ties
+    * on the customer key; monetary totals ride the exact-decimal sum.
+    *
+    * Scale: per-customer rollup is one hash aggregate; the three rank
+    * windows are global sorts of the CUSTOMER DIMENSION (rows = one per
+    * customer, already 5-6 orders of magnitude smaller than the fact
+    * table), sharing one single-partition exchange. For a billion-row
+    * customer dim, swap the exact ranks for percentile cutpoints from
+    * `Sketches.histogramQuantiles` and a broadcast range lookup.
+    */
+  def rfmSegments(df: DataFrame, custCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(custCol))
+      .agg(max(to_date(col(tsCol))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        dsum(col(valueCol)).as("monetary"))
+    val all = Window.partitionBy()
+    val g = per
+      .withColumn("__mx", max(col("last_order")).over(all))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("recency_days",
+        datediff(col("__mx"), col("last_order")).cast("long"))
+    val scored = g
+      .withColumn("r_score", lit(5L) -
+        expr(s"5L * (row_number() over (order by recency_days asc, " +
+          s"$custCol asc) - 1) div __n"))
+      .withColumn("f_score", lit(5L) -
+        expr(s"5L * (row_number() over (order by frequency desc, " +
+          s"$custCol asc) - 1) div __n"))
+      .withColumn("m_score", lit(5L) -
+        expr(s"5L * (row_number() over (order by monetary desc, " +
+          s"$custCol asc) - 1) div __n"))
+    scored.select(col(custCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+  }
+
   def operationsMart(carts: DataFrame, tsCol: String,
                      discountCol: String): DataFrame =
     carts.groupBy(to_date(col(tsCol)).as("event_date"))
