@@ -3191,6 +3191,26 @@ object SparkEntry {
        |       ELSE 'regular' END AS segment
        |FROM sc""".stripMargin)),
 
+    ("q158_sq_int8_codes", (s, d) =>
+      // int8 scalar quantization of the embedding corpus: per-dim
+      // min/max calibration (one narrow aggregate) broadcast into a
+      // pure-projection encode. Only IEEE +,-,·,/ and floor — codes are
+      // bit-identical across engines with no rounding discipline needed.
+      graft.sim.Quantize.sqEncode(t(s, d, "embeddings"), "vec_id",
+        "embedding"),
+      Some("""WITH x AS (
+       |  SELECT vec_id, u.dim AS dim, CAST(embedding[u.dim] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(dim)),
+       |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+       |c AS (
+       |  SELECT vec_id, dim,
+       |    CAST(CASE WHEN mx = mn THEN 0 ELSE
+       |      least(greatest(floor((x - mn) * 255.0 / (mx - mn) + 0.5),
+       |        0), 255) END AS INTEGER) AS code
+       |  FROM x JOIN st USING (dim))
+       |SELECT vec_id, list(code ORDER BY dim) AS codes
+       |FROM c GROUP BY 1""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->
