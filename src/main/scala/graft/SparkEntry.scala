@@ -3211,6 +3211,39 @@ object SparkEntry {
        |SELECT vec_id, list(code ORDER BY dim) AS codes
        |FROM c GROUP BY 1""".stripMargin)),
 
+    ("q159_sq_topk", (s, d) => {
+      // SQ serving: top-k by exact-query cosine against the on-the-fly
+      // DECODED int8 corpus (scan reads codes, not floats — the 4×
+      // traffic cut that, unlike PQ, stays near-lossless). Decode is
+      // pure IEEE arithmetic over integer codes, so the ranked list
+      // replays in SQL exactly (q45's ranking discipline).
+      val emb = t(s, d, "embeddings")
+      val codes = graft.sim.Quantize.sqEncode(emb, "vec_id", "embedding")
+      val stats = graft.sim.Quantize.sqCalibrate(emb, "vec_id", "embedding")
+      graft.sim.Quantize.sqTopK(codes, stats,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+    }, Some("""WITH x AS (
+       |  SELECT vec_id, u.dim AS dim, CAST(embedding[u.dim] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(dim)),
+       |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+       |c AS (
+       |  SELECT vec_id, dim, mn, mx,
+       |    CAST(CASE WHEN mx = mn THEN 0 ELSE
+       |      least(greatest(floor((x - mn) * 255.0 / (mx - mn) + 0.5),
+       |        0), 255) END AS INTEGER) AS code
+       |  FROM x JOIN st USING (dim)),
+       |v AS (
+       |  SELECT vec_id,
+       |    list(mn + code * (mx - mn) / 255.0 ORDER BY dim) AS vh
+       |  FROM c GROUP BY 1)
+       |SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_cosine_similarity(v.vh, q.embedding) DESC,
+       |      v.vec_id) AS rnk
+       |FROM v JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+       |  ON v.vec_id <> q.vec_id
+       |QUALIFY rnk <= 5""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -53,6 +53,21 @@ object Quantize {
         }.cast("int")).as("codes"))
   }
 
+  /** Serving path over the quantized corpus: decode codes on the fly
+    * (a projection — the fetched bytes are the 64 codes, not 256 bytes
+    * of floats) and rank by exact-query cosine. This is the SQ
+    * analogue of PQ's ADC ([[Pq.pqTopK]]): ~4× less scan traffic than
+    * float32 serving at near-lossless recall (error ≤ range/510 per
+    * dim), where PQ's 32× compression costs real recall. Ranking
+    * reuses [[Similarity.bruteTopK]]'s (sim desc, id) discipline.
+    */
+  def sqTopK(codes: DataFrame, stats: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val dec = sqDecode(codes, stats, idCol)
+      .withColumnRenamed("vec_hat", vecCol)
+    Similarity.bruteTopK(dec, queries, idCol, vecCol, k)
+  }
+
   /** Decode codes back to doubles with the same calibration frame:
     * `x̂ = mn + code · (mx - mn) / 255`.
     */

@@ -55,4 +55,37 @@ class QuantizeSpec extends AnyFunSuite {
     // itself is a projection over the scan
     graft.audit.PlanGuard.assertMaxExchanges(out, 2)
   }
+
+  test("sqTopK ranks match brute-force top-k on the decoded corpus") {
+    val dim = 8
+    val vecs = (1L to 60L).map { i =>
+      (i, (0 until dim).map(j =>
+        (math.cos(i * 0.61 + j * 0.83) * (1.0 + j * 0.1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val codes = Quantize.sqEncode(vecs, "vec_id", "embedding")
+    val stats = Quantize.sqCalibrate(vecs, "vec_id", "embedding")
+    val queries = vecs.filter(org.apache.spark.sql.functions.col("vec_id") <= 2)
+    val got = Quantize.sqTopK(codes, stats, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // brute force on driver: decode with the same affine map, cosine
+    val st = stats.collect().map(r => r.getLong(0).toInt ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    val cd = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def dec(c: Seq[Int]): Seq[Double] = c.zipWithIndex.map { case (v, j) =>
+      val (mn, mx) = st(j + 1); mn + v * (mx - mn) / 255.0 }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qs = queries.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val exp = qs.flatMap { case (qid, qv) =>
+      cd.toSeq.filter(_._1 != qid)
+        .map { case (id, c) => (id, cos(dec(c), qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(got == exp)
+  }
 }
