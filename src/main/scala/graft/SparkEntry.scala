@@ -3244,6 +3244,39 @@ object SparkEntry {
        |  ON v.vec_id <> q.vec_id
        |QUALIFY rnk <= 5""".stripMargin)),
 
+    ("q160_jw_linkage", (s, d) => {
+      // blocked fuzzy linkage: corrupt every vocabulary word by
+      // dropping its 2nd char (a deterministic dirty-input table), then
+      // link each corruption back to the clean vocab — first-char
+      // blocking + length band prune the pair space, the native
+      // Jaro-Winkler scores (DuckDB-compatible, rounded 9 dp) rank, and
+      // the top-1 match is the canonical correction.
+      val words = t(s, d, "documents")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+        .distinct()
+      val dirty = words.filter(length(col("w")) >= 3)
+        .select(concat(substring(col("w"), 1, 1), expr("substring(w, 3)"))
+          .as("q")).distinct()
+      graft.text.Linkage.fuzzyLink(dirty, words, "q", "w",
+        minJw = 0.6, lenBand = 2, topK = 1)
+    }, Some("""WITH w AS (
+       |  SELECT DISTINCT unnest(regexp_split_to_array(text, '\s+')) AS w
+       |  FROM documents),
+       |dd AS (
+       |  SELECT DISTINCT substr(w, 1, 1) || substr(w, 3) AS query
+       |  FROM w WHERE len(w) >= 3),
+       |cand AS (
+       |  SELECT d.query, m.w AS matched,
+       |    round(jaro_winkler_similarity(d.query, m.w), 9) AS jw
+       |  FROM dd d JOIN w m ON substr(d.query, 1, 1) = substr(m.w, 1, 1)
+       |  WHERE abs(len(d.query) - len(m.w)) <= 2
+       |    AND round(jaro_winkler_similarity(d.query, m.w), 9) >= 0.6)
+       |SELECT query, matched, jw, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query
+       |    ORDER BY jw DESC, matched) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= 1""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -234,6 +234,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(
+        classOf[JaroWinkler].getName, null, "graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler string similarity " +
+          "(prefix boost above jaro 0.7, DuckDB-compatible conventions).",
+        ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(a, b) => JaroWinkler(a, b)
+          case other => throw new IllegalArgumentException(
+            s"graft_jaro_winkler(a, b) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

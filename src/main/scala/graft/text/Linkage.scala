@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy record linkage: match dirty strings against a clean
+  * master list by Jaro-Winkler similarity — the classic entity-
+  * resolution / typo-canonicalization pass (dedupe customer names,
+  * normalize misspelled vocabulary, reconcile product titles).
+  *
+  * Scale shape: the all-pairs comparison is pruned by BLOCKING — only
+  * pairs sharing a block key (default: first character) and within a
+  * length band are scored, so the join is an equi-join whose fan-out is
+  * block-bounded, never |queries|·|master|. At 100 TB, choose a block
+  * key with bounded selectivity (phonetic code, prefix-2, sorted-
+  * neighborhood key); a single hot block concentrates its whole
+  * comparison space (the mega-bucket caveat — cap or salt it like
+  * [[graft.dedup.NearDup]]'s bucket cap if the key can degenerate).
+  *
+  * Scoring is the native codegen'd [[graft.functions.JaroWinkler]]
+  * (DuckDB-compatible conventions, so linkage output replays in SQL);
+  * scores are rounded to 9 dp before the (score desc, match asc)
+  * rank, making the top-k per query engine-deterministic.
+  */
+object Linkage {
+
+  /** Top-k fuzzy matches per query string.
+    *
+    * @param blockKey blocking function (default: first character)
+    * @param lenBand  max length difference inside a block
+    * @param minJw    similarity floor (applied before ranking)
+    */
+  def fuzzyLink(queries: DataFrame, master: DataFrame, qCol: String,
+                mCol: String, minJw: Double = 0.8, lenBand: Int = 2,
+                topK: Int = 1,
+                blockKey: Column => Column = substring(_, 1, 1))
+      : DataFrame = {
+    val q = queries.select(col(qCol).as("query"))
+      .withColumn("__blk", blockKey(col("query")))
+    val m = master.select(col(mCol).as("matched"))
+      .withColumn("__blk", blockKey(col("matched")))
+    val cand = q.join(m, Seq("__blk"))
+      .filter(abs(length(col("query")) - length(col("matched")))
+        <= lit(lenBand))
+      .withColumn("jw",
+        round(graft.functions.JaroWinkler.of(col("query"), col("matched")), 9))
+      .filter(col("jw") >= lit(minJw))
+    val w = Window.partitionBy("query")
+      .orderBy(col("jw").desc, col("matched").asc)
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query", "matched", "jw", "rnk")
+  }
+}
