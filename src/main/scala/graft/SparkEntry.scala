@@ -3277,6 +3277,54 @@ object SparkEntry {
        |  FROM cand)
        |WHERE rnk <= 1""".stripMargin)),
 
+    ("q161_cluster_best_dedup", (s, d) => {
+      // q80's cluster dedup with a production retention policy: keep
+      // the LONGEST member of each near-dup cluster (min-id retention
+      // silently biases the corpus toward whatever sorted first at
+      // ingest). Score = integer token count — argmax is exactly
+      // replayable, no float ordering anywhere.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select((col("doc_id") - 1).as("id1"),
+          col("doc_id").as("id2")), Seq("id1"))
+      val edges = graft.dedup.NearDup
+        .jaccardVerify(pairs, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+      val comps = graft.operators.ConnectedComponents
+        .components(edges, "id1", "id2")
+      val scored = docs.select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.ConnectedComponents.keepBestRepresentatives(
+        scored, "doc_id", comps, "n_tokens")
+    }, Some("""WITH RECURSIVE
+       |e AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE CAST(len(list_intersect(list_distinct(regexp_split_to_array(a.text, '\s+')),
+       |                                list_distinct(regexp_split_to_array(b.text, '\s+')))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(regexp_split_to_array(a.text, '\s+'),
+       |                                    regexp_split_to_array(b.text, '\s+')))) >= 0.5),
+       |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |lab AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id),
+       |comp AS (SELECT id, min(comp) AS component FROM lab GROUP BY id),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |lb AS (
+       |  SELECT sc.doc_id, sc.n_tokens,
+       |    coalesce(comp.component, sc.doc_id) AS cmp
+       |  FROM sc LEFT JOIN comp ON comp.id = sc.doc_id)
+       |SELECT doc_id, n_tokens FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cmp
+       |    ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM lb)
+       |WHERE rn = 1""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -111,6 +111,32 @@ object ConnectedComponents {
       .filter(coalesce(col("component"), col(idCol)) === col(idCol))
       .drop("component")
 
+  /** Quality-aware representative selection: keep the member with the
+    * HIGHEST `scoreCol` of each component (production near-dup dedup
+    * keeps the best-quality duplicate, not the smallest id — min-id
+    * silently biases the corpus toward whatever sorted first at
+    * ingest). Ties break on id ascending; singletons pass through the
+    * same window with their own id as component, so one partition key
+    * serves clustered and unclustered rows alike.
+    *
+    * `scoreCol` should be engine-deterministic (an integer count, a
+    * decimal) if the output feeds an oracle or a reproducibility
+    * contract — argmax over last-ulp float noise is not stable.
+    */
+  def keepBestRepresentatives(df: DataFrame, idCol: String,
+                              comps: DataFrame,
+                              scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = df
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy("__comp")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__comp", "component")
+  }
+
   /** large-star: every neighbor v > u links to min(N(u) ∪ {u}). */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))

@@ -82,4 +82,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = Seq.fill(120)((next(80), next(80))).filter(e => e._1 != e._2)
     assert(run(edges) == unionFind(edges))
   }
+
+  test("keepBestRepresentatives keeps the argmax-score member per cluster") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // clusters {1,2,3} and {10,11}; 20 is a singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val comps = ConnectedComponents.components(edges, "id1", "id2")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 2L),
+      (20L, 1L)).toDF("doc_id", "score")
+    val kept = ConnectedComponents.keepBestRepresentatives(
+      scored, "doc_id", comps, "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cluster 1: max score 9 tie between 2 and 3 -> id 2; cluster 2:
+    // 10 beats 11; singleton 20 survives untouched
+    assert(kept == Set((2L, 9L), (10L, 4L), (20L, 1L)))
+  }
 }
