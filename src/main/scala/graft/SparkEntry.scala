@@ -3325,6 +3325,39 @@ object SparkEntry {
        |  FROM lb)
        |WHERE rn = 1""".stripMargin)),
 
+    ("q162_label_propagation", (s, d) => {
+      // product communities via 3 synchronous LPA rounds over the q154
+      // co-purchase edge graph (pairs bought together >= 2 times).
+      // Deterministic: simultaneous updates, most-frequent neighbor
+      // label, min-label ties — the whole run unrolls in SQL.
+      val edges = graft.operators.MarketBasket.associationRules(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minPairCount = 2)
+        .filter(col("antecedent") < col("consequent"))
+        .select(col("antecedent").as("x"), col("consequent").as("y"))
+      graft.operators.LabelPropagation.propagate(edges, "x", "y", iters = 3)
+    }, Some {
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT id, community FROM (
+           |  SELECT s.dst AS id, l.community, count(*) AS n,
+           |    row_number() OVER (PARTITION BY s.dst
+           |      ORDER BY count(*) DESC, l.community ASC) AS rn
+           |  FROM sym s JOIN $prev l ON s.src = l.id
+           |  GROUP BY s.dst, l.community) WHERE rn = 1)"""
+      s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+       |e AS (
+       |  SELECT a.it AS x, b.it AS y
+       |  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT x AS src, y AS dst FROM e
+       |        UNION SELECT y AS src, x AS dst FROM e),
+       |l0 AS (SELECT DISTINCT src AS id, src AS community FROM sym),
+       |${round("l0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT id, community FROM r3""".stripMargin
+    }),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->
