@@ -3358,6 +3358,44 @@ object SparkEntry {
        |SELECT id, community FROM r3""".stripMargin
     }),
 
+    ("q163_triangle_counts", (s, d) => {
+      // per-product triangle participation in the co-purchase graph:
+      // degree-oriented wedge join (out-degree bounded O(sqrt E) on any
+      // graph — id-orientation lets one hub fan out deg² wedges), all
+      // integer counts, (degree, id) orientation replayed in SQL.
+      val edges = graft.operators.MarketBasket.associationRules(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minPairCount = 2)
+        .filter(col("antecedent") < col("consequent"))
+        .select(col("antecedent").as("x"), col("consequent").as("y"))
+      graft.operators.Triangles.perNodeCounts(edges, "x", "y")
+    }, Some("""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+       |e AS (
+       |  SELECT a.it AS x, b.it AS y
+       |  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |        FROM e WHERE x <> y),
+       |deg AS (SELECT id, count(*) AS dg FROM (
+       |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |o AS (
+       |  SELECT CASE WHEN (da.dg, und.a) < (db.dg, und.b)
+       |           THEN und.a ELSE und.b END AS u,
+       |         CASE WHEN (da.dg, und.a) < (db.dg, und.b)
+       |           THEN und.b ELSE und.a END AS v
+       |  FROM und JOIN deg da ON da.id = und.a
+       |           JOIN deg db ON db.id = und.b),
+       |tri AS (
+       |  SELECT w1.u AS u, w1.v AS v, w2.v AS w
+       |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v <> w2.v
+       |  JOIN o oc ON oc.u = w1.v AND oc.v = w2.v)
+       |SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+       |  SELECT u AS id FROM tri
+       |  UNION ALL SELECT v FROM tri
+       |  UNION ALL SELECT w FROM tri)
+       |GROUP BY 1""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->
