@@ -3396,6 +3396,42 @@ object SparkEntry {
        |  UNION ALL SELECT w FROM tri)
        |GROUP BY 1""".stripMargin)),
 
+    ("q164_surprisal_decile_filter", (s, d) =>
+      // perplexity filtering: mean unigram surprisal per doc, exact
+      // integer-rank deciles, worst decile flagged for drop. The mean
+      // is SAFE to emit unrounded: identical operands (decimal-exact
+      // total, integer count) give bit-identical IEEE quotients —
+      // rounding it would reintroduce the q150 round-tie hazard.
+      graft.text.CorpusClean.surprisalDecileFilter(
+        t(s, d, "documents"), "doc_id", "text", dropWorstDeciles = 1),
+      Some(s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_tok
+       |         FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+       |per AS (
+       |  SELECT tf.doc_id, tf.tf,
+       |    tf.tf * round(ln(CAST(n_total AS DOUBLE) / n_tok), 9) AS c
+       |  FROM tf JOIN freq USING (token) CROSS JOIN tot),
+       |doc AS (
+       |  SELECT doc_id, ${dsumSql("c")} AS total_surprisal,
+       |    CAST(sum(tf) AS BIGINT) AS n_tokens
+       |  FROM per GROUP BY doc_id),
+       |m AS (
+       |  SELECT *, total_surprisal / n_tokens AS mean_surprisal,
+       |    count(*) OVER () AS n
+       |  FROM doc),
+       |dc AS (
+       |  SELECT doc_id, n_tokens, total_surprisal, mean_surprisal,
+       |    1 + (10 * (row_number() OVER (ORDER BY mean_surprisal ASC,
+       |      doc_id ASC) - 1)) // n AS decile
+       |  FROM m)
+       |SELECT doc_id, n_tokens, total_surprisal, mean_surprisal,
+       |  decile, decile <= 9 AS keep
+       |FROM dc""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -48,6 +48,39 @@ object CorpusClean {
       .select(col(idCol), col("n_tokens"), col("stop_ratio"))
   }
 
+  /** Perplexity filtering (the CCNet/Wenzek-style fluency gate): score
+    * every document by MEAN unigram surprisal under the corpus's own
+    * distribution, rank into deciles, and flag the worst (most
+    * surprising ≈ least fluent) ones. Model-free stand-in for an LM
+    * perplexity filter with the same selection semantics.
+    *
+    * Determinism: the mean is one IEEE division of the decimal-exact
+    * surprisal total by the integer token count — bit-identical
+    * operands give bit-identical quotients, so ORDERING by it is safe
+    * even though emitting a rounded quotient would not be (the q150
+    * round-tie lesson: round-ties drift, comparisons don't). Deciles
+    * are exact integer rank arithmetic (`(rank-1)·10 div n`), id
+    * tiebreaks. The global rank window sorts one row per DOCUMENT,
+    * not per token; for a trillion-doc corpus swap in histogram-
+    * quantile cutpoints ([[graft.operators.Sketches]]).
+    */
+  def surprisalDecileFilter(docs: DataFrame, idCol: String,
+                            textCol: String,
+                            dropWorstDeciles: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Vocab.unigramSurprisal(docs, idCol, textCol)
+      .withColumn("mean_surprisal",
+        col("total_surprisal") / col("n_tokens"))
+    val all = Window.partitionBy()
+    val ranked = per.withColumn("__n", count(lit(1)).over(all))
+      .withColumn("decile", lit(1L) +
+        expr(s"10L * (row_number() over (order by mean_surprisal asc, " +
+          s"$idCol asc) - 1) div __n"))
+    ranked.select(col(idCol), col("n_tokens"), col("total_surprisal"),
+      col("mean_surprisal"), col("decile"),
+      (col("decile") <= lit(10L - dropWorstDeciles)).as("keep"))
+  }
+
   /** Benchmark decontamination: drop training documents whose content
     * fingerprint appears in the eval set. The anti join runs on the
     * rolling-hash fingerprint ([[TextOps.fingerprint]], oracled in

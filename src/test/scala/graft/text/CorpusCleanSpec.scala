@@ -69,4 +69,22 @@ class CorpusCleanSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(bloom == Set(1L, 2L)) // NULL sketch probes false -> keep path
   }
+
+  test("surprisalDecileFilter ranks rare-token docs into the worst decile") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // 10 docs of common filler; doc 99 is all rare tokens -> highest
+    // mean surprisal -> decile 10 -> dropped
+    val docs = ((1L to 10L).map(i => (i, "the quick fox the quick fox")) :+
+      (99L, "zyzzyva qwertyuiop")).toDF("doc_id", "text")
+    val out = CorpusClean.surprisalDecileFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("decile"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(99L)._1 == 10L && !out(99L)._2)
+    assert((1L to 10L).forall(i => out(i)._2))
+    // deciles partition 11 docs as floor ranks: rank r -> 1+(10(r-1) div 11)
+    val deciles = out.values.map(_._1).toSeq.sorted
+    assert(deciles == (1L to 11L).map(r => 1L + 10L * (r - 1) / 11L).sorted)
+  }
 }
