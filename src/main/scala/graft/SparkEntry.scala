@@ -3432,6 +3432,44 @@ object SparkEntry {
        |  decile, decile <= 9 AS keep
        |FROM dc""".stripMargin)),
 
+    ("q165_prefix_filter_pairs", (s, d) =>
+      // EXACT set-similarity join (PPJoin-style prefix filter): every
+      // 3-shingle Jaccard >= 0.9 pair, guaranteed — the deterministic
+      // complement to the probabilistic LSH family (q49/q137). Rarest-
+      // first prefixes keep the join buckets small by construction.
+      graft.dedup.NearDup.prefixFilterPairs(t(s, d, "documents"),
+        "doc_id", "text", threshold = 0.9, shingleN = 3),
+      Some("""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3),
+       |freq AS (SELECT g, count(*) AS f FROM sh GROUP BY 1),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pre AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT sh.doc_id, sh.g,
+       |      row_number() OVER (PARTITION BY sh.doc_id
+       |        ORDER BY f ASC, sh.g ASC) AS rn,
+       |      sz.n
+       |    FROM sh JOIN freq USING (g) JOIN sz USING (doc_id))
+       |  WHERE rn <= n - CAST(ceil(0.9 * n) AS BIGINT) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM pre a JOIN pre b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |gs AS (SELECT doc_id, list(g) AS gs FROM sh GROUP BY 1)
+       |SELECT id1, id2,
+       |  CAST(len(list_intersect(s1.gs, s2.gs)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(s1.gs, s2.gs))) AS jaccard
+       |FROM cand
+       |JOIN gs s1 ON s1.doc_id = id1
+       |JOIN gs s2 ON s2.doc_id = id2
+       |WHERE CAST(len(list_intersect(s1.gs, s2.gs)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(s1.gs, s2.gs))) >= 0.9""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -205,6 +205,57 @@ object NearDup {
             size(array_union(col("g1"), col("g2")))).as("jaccard"))
     }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al. 2008)
+    * — the deterministic-recall complement to MinHash-LSH: every pair
+    * with shingle Jaccard ≥ `threshold` is guaranteed found, no
+    * probabilistic bound. Each doc's shingle set is ordered RAREST
+    * FIRST (global doc-frequency, gram tiebreak) and only its first
+    * `|s| - ceil(t·|s|) + 1` grams join: if two sets share NO prefix
+    * gram, their intersection fits inside one suffix of size
+    * < t·|s| ≤ t·|s∪| — below the overlap any J ≥ t pair must have —
+    * so skipping non-prefix grams loses nothing.
+    *
+    * Scale: rarity ordering is also the skew story — prefixes are by
+    * construction the LOW-frequency grams, so join buckets stay small
+    * where LSH's hash buckets can collide arbitrarily. The
+    * `maxBucketSize` insurance still applies (a gram shared by
+    * millions of docs would otherwise fan out quadratically), but
+    * unlike LSH, dropping a bucket here TRADES AWAY the exactness
+    * contract — size it to fire only on degenerate boilerplate.
+    * Candidates are verified with the measure-consistent
+    * [[gramJaccardVerify]], so output = the true pair set.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.9, shingleN: Int = 3,
+                        maxBucketSize: Int = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = ensureParallel(df, col(idCol))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col(idCol),
+        explode(array_distinct(TextOps.ngrams(col("toks"), shingleN)))
+          .as("g"))
+    val freq = sh.groupBy("g").agg(count(lit(1)).as("__f"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val ord = byDoc.orderBy(col("__f").asc, col("g").asc)
+    val pre = sh.join(freq, Seq("g"))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <=
+        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol), col("g"))
+    val capped = capBuckets(pre, Seq("g"), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bucketSelfJoin(capped, idCol, Seq("g"))
+    val out = gramJaccardVerify(cand, df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    capped.unpersist()
+    out
+  }
+
   /** One-sided n-gram containment for candidate pairs:
     * `|grams(A) ∩ grams(B)| / |grams(A)|` over distinct token n-grams.
     * Jaccard misses QUOTATION — a short doc wholly embedded in a long

@@ -266,4 +266,31 @@ class NearDupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"index join is not broadcast:\n${plan.take(2000)}")
   }
+
+  test("prefixFilterPairs equals the brute-force shingle-Jaccard pair set") {
+    // corpus with planted near-dups at several edit depths plus noise
+    val texts = (1L to 40L).map { i =>
+      val words = (0 until 20).map(j => s"w${(i * 7 + j * 3) % 13}_$j")
+      (i, words.mkString(" "))
+    } ++ Seq(
+      (101L, "a b c d e f g h i j k l m n o p q r s t"),
+      (102L, "a b c d e f g h i j k l m n o p q r s t"),   // exact dup
+      (103L, "a b c d e f g h i j k l m n o p q r s X"),   // 1 token off
+      (104L, "a b c X e f g h i j k l m n o p q r s t"))   // 1 token off
+    val df = texts.toDF("doc_id", "text")
+    val t = 0.6
+    val got = NearDup.prefixFilterPairs(df, "doc_id", "text",
+      threshold = t, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every ordered pair through the same verify measure
+    val ids = df.select("doc_id").collect().map(_.getLong(0))
+    val allPairs = (for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)).toSeq.toDF("id1", "id2")
+    val expected = NearDup.gramJaccardVerify(allPairs, df, "doc_id",
+      "text", 3).filter(col("jaccard") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "planted near-dups must verify")
+    assert(got == expected)
+  }
 }
