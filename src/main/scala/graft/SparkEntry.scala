@@ -3470,6 +3470,33 @@ object SparkEntry {
        |WHERE CAST(len(list_intersect(s1.gs, s2.gs)) AS DOUBLE) /
        |    len(list_distinct(list_concat(s1.gs, s2.gs))) >= 0.9""".stripMargin)),
 
+    ("q166_session_window_kpis", (s, d) =>
+      // the NATIVE session_window operator in batch, hash-oracled
+      // against a SQL gaps-and-islands replay — certifying the exact
+      // session semantics the streaming face reuses. Boundary pinned
+      // by direct probe: an event arriving EXACTLY gap after the
+      // previous one still extends the session (Spark merges when the
+      // new window's start equals the previous end), so the break is
+      // strictly > gap; session_end = last event + gap.
+      graft.streaming.Streams.sessionWindowKpis(t(s, d, "events"),
+        "ts", "user_id", "value", gap = "30 minutes"),
+      Some(s"""WITH x AS (
+       |  SELECT user_id, ts, value, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |g AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts,
+       |    event_id ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  ${dsumSql("value")} AS total_value
+       |FROM g GROUP BY user_id, sid""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -31,6 +31,31 @@ object Streams {
       .select(col("day.start").as("event_date"), col("events_count"),
         col("total_value"), col("approx_unique_users"))
 
+  /** Per-user gap-based sessions via the NATIVE `session_window`
+    * operator — the built-in complement to the typed
+    * mapGroupsWithState face ([[userSessions]]): Catalyst merges
+    * overlapping [ts, ts+gap) ranges per key, in batch AND streaming
+    * from one definition (streaming needs a watermark on `tsCol`
+    * before the groupBy; batch backfill runs it as-is, which is what
+    * lets q166 hash-oracle the session semantics against a SQL
+    * gaps-and-islands replay). Boundary convention, pinned by probe:
+    * an event arriving EXACTLY `gap` after the previous one still
+    * extends the session — Spark merges when the new window's start
+    * equals the previous window's end — so a new session needs a gap
+    * strictly greater. `session_end` = last event + gap.
+    */
+  def sessionWindowKpis(events: DataFrame, tsCol: String, userCol: String,
+                        valueCol: String,
+                        gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(graft.Exprs.Money)).cast("double")
+          .as("total_value"))
+      .select(col(userCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("total_value"))
+
   /** Streaming keep-first dedup on a key within the watermark horizon
     * (streaming face of D1/D2: duplicates arriving later than the
     * watermark are the accepted tradeoff).
