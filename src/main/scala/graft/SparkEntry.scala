@@ -33,6 +33,71 @@ object SparkEntry {
   /** Shared decimal-sum SQL fragment for oracles. */
   private def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** q167/q168 oracle builder: the unigram-LM EM loop unrolled in SQL.
+    * Each round is a recursive path-enumeration Viterbi (every
+    * segmentation of each distinct word — compositions with parts ≤ 4,
+    * bounded per word) with the (cost desc, path asc) argmax, then a
+    * piece recount + integer nano-log-prob rescore. `rounds = 2` ends
+    * at the trained (c2, s2); `rounds = 3` adds the decode pass b3.
+    */
+  private def unigramOracle(finalSelect: String, rounds: Int): String = {
+    def viterbi(sc: String, p: String, b: String) =
+      s"""$p AS (
+         |  SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS cost, '' AS path
+         |  FROM words
+         |  UNION ALL
+         |  SELECT q.word, q.pos + len(s.piece), q.cost + s.nanos,
+         |    CASE WHEN q.path = '' THEN s.piece
+         |         ELSE q.path || ' ' || s.piece END
+         |  FROM $p q JOIN $sc s
+         |    ON substr(q.word, q.pos, len(s.piece)) = s.piece
+         |  WHERE q.pos <= len(q.word)),
+         |$b AS (
+         |  SELECT word, path FROM (
+         |    SELECT w.word, q.path,
+         |      row_number() OVER (PARTITION BY w.word
+         |        ORDER BY q.cost DESC, q.path ASC) AS rn
+         |    FROM words w JOIN $p q
+         |      ON q.word = w.word AND q.pos = len(w.word) + 1)
+         |  WHERE rn = 1)"""
+    def recount(b: String, c: String) =
+      s"""$c AS (
+         |  SELECT v.piece, CAST(coalesce(sum(sg.cnt), 0) AS BIGINT) AS cnt
+         |  FROM vocab v LEFT JOIN (
+         |    SELECT unnest(string_split(path, ' ')) AS piece, w.cnt
+         |    FROM $b JOIN words w USING (word)) sg ON sg.piece = v.piece
+         |  GROUP BY v.piece)"""
+    def score(c: String, sNew: String) =
+      s"""$sNew AS (
+         |  SELECT piece, CAST(round(ln(CAST(cnt + 1 AS DOUBLE)
+         |      / (total + nv)) * 1000000000.0, 0) AS BIGINT) AS nanos
+         |  FROM $c CROSS JOIN (
+         |    SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |      CAST(count(*) AS BIGINT) AS nv FROM $c) t)"""
+    val em = Seq(
+      viterbi("s0", "p1", "b1"), recount("b1", "c1"), score("c1", "s1"),
+      viterbi("s1", "p2", "b2"), recount("b2", "c2"), score("c2", "s2")) ++
+      (if (rounds >= 3) Seq(viterbi("s2", "p3", "b3")) else Nil)
+    s"""WITH RECURSIVE
+       |tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |        FROM documents),
+       |words AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok
+       |          WHERE word <> '' GROUP BY 1),
+       |seedraw AS (
+       |  SELECT substr(word, i, l) AS piece, cnt
+       |  FROM words,
+       |    UNNEST(range(1, len(word) + 1)) AS u(i),
+       |    UNNEST(range(1, 5)) AS v(l)
+       |  WHERE i + l <= len(word) + 1),
+       |seed AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |         FROM seedraw GROUP BY 1),
+       |vocab AS (SELECT piece, cnt FROM seed
+       |          WHERE cnt >= 2 OR len(piece) = 1),
+       |${score("vocab", "s0")},
+       |${em.mkString(",\n")}
+       |$finalSelect""".stripMargin
+  }
   private def vioSql(cond: String): String =
     s"CAST(coalesce(sum(CASE WHEN $cond THEN 1 ELSE 0 END), 0) AS BIGINT)"
 
@@ -3496,6 +3561,34 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_events,
        |  ${dsumSql("value")} AS total_value
        |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    ("q167_unigram_lm_train", (s, d) =>
+      // unigram-LM (SentencePiece-style) tokenizer training, 2 EM
+      // rounds, fixed vocab: substring seed -> Viterbi E-step (native
+      // DP, integer nano-log-prob costs — exact BIGINT path sums, ties
+      // to the lexicographically smallest piece string) -> recount
+      // M-step. The SQL twin unrolls both rounds with a recursive
+      // path-enumeration Viterbi and the same (cost desc, path asc)
+      // argmax — the whole EM loop is one hash compare.
+      graft.text.Vocab.unigramLmTrain(t(s, d, "documents"),
+        "doc_id", "text", maxPieceLen = 4, minCount = 2, iters = 2),
+      Some(unigramOracle(
+        """SELECT c2.piece, c2.cnt, s2.nanos AS score_nanos
+          |FROM c2 JOIN s2 USING (piece)""".stripMargin, rounds = 2))),
+
+    ("q168_unigram_segmentation", (s, d) => {
+      // the decode face: Viterbi segmentation of every distinct word
+      // under the q167-trained scores (train -> collect the vocab-sized
+      // artifact -> codegen'd per-word DP; the corpus-scale path
+      // touches distinct words only).
+      val trained = graft.text.Vocab.unigramLmTrain(t(s, d, "documents"),
+        "doc_id", "text", maxPieceLen = 4, minCount = 2, iters = 2)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      graft.text.Vocab.unigramSegmentWords(t(s, d, "documents"), "text",
+        trained, maxPieceLen = 4)
+    }, Some(unigramOracle(
+      """SELECT w.word, w.cnt, b3.path AS segmentation
+        |FROM b3 JOIN words w USING (word)""".stripMargin, rounds = 3))),
 
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the

@@ -372,6 +372,99 @@ object Vocab {
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 9).as("cosine"))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training — Kudo 2018's
+    * EM loop in a FIXED-VOCABULARY deterministic variant, completing
+    * the tokenizer family next to [[bpeTrain]]:
+    *   - seed: every substring of length ≤ `maxPieceLen` of the
+    *     distinct-word table with corpus-weighted count ≥ `minCount`,
+    *     plus all single characters (coverage guarantee);
+    *   - E-step: Viterbi-best segmentation of each DISTINCT word under
+    *     the current scores via the native [[graft.functions.UnigramSegment]]
+    *     expression (vocabulary as an expression field — the corpus-
+    *     size-independent collapse [[bpeTrain]] uses: the DP runs once
+    *     per distinct word, never per token instance);
+    *   - M-step: re-count pieces from the segmentations (weighted by
+    *     word frequency) and re-score
+    *     `round(ln((c+1)/(total+|V|))·1e9)` as integer NANO-log-probs.
+    * Production unigram-LM also PRUNES the vocabulary by likelihood
+    * loss each round; the fixed-vocab variant keeps every seed piece
+    * (score updates only) so the whole run is a pure function of the
+    * corpus — replayable in SQL by unrolling the EM rounds with a
+    * recursive path-enumeration Viterbi (q167/q168).
+    *
+    * Only vocabulary-sized artifacts ever reach the driver (seed
+    * counts, per-round piece counts — the bpeTrain/k-means contract);
+    * word tables stay distributed and persisted across rounds.
+    *
+    * Returns (piece, cnt, score_nanos): final-round Viterbi counts and
+    * scores.
+    */
+  def unigramLmTrain(df: DataFrame, idCol: String, textCol: String,
+                     maxPieceLen: Int = 4, minCount: Long = 2,
+                     iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val seed = words
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           |  i -> transform(sequence(1, least($maxPieceLen,
+           |         length(word) - i + 1)),
+           |       l -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val nv = seed.size.toLong
+    def rescore(cnts: Map[String, Long]): Map[String, Long] = {
+      val total = cnts.values.sum
+      cnts.map { case (p, c) =>
+        p -> BigDecimal(math.log((c + 1).toDouble / (total + nv))
+          * 1000000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong
+      }
+    }
+
+    var scores = rescore(seed)
+    var counts = seed
+    for (_ <- 1 to iters) {
+      val segCounts = words
+        .select(col("cnt"), explode(graft.functions.UnigramSegment.of(
+          col("word"), scores, maxPieceLen)).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts = seed.keysIterator
+        .map(p => p -> segCounts.getOrElse(p, 0L)).toMap
+      scores = rescore(counts)
+    }
+    words.unpersist()
+    import spark.implicits._
+    counts.toSeq.sorted
+      .map { case (p, c) => (p, c, scores(p)) }
+      .toDF("piece", "cnt", "score_nanos")
+  }
+
+  /** The decode face of [[unigramLmTrain]]: Viterbi-best segmentation
+    * of every distinct corpus word under a trained score table.
+    * Returns (word, cnt, segmentation) with the pieces space-joined —
+    * exactly the path string whose (cost desc, string asc) order the
+    * training tiebreak is defined over.
+    */
+  def unigramSegmentWords(df: DataFrame, textCol: String,
+                          scores: Map[String, Long],
+                          maxPieceLen: Int = 4): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat_ws(" ", graft.functions.UnigramSegment.of(col("word"),
+          scores, maxPieceLen)).as("segmentation"))
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by its hashed-unigram log importance weight under a TARGET
