@@ -3590,6 +3590,50 @@ object SparkEntry {
       """SELECT w.word, w.cnt, b3.path AS segmentation
         |FROM b3 JOIN words w USING (word)""".stripMargin, rounds = 3))),
 
+    ("q169_snapshot_diff", (s, d) => {
+      // CDC extraction from full snapshots: today's customer table is
+      // derived from yesterday's by deterministic edits (balance bump
+      // on custkey%10=0, deletes on %17=3, inserts on %23=5 under
+      // shifted keys) and snapshotDiff recovers exactly the
+      // insert/update/delete feed — one full-outer join on the key,
+      // null-safe per-column compare, unchanged rows dropped in-plan.
+      val cust = t(s, d, "customer")
+      val newSnap = cust
+        .filter(col("c_custkey") % 17 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 23 === 5)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      graft.operators.SnapshotDiff.snapshotDiff(cust, newSnap,
+        Seq("c_custkey"))
+    }, Some("""WITH n AS (
+       |  SELECT c_custkey, c_name, c_nationkey,
+       |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 10.0
+       |         ELSE c_acctbal END AS c_acctbal, c_mktsegment
+       |  FROM customer WHERE c_custkey % 17 <> 3
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+       |    c_mktsegment
+       |  FROM customer WHERE c_custkey % 23 = 5),
+       |j AS (
+       |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+       |         WHEN n.c_custkey IS NULL THEN 'delete'
+       |         WHEN o.c_name IS NOT DISTINCT FROM n.c_name
+       |          AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+       |          AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+       |          AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+       |         THEN 'unchanged' ELSE 'update' END AS change_type,
+       |    o.c_name AS old_c_name, o.c_nationkey AS old_c_nationkey,
+       |    o.c_acctbal AS old_c_acctbal,
+       |    o.c_mktsegment AS old_c_mktsegment,
+       |    n.c_name AS new_c_name, n.c_nationkey AS new_c_nationkey,
+       |    n.c_acctbal AS new_c_acctbal,
+       |    n.c_mktsegment AS new_c_mktsegment
+       |  FROM customer o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+       |SELECT * FROM j WHERE change_type <> 'unchanged'""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->
