@@ -3634,6 +3634,42 @@ object SparkEntry {
        |  FROM customer o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
        |SELECT * FROM j WHERE change_type <> 'unchanged'""".stripMargin)),
 
+    ("q170_kcore", (s, d) => {
+      // 3 synchronous peel rounds toward the 2-core of the co-purchase
+      // graph (round count pinned for SQL replay; the operator's
+      // fixpoint mode serves production). The k-core is unique, so
+      // synchronous peeling is order-independent by construction.
+      val edges = graft.operators.MarketBasket.associationRules(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minPairCount = 2)
+        .filter(col("antecedent") < col("consequent"))
+        .select(col("antecedent").as("x"), col("consequent").as("y"))
+      graft.operators.KCore.kCore(edges, "x", "y", k = 2,
+        maxRounds = 3, toFixpoint = false)
+    }, Some {
+      def peel(e: String, dNew: String, kNew: String, eNew: String) =
+        s"""$dNew AS MATERIALIZED (
+           |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+           |    SELECT x AS id FROM $e UNION ALL SELECT y FROM $e)
+           |  GROUP BY 1),
+           |$kNew AS MATERIALIZED (SELECT id FROM $dNew WHERE degree >= 2),
+           |$eNew AS MATERIALIZED (
+           |  SELECT x, y FROM $e
+           |  JOIN $kNew ka ON ka.id = $e.x
+           |  JOIN $kNew kb ON kb.id = $e.y)"""
+      s"""WITH items AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.it AS x, b.it AS y
+       |  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |${peel("e0", "d0", "k0", "e1")},
+       |${peel("e1", "d1", "k1", "e2")},
+       |${peel("e2", "d2", "k2", "e3")}
+       |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT x AS id FROM e3 UNION ALL SELECT y FROM e3)
+       |GROUP BY 1""".stripMargin
+    }),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -173,7 +173,7 @@ object ConnectedComponents {
     * one full copy of the edge set per round (nothing else deletes
     * reliable checkpoint files until the dir itself is cleaned).
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[operators] def freeCheckpoint(df: DataFrame): Unit =
     org.apache.spark.sql.graftshim.ColumnShim.backingRdd(df).foreach { rdd =>
       rdd.getCheckpointFile match {
         case Some(file) =>
