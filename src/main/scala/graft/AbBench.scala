@@ -142,7 +142,42 @@ object AbBench {
     ranks.select(col("id"), round(col("r"), 9).as("rank"))
   }
 
+  /** q162's LPA loop before the checkpoint-per-round rewrite: rounds
+    * chained LAZILY, the final action re-planning the whole K-round
+    * chain through K windows of AQE stages.
+    */
+  private def lpaLazyChain(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("x").as("src"), col("y").as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("community", col("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dst")
+      .orderBy(col("n").desc, col("community").asc)
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .repartition(col("dst"))
+        .groupBy(col("dst"), col("community"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("id"), col("community"))
+    }
+    val out = labels.localCheckpoint(true)
+    sym.unpersist()
+    out
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v162_lazy_chain" -> ((s, d) => {
+      val edges = graft.operators.MarketBasket.associationRules(
+          Tables.t(s, d, "lineitem"), "l_orderkey", "l_partkey", 2)
+        .filter(col("antecedent") < col("consequent"))
+        .select(col("antecedent").as("x"), col("consequent").as("y"))
+      lpaLazyChain(edges, 3)
+    }),
     "v145_unpartitioned" -> ((s, d) => {
       val li = Tables.t(s, d, "lineitem").select("l_orderkey", "l_partkey")
       val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("src"))
