@@ -3670,6 +3670,51 @@ object SparkEntry {
        |GROUP BY 1""".stripMargin
     }),
 
+    ("q171_column_profile", (s, d) =>
+      // per-column inventory profile of `part` (int/string columns —
+      // float→string rendering is not cross-engine-pinned, so
+      // p_retailprice stays out by design): nulls, distinct, min/max,
+      // modal value with (count desc, value asc) ties. One unpivot ->
+      // value-counts pass; stats aggregate the counts.
+      graft.operators.Quality.profile(t(s, d, "part"),
+        Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")),
+      Some("""WITH v AS (
+       |  SELECT 'p_partkey' AS col_name, CAST(p_partkey AS VARCHAR) AS value FROM part
+       |  UNION ALL SELECT 'p_name', p_name FROM part
+       |  UNION ALL SELECT 'p_brand', p_brand FROM part
+       |  UNION ALL SELECT 'p_type', p_type FROM part
+       |  UNION ALL SELECT 'p_size', CAST(p_size AS VARCHAR) FROM part),
+       |vc AS (SELECT col_name, value, count(*) AS n FROM v GROUP BY 1, 2),
+       |st AS (
+       |  SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CASE WHEN value IS NULL THEN n END), 0)
+       |      AS BIGINT) AS n_nulls,
+       |    CAST(count(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
+       |      AS n_distinct,
+       |    min(value) AS min_value, max(value) AS max_value
+       |  FROM vc GROUP BY 1),
+       |top AS (
+       |  SELECT col_name, value AS top_value, CAST(n AS BIGINT) AS top_count
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY col_name
+       |          ORDER BY n DESC, value ASC) AS rn
+       |        FROM vc WHERE value IS NOT NULL)
+       |  WHERE rn = 1)
+       |SELECT st.*, top.top_value, top.top_count
+       |FROM st LEFT JOIN top USING (col_name)""".stripMargin)),
+
+    ("q172_fd_violations", (s, d) =>
+      // approximate-FD profiling: parts whose name maps to more than
+      // one brand — the constraint-discovery pass entity resolution
+      // starts from. Two chained aggregations, all integers.
+      graft.operators.Quality.fdViolations(t(s, d, "part"),
+        Seq("p_name"), "p_brand"),
+      Some("""WITH pr AS (
+       |  SELECT p_name, p_brand, count(*) AS n
+       |  FROM part GROUP BY 1, 2)
+       |SELECT p_name, CAST(count(*) AS BIGINT) AS n_rhs_values,
+       |  CAST(sum(n) AS BIGINT) AS n_rows
+       |FROM pr GROUP BY 1 HAVING count(*) > 1""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

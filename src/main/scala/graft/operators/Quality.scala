@@ -159,4 +159,56 @@ object Quality {
       .agg(graft.Exprs.dsum(col("__c")).as("psi"),
         count(lit(1)).as("n_bins"))
   }
+
+  /** Column profiler — per-column null count, distinct count, min/max,
+    * and modal value, the first artifact a data inventory builds.
+    * ONE pass over the unpivoted (column, value) table into value-level
+    * counts, then column-level stats aggregate the COUNTS (rows =
+    * distinct values, not input rows); the modal value breaks count
+    * ties on the value itself. Values are profiled as strings —
+    * integer and string renderings are engine-identical; leave DOUBLE
+    * columns out unless approximate-profile is acceptable
+    * (cross-engine float→string formatting is not pinned).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+      ") as (col_name, value)"
+    val vc = df.selectExpr(stackExpr)
+      .repartition(col("col_name"))
+      .groupBy("col_name", "value").agg(count(lit(1)).as("__n"))
+    val stats = vc.groupBy("col_name").agg(
+      sum(col("__n")).as("n_rows"),
+      coalesce(sum(when(col("value").isNull, col("__n"))), lit(0L))
+        .as("n_nulls"),
+      count(when(col("value").isNotNull, lit(1))).as("n_distinct"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("col_name")
+      .orderBy(col("__n").desc, col("value").asc)
+    val top = vc.filter(col("value").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("col_name"), col("value").as("top_value"),
+        col("__n").as("top_count"))
+    stats.join(top, Seq("col_name"), "left")
+  }
+
+  /** Functional-dependency violation detector: LHS values mapping to
+    * MORE than one RHS value — the constraint profiler behind entity
+    * resolution and schema inference ("same order, same customer?").
+    * One aggregation on (lhs, rhs) then one on lhs; emits each
+    * violating LHS with its distinct-RHS and row counts.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String)
+      : DataFrame = {
+    val pairs = df.select((lhs.map(col) :+ col(rhs)): _*)
+      .repartition(lhs.map(col): _*)
+      .groupBy((lhs.map(col) :+ col(rhs)): _*)
+      .agg(count(lit(1)).as("__n"))
+    pairs.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rhs_values"), sum(col("__n")).as("n_rows"))
+      .filter(col("n_rhs_values") > 1)
+  }
 }

@@ -93,4 +93,36 @@ class QualitySpec extends AnyFunSuite {
       .select("psi").as[Double].collect().head
     assert(a == psiShift)
   }
+
+  test("profile: nulls, distinct, min/max, modal value with ties") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("b")),
+      (4L, Some("a")), (5L, None: Option[String])).toDF("id", "tag")
+    val out = Quality.profile(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val tag = out("tag")
+    assert(tag.getAs[Long]("n_rows") == 5L)
+    assert(tag.getAs[Long]("n_nulls") == 1L)
+    assert(tag.getAs[Long]("n_distinct") == 2L)
+    assert(tag.getAs[String]("min_value") == "a")
+    assert(tag.getAs[String]("max_value") == "b")
+    // modal tie between a (2) and b (2) -> value asc -> "a"
+    assert(tag.getAs[String]("top_value") == "a")
+    assert(tag.getAs[Long]("top_count") == 2L)
+    val id = out("id")
+    assert(id.getAs[Long]("n_distinct") == 5L && id.getAs[Long]("n_nulls") == 0L)
+  }
+
+  test("fdViolations finds only LHS values with multiple RHS values") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val df = Seq(("x", 1), ("x", 1), ("x", 2), ("y", 3), ("z", 4),
+      ("z", 4)).toDF("name", "brand")
+    val out = Quality.fdViolations(df, Seq("name"), "brand")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("x", 2L, 3L)))
+  }
 }
