@@ -3715,6 +3715,30 @@ object SparkEntry {
        |  CAST(sum(n) AS BIGINT) AS n_rows
        |FROM pr GROUP BY 1 HAVING count(*) > 1""".stripMargin)),
 
+    ("q173_target_encoding", (s, d) =>
+      // leakage-safe leave-one-out target encoding of order priority
+      // against order value (+ the smoothed variant). Category/global
+      // sums are decimal-exact, so every per-row quotient has
+      // bit-identical operands in both engines — no rounding needed.
+      graft.operators.TargetEncode.leaveOneOut(t(s, d, "orders"),
+        "o_orderkey", "o_orderpriority", "o_totalprice", smoothing = 10.0),
+      Some(s"""WITH cat AS (
+       |  SELECT o_orderpriority, ${dsumSql("o_totalprice")} AS cs,
+       |    CAST(count(o_totalprice) AS BIGINT) AS cn
+       |  FROM orders GROUP BY 1),
+       |gl AS (
+       |  SELECT ${dsumSql("o_totalprice")} AS gs,
+       |    CAST(count(o_totalprice) AS BIGINT) AS gn
+       |  FROM orders)
+       |SELECT o_orderkey, o_orderpriority,
+       |  CASE WHEN cn > 1
+       |    THEN (cs - o_totalprice) / CAST(cn - 1 AS DOUBLE) END
+       |    AS loo_encoding,
+       |  ((cs - o_totalprice) + 10.0 * (gs / gn))
+       |    / (CAST(cn - 1 AS DOUBLE) + 10.0) AS loo_smoothed
+       |FROM orders
+       |JOIN cat USING (o_orderpriority) CROSS JOIN gl""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

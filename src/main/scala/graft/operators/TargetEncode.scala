@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Leakage-safe categorical target encoding — the feature-engineering
+  * standard for high-cardinality categoricals: replace a category with
+  * the mean of the target over OTHER rows of the same category
+  * (leave-one-out), optionally smoothed toward the global prior. A
+  * plain per-category mean leaks each row's own label into its
+  * feature; LOO is the training-time-correct form.
+  *
+  * Shape: one small per-category aggregate (rows = cardinality)
+  * broadcast back into a projection over the fact table, plus a one-row
+  * global aggregate — the encode itself never shuffles the facts.
+  * Determinism: category and global sums run through the exact-decimal
+  * accumulator, so every per-row quotient has bit-identical operands
+  * on any engine or partitioning.
+  */
+object TargetEncode {
+
+  /** Per-row leave-one-out encoding of `catCol` against `targetCol`,
+    * plus a smoothed variant pulling toward the global mean with
+    * pseudo-count `smoothing`. Singleton categories get null LOO (no
+    * other rows to average) and the prior-dominated smoothed value.
+    */
+  def leaveOneOut(df: DataFrame, idCol: String, catCol: String,
+                  targetCol: String, smoothing: Double = 10.0)
+      : DataFrame = {
+    val cat = df.groupBy(col(catCol)).agg(
+      graft.Exprs.dsum(col(targetCol)).as("__cs"),
+      count(col(targetCol)).as("__cn"))
+    val glob = df.agg(
+      graft.Exprs.dsum(col(targetCol)).as("__gs"),
+      count(col(targetCol)).as("__gn"))
+    val prior = col("__gs") / col("__gn")
+    val looNum = col("__cs") - col(targetCol)
+    val looDen = (col("__cn") - 1).cast("double")
+    df.select(col(idCol), col(catCol), col(targetCol))
+      .join(broadcast(cat), Seq(catCol))
+      .crossJoin(broadcast(glob))
+      .select(col(idCol), col(catCol),
+        when(col("__cn") > 1, looNum / looDen).as("loo_encoding"),
+        ((looNum + lit(smoothing) * prior) /
+          (looDen + lit(smoothing))).as("loo_smoothed"))
+  }
+}
