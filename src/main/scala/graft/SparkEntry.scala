@@ -3739,6 +3739,44 @@ object SparkEntry {
        |FROM orders
        |JOIN cat USING (o_orderpriority) CROSS JOIN gl""".stripMargin)),
 
+    ("q174_sorted_neighborhood", (s, d) => {
+      // the complementary blocking strategy to q160: merge dirty +
+      // clean strings into ONE sorted list and score only sliding-
+      // window neighbors — catches lexically-close pairs whose FIRST
+      // characters differ (key blocking's blind spot).
+      val words = t(s, d, "documents")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+        .distinct()
+      val dirty = words.filter(length(col("w")) >= 3)
+        .select(concat(substring(col("w"), 1, 1), expr("substring(w, 3)"))
+          .as("q")).distinct()
+      graft.text.Linkage.sortedNeighborhoodPairs(dirty, words, "q", "w",
+        windowSize = 4, minJw = 0.6)
+    }, Some("""WITH w AS (
+       |  SELECT DISTINCT unnest(regexp_split_to_array(text, '\s+')) AS w
+       |  FROM documents),
+       |dd AS (
+       |  SELECT DISTINCT substr(w, 1, 1) || substr(w, 3) AS q
+       |  FROM w WHERE len(w) >= 3),
+       |uni AS (
+       |  SELECT value, src,
+       |    row_number() OVER (ORDER BY value ASC, src ASC) AS rn
+       |  FROM (SELECT q AS value, 'L' AS src FROM dd
+       |        UNION ALL SELECT w, 'R' FROM w)),
+       |pairs AS (
+       |  SELECT CASE WHEN u1.src = 'L' THEN u1.value ELSE u2.value END
+       |      AS query,
+       |    CASE WHEN u1.src = 'L' THEN u2.value ELSE u1.value END
+       |      AS matched
+       |  FROM uni u1 JOIN uni u2
+       |    ON u2.rn BETWEEN u1.rn + 1 AND u1.rn + 3
+       |  WHERE u1.src <> u2.src)
+       |SELECT DISTINCT query, matched,
+       |  round(jaro_winkler_similarity(query, matched), 9) AS jw
+       |FROM pairs
+       |WHERE round(jaro_winkler_similarity(query, matched), 9) >= 0.6"""
+      .stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -52,4 +52,49 @@ object Linkage {
       .filter(col("rnk") <= topK)
       .select("query", "matched", "jw", "rnk")
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * other classic linkage candidate generator: merge both sources
+    * into ONE globally sorted list and score only records within a
+    * sliding window of `windowSize` positions. Where key blocking
+    * misses pairs whose first characters differ ("klm" vs "lkm"),
+    * sorted neighbors catch anything lexically close; the two
+    * strategies are complementary and production linkage unions their
+    * candidate sets.
+    *
+    * Pair generation is an EQUI-join: each row explodes to its
+    * `windowSize - 1` forward offsets and joins on
+    * `position + offset` — bounded fan-out, no range join. The global
+    * row_number is a single-partition sort of the LINKAGE UNIVERSE
+    * (dimension-sized); for a billion-row universe, range-partition
+    * the sort and number within ranges off a broadcast prefix-count
+    * table.
+    *
+    * Determinism: positions come from the total order
+    * (value asc, source asc); scores are 9 dp-rounded Jaro-Winkler.
+    */
+  def sortedNeighborhoodPairs(left: DataFrame, right: DataFrame,
+                              lCol: String, rCol: String,
+                              windowSize: Int = 4,
+                              minJw: Double = 0.8): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    val uni = left.select(col(lCol).as("value"), lit("L").as("src"))
+      .unionByName(right.select(col(rCol).as("value"), lit("R").as("src")))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("value").asc, col("src").asc)))
+    val offs = uni.select(col("value").as("v1"), col("src").as("s1"),
+        col("__rn"),
+        explode(sequence(lit(1), lit(windowSize - 1))).as("__o"))
+      .select(col("v1"), col("s1"), (col("__rn") + col("__o")).as("__rn2"))
+    offs.join(uni.select(col("value").as("v2"), col("src").as("s2"),
+        col("__rn").as("__rn2")), Seq("__rn2"))
+      .filter(col("s1") =!= col("s2"))
+      .select(
+        when(col("s1") === "L", col("v1")).otherwise(col("v2")).as("query"),
+        when(col("s1") === "L", col("v2")).otherwise(col("v1")).as("matched"))
+      .withColumn("jw",
+        round(graft.functions.JaroWinkler.of(col("query"), col("matched")), 9))
+      .filter(col("jw") >= lit(minJw))
+      .distinct()
+  }
 }

@@ -59,4 +59,22 @@ class LinkageSpec extends AnyFunSuite {
     graft.audit.PlanGuard.assertNoCartesian(out)
     graft.audit.PlanGuard.assertMaxExchanges(out, 4)
   }
+
+  test("sortedNeighborhoodPairs catches first-char-divergent near-dups") {
+    val master = Seq("klmno", "abcde", "zzz").toDF("w")
+    // "lkmno" starts with a different char than its source "klmno" —
+    // first-char blocking can never pair them; sorted neighbors can
+    val dirty = Seq("lkmno", "abcdx").toDF("q")
+    val out = Linkage.sortedNeighborhoodPairs(dirty, master, "q", "w",
+      windowSize = 4, minJw = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.contains(("abcdx", "abcde")))
+    assert(out.contains(("lkmno", "klmno")))
+    assert(!out.exists(_._2 == "zzz"))
+    // and the key-blocked path indeed misses the transposed pair
+    val blocked = Linkage.fuzzyLink(dirty, master, "q", "w",
+      minJw = 0.5, lenBand = 2, topK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!blocked.contains(("lkmno", "klmno")))
+  }
 }
