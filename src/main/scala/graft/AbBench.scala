@@ -170,7 +170,46 @@ object AbBench {
     out
   }
 
+  /** q170's k-core loop before the checkpoint-per-round rewrite:
+    * rounds chained lazily with persist markers that never materialize
+    * before their parent unpersists — the final action re-derives all
+    * rounds, and the degree union's DOUBLE reference to the surviving
+    * edges fans the re-derivation out exponentially per round.
+    */
+  private def kcoreLazyRounds(edges: DataFrame, k: Int,
+                              rounds: Int): DataFrame = {
+    var surviving = edges
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val deg = surviving.select(col("a").as("id"))
+        .union(surviving.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k)
+      val next = surviving
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      surviving.unpersist()
+      surviving = next
+    }
+    surviving.select(col("a").as("id"))
+      .union(surviving.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v170_lazy_rounds" -> ((s, d) => {
+      val edges = graft.operators.MarketBasket.associationRules(
+          Tables.t(s, d, "lineitem"), "l_orderkey", "l_partkey", 2)
+        .filter(col("antecedent") < col("consequent"))
+        .select(col("antecedent").as("x"), col("consequent").as("y"))
+      kcoreLazyRounds(edges, 2, 3)
+    }),
     "v162_lazy_chain" -> ((s, d) => {
       val edges = graft.operators.MarketBasket.associationRules(
           Tables.t(s, d, "lineitem"), "l_orderkey", "l_partkey", 2)

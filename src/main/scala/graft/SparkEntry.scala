@@ -3777,6 +3777,31 @@ object SparkEntry {
        |WHERE round(jaro_winkler_similarity(query, matched), 9) >= 0.6"""
       .stripMargin)),
 
+    ("q175_cdf_transform", (s, d) =>
+      // empirical-CDF quantile normalization of order value: exact
+      // integer ppm from min-ranks over the DISTINCT-value table
+      // (ties share a rank, so the transform is a function of the
+      // value; the global sort touches distinct values, not rows).
+      graft.operators.TargetEncode.cdfTransform(t(s, d, "orders"),
+        "o_orderkey", "o_totalprice"),
+      Some("""WITH vals AS (
+       |  SELECT o_totalprice, CAST(count(*) AS BIGINT) AS c
+       |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+       |rk AS (
+       |  SELECT o_totalprice,
+       |    1 + coalesce(sum(c) OVER (ORDER BY o_totalprice
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS rnk,
+       |    sum(c) OVER () AS n
+       |  FROM vals),
+       |cdf AS (
+       |  SELECT o_totalprice,
+       |    CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+       |         ELSE 0 END AS cdf_ppm
+       |  FROM rk)
+       |SELECT o_orderkey, o_totalprice, cdf_ppm
+       |FROM orders LEFT JOIN cdf USING (o_totalprice)""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

@@ -39,4 +39,20 @@ class TargetEncodeSpec extends AnyFunSuite {
     // both join back by broadcast
     graft.audit.PlanGuard.assertMaxExchanges(out, 2)
   }
+
+  test("cdfTransform: min-rank ties, exact ppm endpoints, null passthrough") {
+    val df = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(20.0)),
+      (4L, Some(30.0)), (5L, Some(40.0)), (6L, None: Option[Double]))
+      .toDF("id", "v")
+    val out = TargetEncode.cdfTransform(df, "id", "v")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // n = 5 non-null rows; ranks: 10→1, 20→2 (both), 30→4, 40→5
+    assert(out(1L) == Some(0L))                       // (1-1)*1M/4
+    assert(out(2L) == Some(1000000L / 4))             // (2-1)*1M/4
+    assert(out(3L) == Some(1000000L / 4))             // tie shares rank
+    assert(out(4L) == Some(3000000L / 4))
+    assert(out(5L) == Some(1000000L))                 // max → exactly 1e6
+    assert(out(6L).isEmpty)                           // null stays null
+  }
 }
