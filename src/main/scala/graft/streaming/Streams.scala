@@ -197,6 +197,41 @@ object Streams {
       }
       .start()
 
+  /** Continuous CDC extraction from snapshot drops: each micro-batch
+    * is a FULL new snapshot version of a keyed table (the cadence
+    * stores without changelogs publish at); the sink diffs it against
+    * the previously stored snapshot via
+    * [[graft.operators.SnapshotDiff.snapshotDiff]], appends the
+    * insert/update/delete feed under `feedDir/batch=N`, and swaps the
+    * stored snapshot. Downstream incrementals (SCD2 apply, upsert
+    * sinks, audit) then consume diffs instead of reprocessing
+    * snapshots. The first batch emits everything as inserts against an
+    * empty baseline.
+    */
+  def cdcSink(snapshots: DataFrame, keys: Seq[String], snapshotPath: String,
+              feedDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(snapshotPath),
+          spark.sparkContext.hadoopConfiguration)
+        val b = batch.persist()
+        val prev =
+          if (fs.exists(new org.apache.hadoop.fs.Path(snapshotPath)))
+            spark.read.parquet(snapshotPath)
+          else b.limit(0)
+        graft.operators.SnapshotDiff.snapshotDiff(prev, b, keys)
+          .write.mode("overwrite").parquet(s"$feedDir/batch=$batchId")
+        graft.pipeline.Runner.overwriteSwapped(b, snapshotPath)
+        b.unpersist()
+        ()
+      }
+      .start()
+
   /** Continuous distribution-drift monitoring: every micro-batch is
     * scored with [[graft.operators.Quality.psiDrift]] against a FROZEN
     * baseline frame and appends one `(batch_id, psi, n_bins)` row —

@@ -290,4 +290,27 @@ class StreamsSpec extends AnyFunSuite {
       assert(out == Seq((3L, 7.0), (1L, 8.0)))
     } finally q.stop()
   }
+
+  test("cdcSink: per-batch diffs reconstruct the latest snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.cdcSink(input.toDF().toDF("id", "v"), Seq("id"),
+      s"$dir/snap", s"$dir/feed", s"$dir/chk")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((1L, "a2"), (3L, "c")) // update 1, delete 2, insert 3
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$dir/feed/batch=0")
+        .select("id", "change_type").as[(Long, String)].collect().toSet
+      assert(b0 == Set((1L, "insert"), (2L, "insert")))
+      val b1 = spark.read.parquet(s"$dir/feed/batch=1")
+        .select("id", "change_type").as[(Long, String)].collect().toSet
+      assert(b1 == Set((1L, "update"), (2L, "delete"), (3L, "insert")))
+      val snap = spark.read.parquet(s"$dir/snap")
+        .as[(Long, String)].collect().toSet
+      assert(snap == Set((1L, "a2"), (3L, "c")))
+    } finally q.stop()
+  }
 }
