@@ -3802,6 +3802,44 @@ object SparkEntry {
        |SELECT o_orderkey, o_totalprice, cdf_ppm
        |FROM orders LEFT JOIN cdf USING (o_totalprice)""".stripMargin)),
 
+    ("q176_hits", (s, d) => {
+      // HITS over the customer→part purchase bipartite graph: 2 fixed
+      // rounds, L1 normalization to an exact-decimal total of 1e6
+      // (no square roots — every scale factor is a quotient of decimal
+      // operands), 6 dp rounding per normalization so the next round's
+      // DECIMAL(18,6) accumulator casts EXACTLY (9 dp values sit on
+      // the cast's half-way grid — see Hits scaladoc). Fully unrolled
+      // in SQL (MATERIALIZED CTEs — the q170 lesson).
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      graft.operators.Hits.hits(e, "c", "p", iters = 2)
+    }, Some {
+      def half(e: String, in: String, inKey: String, outKey: String,
+               raw: String, out: String) =
+        s"""$raw AS MATERIALIZED (
+           |  SELECT $outKey, ${dsumSql("v.s")} AS s
+           |  FROM $e JOIN $in v USING ($inKey) GROUP BY 1),
+           |$out AS MATERIALIZED (
+           |  SELECT $outKey, round(s * 1000000.0 / t, 6) AS s
+           |  FROM $raw CROSS JOIN
+           |    (SELECT ${dsumSql("s")} AS t FROM $raw) x)"""
+      s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS s FROM e),
+       |${half("e", "h0", "c", "p", "a1r", "a1")},
+       |${half("e", "a1", "p", "c", "h1r", "h1")},
+       |${half("e", "h1", "c", "p", "a2r", "a2")},
+       |${half("e", "a2", "p", "c", "h2r", "h2")}
+       |SELECT 'hub' AS kind, c AS id, s AS score FROM h2
+       |UNION ALL
+       |SELECT 'authority' AS kind, p AS id, s AS score FROM a2"""
+        .stripMargin
+    }),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->

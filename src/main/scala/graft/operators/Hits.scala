@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+  * list — on a purchase bipartite graph, hub score measures a
+  * customer's weighted breadth and authority a product's popularity
+  * among high-breadth customers; the mutually-recursive complement to
+  * [[PageRank]]'s single score.
+  *
+  * Deterministic variant: fixed iterations, SUM normalization (each
+  * vector rescaled so its exact-decimal total is `1e6` — L1, not the
+  * classic L2, so no square roots and every scale factor is a quotient
+  * of decimal-exact operands), scores rounded to 6 dp at each
+  * normalization — 6, not the house 9, because the next round CASTS
+  * them to DECIMAL(18,6): a 9 dp value sits exactly on the 1e-9 grid
+  * and hits the cast's half-way points at ~1/1000 per value, where
+  * engines' decimal rounding legitimately differs (caught by the
+  * sf0.01 gate: 3 of 3500 scores off by 1e-9); a 6 dp value casts
+  * EXACTLY. Everything downstream of the first aggregate is a
+  * pure function of the edge list — replayable in SQL by unrolling.
+  * The ppm-style 1e6 scaling also keeps scores in a range where the
+  * DECIMAL(18,6) accumulator retains 10+ significant digits (a
+  * sum-to-1 normalization would quantize 1e-4-sized scores to two).
+  *
+  * Per half-iteration: one aggregate over the edge list joined to the
+  * small score vector (AQE broadcasts it) + a one-row total — the
+  * PageRank mass-sum discipline.
+  */
+object Hits {
+
+  /** (kind ∈ {hub, authority}, id, score) after `iters` full rounds.
+    * Hubs are `srcCol` nodes, authorities `dstCol` nodes.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("c"), col(dstCol).as("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def normalized(scores: DataFrame, idName: String): DataFrame = {
+      val tot = scores.agg(graft.Exprs.dsum(col("s")).as("__t"))
+      scores.crossJoin(broadcast(tot))
+        .select(col(idName),
+          round(col("s") * lit(1000000.0) / col("__t"), 6).as("s"))
+    }
+
+    // h0 = 1 per hub; each round: authorities from hubs, then hubs
+    // from the fresh authorities
+    var hubs = e.select(col("c")).distinct().withColumn("s", lit(1.0))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = normalized(
+        e.join(hubs, Seq("c"))
+          .groupBy(col("p")).agg(graft.Exprs.dsum(col("s")).as("s")), "p")
+      hubs = normalized(
+        e.join(auths, Seq("p"))
+          .groupBy(col("c")).agg(graft.Exprs.dsum(col("s")).as("s")), "c")
+    }
+    val out = hubs.select(lit("hub").as("kind"), col("c").as("id"),
+        col("s").as("score"))
+      .unionByName(auths.select(lit("authority").as("kind"),
+        col("p").as("id"), col("s").as("score")))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+}
