@@ -3840,6 +3840,49 @@ object SparkEntry {
         .stripMargin
     }),
 
+    ("q177_rate_anomalies", (s, d) => {
+      // operational anomaly gate: each (event_type, day)'s volume
+      // z-scored against its own TRAILING 7-day window (current day
+      // excluded — an anomaly must not inflate its own baseline).
+      // Decimal-exact window moments; sqrt is IEEE-exact; z emitted
+      // unrounded (deterministic operands, the q164 rule).
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      val m = (sum(col("n").cast(graft.Exprs.Money)).over(w) /
+        count(lit(1)).over(w)).cast("double")
+      val m2 = (sum((col("n") * col("n")).cast(graft.Exprs.Money)).over(w) /
+        count(lit(1)).over(w)).cast("double")
+      daily
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .withColumn("trail_mean", m)
+        .withColumn("z", (col("n") - m) / sqrt(m2 - m * m))
+        .filter(col("trail_n") >= 3)
+        .select(col("event_type"), col("day"), col("n"),
+          col("trail_mean"), col("z"),
+          (abs(col("z")) > 3.0).as("is_anomaly"))
+    }, Some("""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, day, n,
+       |    count(*) OVER w AS trail_n,
+       |    CAST(sum(CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE)
+       |      / count(*) OVER w AS m,
+       |    CAST(sum(CAST(n * n AS DECIMAL(18,6))) OVER w AS DOUBLE)
+       |      / count(*) OVER w AS m2
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, day, n, m AS trail_mean,
+       |  (n - m) / sqrt(m2 - m * m) AS z,
+       |  abs((n - m) / sqrt(m2 - m * m)) > 3.0 AS is_anomaly
+       |FROM st WHERE trail_n >= 3""".stripMargin)),
+
     ("q152_cluster_safe_split", (s, d) => {
       // leakage-safe 80/10/10: near-dup cluster members all draw the
       // split of their cluster representative (q71's edges -> CC ->
