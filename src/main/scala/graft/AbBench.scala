@@ -202,7 +202,44 @@ object AbBench {
       .localCheckpoint(true)
   }
 
+  /** q176's normalization before the global-window rewrite: a separate
+    * total aggregate cross-joined back — TWO references to the score
+    * vector per half-round, fanning the lazily-chained rounds out.
+    */
+  private def hitsAggCrossjoin(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("c"), col("p")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def normalized(scores: DataFrame, idName: String): DataFrame = {
+      val tot = scores.agg(graft.Exprs.dsum(col("s")).as("__t"))
+      scores.crossJoin(broadcast(tot))
+        .select(col(idName),
+          round(col("s") * lit(1000000.0) / col("__t"), 6).as("s"))
+    }
+    var hubs = e.select(col("c")).distinct().withColumn("s", lit(1.0))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = normalized(e.join(hubs, Seq("c"))
+        .groupBy(col("p")).agg(graft.Exprs.dsum(col("s")).as("s")), "p")
+      hubs = normalized(e.join(auths, Seq("p"))
+        .groupBy(col("c")).agg(graft.Exprs.dsum(col("s")).as("s")), "c")
+    }
+    val out = hubs.select(lit("hub").as("kind"), col("c").as("id"),
+        col("s").as("score"))
+      .unionByName(auths.select(lit("authority").as("kind"),
+        col("p").as("id"), col("s").as("score")))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v176_agg_crossjoin" -> ((s, d) => {
+      val e = Tables.t(s, d, "orders")
+        .join(Tables.t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      hitsAggCrossjoin(e, 2)
+    }),
     "v170_lazy_rounds" -> ((s, d) => {
       val edges = graft.operators.MarketBasket.associationRules(
           Tables.t(s, d, "lineitem"), "l_orderkey", "l_partkey", 2)

@@ -40,9 +40,17 @@ object Hits {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // total via a GLOBAL WINDOW, not a separate .agg + crossJoin: the
+    // agg form references `scores` twice, and with four lazily-chained
+    // half-rounds that doubling fans the re-derivation out 2^4× (the
+    // KCore lineage lesson, measured here too: 20 s → ~3 s at sf0.1).
+    // The window keeps each half-round a SINGLE reference, so the
+    // whole chain stays linear and needs no checkpoint barrier.
     def normalized(scores: DataFrame, idName: String): DataFrame = {
-      val tot = scores.agg(graft.Exprs.dsum(col("s")).as("__t"))
-      scores.crossJoin(broadcast(tot))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      scores
+        .withColumn("__t",
+          sum(col("s").cast(graft.Exprs.Money)).over(all).cast("double"))
         .select(col(idName),
           round(col("s") * lit(1000000.0) / col("__t"), 6).as("s"))
     }
