@@ -3840,6 +3840,86 @@ object SparkEntry {
         .stripMargin
     }),
 
+    ("q178_token_pmi", (s, d) =>
+      // pointwise mutual information over within-doc token
+      // co-occurrence — the count-based word-association table (the
+      // statistic SGNS embeddings implicitly factorize). Pure reuse:
+      // the q154 basket machinery with docs as baskets; PMI =
+      // ln(lift) recomputed from the EXACT integer counts (never from
+      // the ppm column — floor division would poison the log),
+      // rounded 9 dp.
+      graft.operators.MarketBasket.associationRules(
+          t(s, d, "documents").select(col("doc_id"),
+            explode(array_distinct(
+              graft.text.TextOps.tokens(col("text")))).as("token")),
+          "doc_id", "token", minPairCount = 3)
+        .filter(col("antecedent") < col("consequent"))
+        .select(col("antecedent"), col("consequent"), col("pair_count"),
+          round(log(
+            (col("pair_count") * col("n_baskets")).cast("double") /
+              (col("antecedent_count") * col("consequent_count"))
+                .cast("double")), 9).as("pmi")),
+      Some("""WITH items AS (
+       |  SELECT DISTINCT doc_id AS bk,
+       |    unnest(regexp_split_to_array(text, '\s+')) AS it
+       |  FROM documents),
+       |nb AS (SELECT count(DISTINCT bk) AS n FROM items),
+       |icnt AS (SELECT it, count(*) AS c FROM items GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.it AS antecedent, b.it AS consequent, count(*) AS pc
+       |  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT antecedent, consequent, pc AS pair_count,
+       |  round(ln(CAST(pc * n AS DOUBLE) / (ca.c * cb.c)), 9) AS pmi
+       |FROM pairs
+       |JOIN icnt ca ON ca.it = antecedent
+       |JOIN icnt cb ON cb.it = consequent
+       |CROSS JOIN nb""".stripMargin)),
+
+    ("q179_gains_table", (s, d) => {
+      // model-eval gains/lift table: rank orders by a score (here the
+      // raw order value as a stand-in model output), exact integer
+      // deciles, per-decile positives (urgent orders) and CUMULATIVE
+      // capture in ppm — every number integer or an exact-decimal sum.
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").as("score"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("label"))
+      val all = Window.partitionBy()
+      val ranked = scored
+        .withColumn("__n", count(lit(1)).over(all))
+        .withColumn("decile", lit(1L) +
+          expr("10L * (row_number() over (order by score desc, " +
+            "o_orderkey asc) - 1) div __n"))
+      val dec = ranked.groupBy("decile").agg(
+        count(lit(1)).as("n"),
+        sum(col("label")).as("positives"))
+      val cum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("__tot", sum(col("positives")).over(all))
+        .withColumn("cum_positives", sum(col("positives")).over(cum))
+        .select(col("decile"), col("n"), col("positives"),
+          expr("cum_positives * 1000000L div __tot").as("cum_capture_ppm"))
+    }, Some("""WITH scored AS (
+       |  SELECT o_orderkey, o_totalprice AS score,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+       |      AS label,
+       |    count(*) OVER () AS n,
+       |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+       |      AS rnk
+       |  FROM orders),
+       |dec AS (
+       |  SELECT 1 + (10 * (rnk - 1)) // n AS decile,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(label) AS BIGINT) AS positives
+       |  FROM scored GROUP BY 1)
+       |SELECT decile, n, positives,
+       |  (sum(positives) OVER (ORDER BY decile
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |    * 1000000 // (sum(positives) OVER ()) AS cum_capture_ppm
+       |FROM dec""".stripMargin)),
+
     ("q177_rate_anomalies", (s, d) => {
       // operational anomaly gate: each (event_type, day)'s volume
       // z-scored against its own TRAILING 7-day window (current day
