@@ -3920,6 +3920,40 @@ object SparkEntry {
        |    * 1000000 // (sum(positives) OVER ()) AS cum_capture_ppm
        |FROM dec""".stripMargin)),
 
+    ("q180_weighted_median", (s, d) => {
+      // exact weighted median (lower) of price per return flag,
+      // quantity-weighted: per-group value sort, integer cumulative
+      // weights, first value whose doubled cumsum reaches the total —
+      // every comparison integer, no interpolation ambiguity.
+      import org.apache.spark.sql.expressions.Window
+      val rows = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      val g = rows.groupBy("l_returnflag", "v")
+        .agg(sum(col("w")).as("w"))
+      val cum = Window.partitionBy("l_returnflag").orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("l_returnflag")
+      g.withColumn("__cw", sum(col("w")).over(cum))
+        .withColumn("__tw", sum(col("w")).over(tot))
+        .filter(col("__cw") * 2 >= col("__tw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("v")).as("weighted_median"),
+          max(col("__tw")).as("total_weight"))
+    }, Some("""WITH g AS (
+       |  SELECT l_returnflag, l_extendedprice AS v,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |c AS (
+       |  SELECT l_returnflag, v, w,
+       |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+       |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+       |  FROM g)
+       |SELECT l_returnflag, min(v) AS weighted_median,
+       |  CAST(max(tw) AS BIGINT) AS total_weight
+       |FROM c WHERE cw * 2 >= tw GROUP BY 1""".stripMargin)),
+
     ("q177_rate_anomalies", (s, d) => {
       // operational anomaly gate: each (event_type, day)'s volume
       // z-scored against its own TRAILING 7-day window (current day
