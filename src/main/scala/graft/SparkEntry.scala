@@ -3920,6 +3920,69 @@ object SparkEntry {
        |    * 1000000 // (sum(positives) OVER ()) AS cum_capture_ppm
        |FROM dec""".stripMargin)),
 
+    ("q181_entity_resolution", (s, d) => {
+      // the ER pipeline COMPOSED and certified by one hash compare
+      // (the q126 pattern): corrupted strings resolve against the
+      // clean vocabulary through the UNION of both blocking strategies
+      // (first-char keys ∪ sorted neighbors — complementary candidate
+      // sets), then one (jw desc, matched asc) top-1 per query.
+      val words = t(s, d, "documents")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+        .distinct()
+      val dirty = words.filter(length(col("w")) >= 3)
+        .select(concat(substring(col("w"), 1, 1), expr("substring(w, 3)"))
+          .as("q")).distinct()
+      val blocked = graft.text.Linkage.fuzzyLink(dirty, words, "q", "w",
+        minJw = 0.6, lenBand = 2, topK = 1000)
+        .select("query", "matched", "jw")
+      val sorted = graft.text.Linkage.sortedNeighborhoodPairs(dirty, words,
+        "q", "w", windowSize = 4, minJw = 0.6)
+      val cand = blocked.unionByName(sorted).distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query")
+        .orderBy(col("jw").desc, col("matched").asc)
+      cand.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("query", "matched", "jw")
+    }, Some("""WITH w AS (
+       |  SELECT DISTINCT unnest(regexp_split_to_array(text, '\s+')) AS w
+       |  FROM documents),
+       |dd AS (
+       |  SELECT DISTINCT substr(w, 1, 1) || substr(w, 3) AS q
+       |  FROM w WHERE len(w) >= 3),
+       |blocked AS (
+       |  SELECT d.q AS query, m.w AS matched,
+       |    round(jaro_winkler_similarity(d.q, m.w), 9) AS jw
+       |  FROM dd d JOIN w m ON substr(d.q, 1, 1) = substr(m.w, 1, 1)
+       |  WHERE abs(len(d.q) - len(m.w)) <= 2
+       |    AND round(jaro_winkler_similarity(d.q, m.w), 9) >= 0.6),
+       |uni AS (
+       |  SELECT value, src,
+       |    row_number() OVER (ORDER BY value ASC, src ASC) AS rn
+       |  FROM (SELECT q AS value, 'L' AS src FROM dd
+       |        UNION ALL SELECT w, 'R' FROM w)),
+       |sn AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN u1.src = 'L' THEN u1.value ELSE u2.value END
+       |      AS query,
+       |    CASE WHEN u1.src = 'L' THEN u2.value ELSE u1.value END
+       |      AS matched
+       |  FROM uni u1 JOIN uni u2
+       |    ON u2.rn BETWEEN u1.rn + 1 AND u1.rn + 3
+       |  WHERE u1.src <> u2.src),
+       |snj AS (
+       |  SELECT query, matched,
+       |    round(jaro_winkler_similarity(query, matched), 9) AS jw
+       |  FROM sn
+       |  WHERE round(jaro_winkler_similarity(query, matched), 9) >= 0.6),
+       |cand AS (
+       |  SELECT DISTINCT query, matched, jw FROM (
+       |    SELECT * FROM blocked UNION ALL SELECT * FROM snj))
+       |SELECT query, matched, jw FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query
+       |    ORDER BY jw DESC, matched ASC) AS rn
+       |  FROM cand)
+       |WHERE rn = 1""".stripMargin)),
+
     ("q180_weighted_median", (s, d) => {
       // exact weighted median (lower) of price per return flag,
       // quantity-weighted: per-group value sort, integer cumulative
