@@ -3920,6 +3920,95 @@ object SparkEntry {
        |    * 1000000 // (sum(positives) OVER ()) AS cum_capture_ppm
        |FROM dec""".stripMargin)),
 
+    ("q182_corpus_build_v2", (s, d) => {
+      // corpus build composed from THIS session's operators, certified
+      // by one hash compare (the q126 pattern): perplexity-decile
+      // fluency gate (drop the worst decile) → EXACT prefix-filter
+      // near-dup pairs over the survivors → connected components →
+      // keep the LONGEST member per cluster. Every stage is
+      // individually oracled (q164/q165/q161); this certifies their
+      // COMPOSITION.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val kept = graft.text.CorpusClean.surprisalDecileFilter(
+          docs, "doc_id", "text", dropWorstDeciles = 1)
+        .filter(col("keep"))
+        .select("doc_id", "n_tokens")
+      val surv = docs.join(kept.select("doc_id"), Seq("doc_id"))
+      val pairs = graft.dedup.NearDup.prefixFilterPairs(surv,
+        "doc_id", "text", threshold = 0.9, shingleN = 3)
+        .select(col("id1"), col("id2"))
+      val comps = graft.operators.ConnectedComponents
+        .components(pairs, "id1", "id2")
+      graft.operators.ConnectedComponents.keepBestRepresentatives(
+        kept, "doc_id", comps, "n_tokens")
+    }, Some(s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_tok
+       |         FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+       |per AS (
+       |  SELECT tf.doc_id, tf.tf,
+       |    tf.tf * round(ln(CAST(n_total AS DOUBLE) / n_tok), 9) AS c
+       |  FROM tf JOIN freq USING (token) CROSS JOIN tot),
+       |doc AS (
+       |  SELECT doc_id, ${dsumSql("c")} AS ts,
+       |    CAST(sum(tf) AS BIGINT) AS n_tokens
+       |  FROM per GROUP BY doc_id),
+       |dc AS (
+       |  SELECT doc_id, n_tokens,
+       |    1 + (10 * (row_number() OVER (ORDER BY ts / n_tokens ASC,
+       |      doc_id ASC) - 1)) // (count(*) OVER ()) AS decile
+       |  FROM doc),
+       |kept AS (SELECT doc_id, n_tokens FROM dc WHERE decile <= 9),
+       |sdoc AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN kept USING (doc_id)),
+       |toks2 AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+       |  FROM sdoc),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+       |  FROM toks2, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3),
+       |fr AS (SELECT g, count(*) AS f FROM sh GROUP BY 1),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pre AS MATERIALIZED (
+       |  SELECT doc_id, g FROM (
+       |    SELECT sh.doc_id, sh.g,
+       |      row_number() OVER (PARTITION BY sh.doc_id
+       |        ORDER BY f ASC, sh.g ASC) AS rn,
+       |      sz.n
+       |    FROM sh JOIN fr USING (g) JOIN sz USING (doc_id))
+       |  WHERE rn <= n - CAST(ceil(0.9 * n) AS BIGINT) + 1),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM pre a JOIN pre b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |gs AS MATERIALIZED (SELECT doc_id, list(g) AS gs FROM sh GROUP BY 1),
+       |e AS MATERIALIZED (
+       |  SELECT id1 AS u, id2 AS v FROM cand
+       |  JOIN gs s1 ON s1.doc_id = id1
+       |  JOIN gs s2 ON s2.doc_id = id2
+       |  WHERE CAST(len(list_intersect(s1.gs, s2.gs)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(s1.gs, s2.gs))) >= 0.9),
+       |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |lab AS (
+       |  SELECT u AS id, u AS comp FROM sym
+       |  UNION
+       |  SELECT sym.u AS id, lab.comp FROM sym JOIN lab ON sym.v = lab.id),
+       |comp AS (SELECT id, min(comp) AS component FROM lab GROUP BY id),
+       |lb AS (
+       |  SELECT k.doc_id, k.n_tokens,
+       |    coalesce(comp.component, k.doc_id) AS cmp
+       |  FROM kept k LEFT JOIN comp ON comp.id = k.doc_id)
+       |SELECT doc_id, n_tokens FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cmp
+       |    ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM lb)
+       |WHERE rn = 1""".stripMargin)),
+
     ("q181_entity_resolution", (s, d) => {
       // the ER pipeline COMPOSED and certified by one hash compare
       // (the q126 pattern): corrupted strings resolve against the
