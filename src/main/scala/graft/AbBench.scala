@@ -232,14 +232,38 @@ object AbBench {
     out
   }
 
+  /** q176's edge build, shared by the HITS variants. */
+  private def hitsEdges(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "orders")
+      .join(Tables.t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+
+  /** Run [[graft.operators.Hits.hitsOn]] with a FORCED strategy at any
+    * depth (the production `hits` picks by `DeepIters`) — the A/B for
+    * the deep-iteration rule: window-totals (lazy chain, single-
+    * partition funnel) vs agg+crossJoin totals with a checkpoint per
+    * half-round.
+    */
+  private def hitsForced(e0: DataFrame, iters: Int, deep: Boolean)
+      : DataFrame = {
+    val e = e0.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = graft.operators.Hits.hitsOn(e, iters, deep)
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v176_agg_crossjoin" -> ((s, d) => {
-      val e = Tables.t(s, d, "orders")
-        .join(Tables.t(s, d, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      val e = hitsEdges(s, d)
       hitsAggCrossjoin(e, 2)
     }),
+    "v176_deep8" -> ((s, d) =>
+      hitsForced(hitsEdges(s, d), iters = 8, deep = true)),
+    "v176_window8" -> ((s, d) =>
+      hitsForced(hitsEdges(s, d), iters = 8, deep = false)),
     "v170_lazy_rounds" -> ((s, d) => {
       val edges = graft.operators.MarketBasket.associationRules(
           Tables.t(s, d, "lineitem"), "l_orderkey", "l_partkey", 2)

@@ -3132,7 +3132,11 @@ object SparkEntry {
        |  ca.c AS antecedent_count, cb.c AS consequent_count, n_baskets,
        |  pc * 1000000 // n_baskets AS support_ppm,
        |  pc * 1000000 // ca.c AS confidence_ppm,
-       |  pc * n_baskets * 1000000 // (ca.c * cb.c) AS lift_ppm
+       |  -- HUGEINT products mirror Spark's DECIMAL(38,0) lift operands
+       |  -- (BIGINT would wrap at corpus scale); CAST back so the driver
+       |  -- sees BIGINT, not HUGEINT (the r09 pandas-bridge lesson).
+       |  CAST(CAST(pc AS HUGEINT) * n_baskets * 1000000
+       |    // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
        |FROM rules
        |JOIN icnt ca ON ca.it = antecedent
        |JOIN icnt cb ON cb.it = consequent
@@ -3166,8 +3170,11 @@ object SparkEntry {
        |tot AS (SELECT CAST(sum(sc) AS BIGINT) AS ts,
        |               CAST(sum(tc) AS BIGINT) AS tt FROM cnt),
        |w AS (SELECT b,
-       |    round(ln(CAST((tc + 1) * (ts + 1021) AS DOUBLE)
-       |           / CAST((sc + 1) * (tt + 1021) AS DOUBLE)), 9) AS w
+       |    -- HUGEINT products mirror Spark's DECIMAL(38,0) (BIGINT
+       |    -- would wrap past ~3e9 corpus tokens)
+       |    round(ln(CAST(CAST(tc + 1 AS HUGEINT) * (ts + 1021) AS DOUBLE)
+       |           / CAST(CAST(sc + 1 AS HUGEINT) * (tt + 1021) AS DOUBLE)),
+       |      9) AS w
        |  FROM cnt CROSS JOIN tot),
        |scored AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
        |    ${dsumSql("n * w")} AS dsir_score
@@ -3181,8 +3188,9 @@ object SparkEntry {
       // four attribution models in one pass: linear / first / last /
       // time-decay credit of purchase value over the user's preceding
       // 7-day touches, per channel. Only the decay weight is
-      // transcendental (rounded 9 dp before its decimal window sum);
-      // every other share is a single IEEE division.
+      // transcendental (rounded 6 dp — the DECIMAL(18,6) accumulator's
+      // own grid — before its decimal window sum); every other share
+      // is a single IEEE division.
       graft.operators.Attribution.multiTouch(t(s, d, "events")),
       Some(s"""WITH touches AS (
        |  SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS tus,
@@ -3202,10 +3210,12 @@ object SparkEntry {
        |      AS rn_a,
        |    row_number() OVER (PARTITION BY cid ORDER BY tus DESC, tid DESC)
        |      AS rn_d,
-       |    round(pow(0.5, CAST(cus - tus AS DOUBLE) / 604800000000.0), 9)
+       |    -- 6 dp (the DECIMAL(18,6) accumulator's own grid): 9 dp
+       |    -- values sit on the cast's half-way points (Hits lesson)
+       |    round(pow(0.5, CAST(cus - tus AS DOUBLE) / 604800000000.0), 6)
        |      AS w,
        |    CAST(sum(CAST(round(pow(0.5,
-       |        CAST(cus - tus AS DOUBLE) / 604800000000.0), 9)
+       |        CAST(cus - tus AS DOUBLE) / 604800000000.0), 6)
        |      AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sw
        |  FROM paired
        |  WINDOW w AS (PARTITION BY cid))
@@ -3261,20 +3271,23 @@ object SparkEntry {
       // min/max calibration (one narrow aggregate) broadcast into a
       // pure-projection encode. Only IEEE +,-,·,/ and floor — codes are
       // bit-identical across engines with no rounding discipline needed.
+      // Registered in the EXPLODED (vec_id, dim, code) shape — the
+      // driver's pandas comparator cannot sort array cells (r09 red
+      // row); sqEncode keeps the array<int> API for library callers.
       graft.sim.Quantize.sqEncode(t(s, d, "embeddings"), "vec_id",
-        "embedding"),
+        "embedding")
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("code")),
       Some("""WITH x AS (
        |  SELECT vec_id, u.dim AS dim, CAST(embedding[u.dim] AS DOUBLE) AS x
        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(dim)),
-       |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
-       |c AS (
-       |  SELECT vec_id, dim,
-       |    CAST(CASE WHEN mx = mn THEN 0 ELSE
-       |      least(greatest(floor((x - mn) * 255.0 / (mx - mn) + 0.5),
-       |        0), 255) END AS INTEGER) AS code
-       |  FROM x JOIN st USING (dim))
-       |SELECT vec_id, list(code ORDER BY dim) AS codes
-       |FROM c GROUP BY 1""".stripMargin)),
+       |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1)
+       |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       |  CAST(CASE WHEN mx = mn THEN 0 ELSE
+       |    least(greatest(floor((x - mn) * 255.0 / (mx - mn) + 0.5),
+       |      0), 255) END AS INTEGER) AS code
+       |FROM x JOIN st USING (dim)""".stripMargin)),
 
     ("q159_sq_topk", (s, d) => {
       // SQ serving: top-k by exact-query cosine against the on-the-fly
@@ -3778,29 +3791,42 @@ object SparkEntry {
       .stripMargin)),
 
     ("q175_cdf_transform", (s, d) =>
-      // empirical-CDF quantile normalization of order value: exact
-      // integer ppm from min-ranks over the DISTINCT-value table
-      // (ties share a rank, so the transform is a function of the
-      // value; the global sort touches distinct values, not rows).
-      graft.operators.TargetEncode.cdfTransform(t(s, d, "orders"),
-        "o_orderkey", "o_totalprice"),
-      Some("""WITH vals AS (
-       |  SELECT o_totalprice, CAST(count(*) AS BIGINT) AS c
-       |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      // empirical-CDF quantile normalization: exact integer ppm from
+      // min-ranks (ties share a rank, so the transform is a function
+      // of the value), min-ranks via Ranks.minRank's bucketed two-pass
+      // (no single-partition sort). Registered over lineitem QUANTITY
+      // — a genuinely bounded-cardinality column (50 distinct values;
+      // the r09 registration on near-unique o_totalprice exercised the
+      // operator's own documented degenerate case). line_id =
+      // orderkey·10 + linenumber (linenumber ≤ 7) keys rows uniquely.
+      graft.operators.TargetEncode.cdfTransform(
+        t(s, d, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+          col("l_quantity")),
+        "line_id", "l_quantity"),
+      Some("""WITH li AS (
+       |  SELECT l_orderkey * 10 + l_linenumber AS line_id, l_quantity
+       |  FROM lineitem),
+       |vals AS (
+       |  SELECT l_quantity, CAST(count(*) AS BIGINT) AS c
+       |  FROM li WHERE l_quantity IS NOT NULL GROUP BY 1),
        |rk AS (
-       |  SELECT o_totalprice,
-       |    1 + coalesce(sum(c) OVER (ORDER BY o_totalprice
+       |  SELECT l_quantity,
+       |    1 + coalesce(sum(c) OVER (ORDER BY l_quantity
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      AS rnk,
        |    sum(c) OVER () AS n
        |  FROM vals),
        |cdf AS (
-       |  SELECT o_totalprice,
-       |    CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
-       |         ELSE 0 END AS cdf_ppm
+       |  SELECT l_quantity,
+       |    -- CAST: sum() OVER widens to HUGEINT in DuckDB; the driver's
+       |    -- pandas bridge renders int128 as float64 and the hash
+       |    -- diverges from Spark's int64 even when values are equal.
+       |    CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+       |         ELSE 0 END AS BIGINT) AS cdf_ppm
        |  FROM rk)
-       |SELECT o_orderkey, o_totalprice, cdf_ppm
-       |FROM orders LEFT JOIN cdf USING (o_totalprice)""".stripMargin)),
+       |SELECT line_id, l_quantity, cdf_ppm
+       |FROM li LEFT JOIN cdf USING (l_quantity)""".stripMargin)),
 
     ("q176_hits", (s, d) => {
       // HITS over the customer→part purchase bipartite graph: 2 fixed
@@ -3855,10 +3881,14 @@ object SparkEntry {
           "doc_id", "token", minPairCount = 3)
         .filter(col("antecedent") < col("consequent"))
         .select(col("antecedent"), col("consequent"), col("pair_count"),
+          // cast BEFORE multiplying: the BIGINT product wraps at corpus
+          // scale; double products are IEEE-exact below 2^53 and
+          // deterministic beyond it on every engine.
           round(log(
-            (col("pair_count") * col("n_baskets")).cast("double") /
-              (col("antecedent_count") * col("consequent_count"))
-                .cast("double")), 9).as("pmi")),
+            (col("pair_count").cast("double") *
+              col("n_baskets").cast("double")) /
+              (col("antecedent_count").cast("double") *
+                col("consequent_count").cast("double"))), 9).as("pmi")),
       Some("""WITH items AS (
        |  SELECT DISTINCT doc_id AS bk,
        |    unnest(regexp_split_to_array(text, '\s+')) AS it
@@ -3870,7 +3900,8 @@ object SparkEntry {
        |  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
        |  GROUP BY 1, 2 HAVING count(*) >= 3)
        |SELECT antecedent, consequent, pc AS pair_count,
-       |  round(ln(CAST(pc * n AS DOUBLE) / (ca.c * cb.c)), 9) AS pmi
+       |  round(ln((CAST(pc AS DOUBLE) * n)
+       |    / (CAST(ca.c AS DOUBLE) * cb.c)), 9) AS pmi
        |FROM pairs
        |JOIN icnt ca ON ca.it = antecedent
        |JOIN icnt cb ON cb.it = consequent
@@ -3881,19 +3912,23 @@ object SparkEntry {
       // raw order value as a stand-in model output), exact integer
       // deciles, per-decile positives (urgent orders) and CUMULATIVE
       // capture in ppm — every number integer or an exact-decimal sum.
+      // Ranks via the bucketed two-pass operator (Ranks.rowNumber) —
+      // the r09 perf-weak fix: no fact-scale single-partition window
+      // anywhere; the only global windows left run over the 10-row
+      // decile table. Totals ride the q90 one-row-crossJoin pattern.
       import org.apache.spark.sql.expressions.Window
       val scored = t(s, d, "orders").select(col("o_orderkey"),
         col("o_totalprice").as("score"),
         (col("o_orderpriority") === "1-URGENT").cast("int").as("label"))
-      val all = Window.partitionBy()
-      val ranked = scored
-        .withColumn("__n", count(lit(1)).over(all))
-        .withColumn("decile", lit(1L) +
-          expr("10L * (row_number() over (order by score desc, " +
-            "o_orderkey asc) - 1) div __n"))
+      val nRow = scored.agg(count(lit(1)).as("__n"))
+      val ranked = graft.operators.Ranks.rowNumber(scored, "score",
+          ascending = false, tiebreaks = Seq("o_orderkey"), out = "__rn")
+        .crossJoin(broadcast(nRow))
+        .withColumn("decile", lit(1L) + expr("10L * (__rn - 1) div __n"))
       val dec = ranked.groupBy("decile").agg(
         count(lit(1)).as("n"),
         sum(col("label")).as("positives"))
+      val all = Window.partitionBy()
       val cum = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       dec
@@ -3915,9 +3950,12 @@ object SparkEntry {
        |    CAST(sum(label) AS BIGINT) AS positives
        |  FROM scored GROUP BY 1)
        |SELECT decile, n, positives,
-       |  (sum(positives) OVER (ORDER BY decile
+       |  -- CAST: sum() OVER widens to HUGEINT in DuckDB (float64 through
+       |  -- the driver's pandas bridge → hash mismatch vs Spark's int64).
+       |  CAST((sum(positives) OVER (ORDER BY decile
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |    * 1000000 // (sum(positives) OVER ()) AS cum_capture_ppm
+       |    * 1000000 // (sum(positives) OVER ()) AS BIGINT)
+       |    AS cum_capture_ppm
        |FROM dec""".stripMargin)),
 
     ("q182_corpus_build_v2", (s, d) => {
@@ -4008,6 +4046,109 @@ object SparkEntry {
        |    ORDER BY n_tokens DESC, doc_id) AS rn
        |  FROM lb)
        |WHERE rn = 1""".stripMargin)),
+
+    ("q183_minhash_portable", (s, d) =>
+      // portable-hash MinHash signatures, exploded (doc_id, i, minhash)
+      // — the hash-oracled twin of q48's XXH64 signatures (r9 verdict
+      // item 7): rolling token/shingle folds + the universal
+      // (a·s+b) mod p family replay exactly in SQL, so the signature
+      // TABLE is one hash compare, not a rows-only count.
+      graft.dedup.NearDup.minhashSignaturesPortable(
+        t(s, d, "documents"), "doc_id", "text", k = 16, shingleN = 3),
+      Some(s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(tk, 1) AS p, unnest(tk) AS t
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+       |        FROM documents)),
+       |th AS (
+       |  SELECT doc_id, p,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(t, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+       |  FROM tok),
+       |sh AS (
+       |  SELECT doc_id,
+       |    ((h * 31 + h1) % 1000000007 * 31 + h2) % 1000000007 AS s
+       |  FROM (
+       |    SELECT doc_id, h,
+       |      lead(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h1,
+       |      lead(h, 2) OVER (PARTITION BY doc_id ORDER BY p) AS h2
+       |    FROM th)
+       |  WHERE h2 IS NOT NULL),
+       |hf AS (
+       |  SELECT i, (i + 1) * 2654435761 % 999999937 + 1 AS a,
+       |    (i + 1) * 2246822519 % 999999937 AS b
+       |  FROM range(16) ii(i))
+       |SELECT doc_id, i, min((a * s + b) % 1000000007) AS minhash
+       |FROM sh CROSS JOIN hf
+       |GROUP BY 1, 2""".stripMargin)),
+
+    ("q184_near_dup_pairs_portable", (s, d) =>
+      // END-TO-END portable near-dup: portable signatures → band folds
+      // → capped bucket self-join → 3-shingle Jaccard >= 0.5 — q49's
+      // pipeline with every hash SQL-replayable, so signatures, bands,
+      // candidate generation, AND the verified pair set are certified
+      // by one hash compare (q48/q49 stay as the fast XXH64 production
+      // path, now twinned end-to-end instead of rows-only).
+      graft.dedup.NearDup.nearDupPairsPortable(
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.5,
+        k = 16, bands = 4, shingleN = 3),
+      Some(s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(tk, 1) AS p, unnest(tk) AS t
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+       |        FROM documents)),
+       |th AS (
+       |  SELECT doc_id, p,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(t, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+       |  FROM tok),
+       |sh AS (
+       |  SELECT doc_id,
+       |    ((h * 31 + h1) % 1000000007 * 31 + h2) % 1000000007 AS s
+       |  FROM (
+       |    SELECT doc_id, h,
+       |      lead(h, 1) OVER (PARTITION BY doc_id ORDER BY p) AS h1,
+       |      lead(h, 2) OVER (PARTITION BY doc_id ORDER BY p) AS h2
+       |    FROM th)
+       |  WHERE h2 IS NOT NULL),
+       |hf AS (
+       |  SELECT i, (i + 1) * 2654435761 % 999999937 + 1 AS a,
+       |    (i + 1) * 2246822519 % 999999937 AS b
+       |  FROM range(16) ii(i)),
+       |mh AS MATERIALIZED (
+       |  SELECT doc_id, i, min((a * s + b) % 1000000007) AS m
+       |  FROM sh CROSS JOIN hf
+       |  GROUP BY 1, 2),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, i // 4 AS band_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(m ORDER BY i)),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS band_hash
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |grams AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+       |        FROM documents), UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3),
+       |gs AS MATERIALIZED (SELECT doc_id, list(g) AS gs FROM grams
+       |  GROUP BY 1)
+       |SELECT id1, id2,
+       |  CAST(len(list_intersect(s1.gs, s2.gs)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(s1.gs, s2.gs))) AS jaccard
+       |FROM cand
+       |JOIN gs s1 ON s1.doc_id = id1
+       |JOIN gs s2 ON s2.doc_id = id2
+       |WHERE CAST(len(list_intersect(s1.gs, s2.gs)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(s1.gs, s2.gs))) >= 0.5"""
+        .stripMargin)),
 
     ("q181_entity_resolution", (s, d) => {
       // the ER pipeline COMPOSED and certified by one hash compare

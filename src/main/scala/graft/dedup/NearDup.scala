@@ -47,6 +47,99 @@ object NearDup {
         MinHashSignature.signature(TextOps.tokens(col(textCol)), k, shingleN)
           .as("sig"))
 
+  // ==== portable-hash MinHash — the ORACLED twin of the XXH64 path ====
+  //
+  // minhashSignatures/lshBuckets hash with xxhash64 (fastest on the
+  // JVM, unreplayable in SQL → q48/q49 are rows-only checks). This
+  // family swaps every hash for SQL-replayable integer arithmetic —
+  // the q136/q142 recipe — so signatures, bands, candidates, and the
+  // verified pair set all hash-compare against DuckDB end-to-end:
+  //   token hash    = the RollingHash codepoint fold (mod 1e9+7)
+  //   shingle hash  = the same ×31 fold over `shingleN` token hashes
+  //   minhash i     = min over shingles of (aᵢ·s + bᵢ) mod 1e9+7, the
+  //                   classic universal family with aᵢ, bᵢ derived
+  //                   from i by the two-round multiplicative recipe
+  //   band hash     = the ×31 fold over the band's minima
+  // Every intermediate stays < 2^60, so the arithmetic is BIGINT-exact
+  // on both engines. Plan shape matches the XXH64 path: projections
+  // until ONE groupBy(id) (k min-aggregates, map-side combined), bands
+  // as a projection + posexplode, candidates via the same capped
+  // bucket self-join.
+
+  private[graft] final val PortableMod = 1000000007L
+  private[graft] def portableA(i: Int): Long =
+    (i + 1) * 2654435761L % 999999937L + 1
+  private[graft] def portableB(i: Int): Long =
+    (i + 1) * 2246822519L % 999999937L
+
+  /** One WIDE row per doc: `__m0..__m{k-1}` minima. Docs with fewer
+    * than `shingleN` tokens have no shingles and drop out (same
+    * contract as [[gramJaccardVerify]]).
+    */
+  private[graft] def portableMins(df: DataFrame, idCol: String,
+                                  textCol: String, k: Int,
+                                  shingleN: Int): DataFrame = {
+    require(k >= 1 && shingleN >= 1, s"bad k=$k shingleN=$shingleN")
+    val shingled = ensureParallel(df, col(idCol))
+      .withColumn("__th",
+        transform(TextOps.tokens(col(textCol)),
+          t => graft.functions.RollingHash.of(t)))
+      .withColumn("__sh",
+        when(size(col("__th")) < shingleN, array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__th")) - shingleN),
+            p => (0 until shingleN).foldLeft(lit(0L).cast("bigint")) {
+              (acc, q) =>
+                (acc * lit(31L) + element_at(col("__th"), p + lit(q + 1))) %
+                  lit(PortableMod)
+            })))
+    val mins = (0 until k).map(i =>
+      min((lit(portableA(i)) * col("__s") + lit(portableB(i))) %
+        lit(PortableMod)).as(s"__m$i"))
+    shingled.select(col(idCol), explode(col("__sh")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** Portable MinHash signatures in the EXPLODED `(id, i, minhash)`
+    * shape (flat — the driver's comparator can sort it; the array
+    * shape stays library-internal).
+    */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String,
+                                textCol: String, k: Int = 16,
+                                shingleN: Int = 3): DataFrame =
+    portableMins(df, idCol, textCol, k, shingleN)
+      .select(col(idCol), posexplode(
+        array((0 until k).map(i => col(s"__m$i")): _*)))
+      .select(col(idCol), col("pos").cast("long").as("i"),
+        col("col").as("minhash"))
+
+  /** End-to-end portable near-dup pairs: portable signatures → band
+    * fold → capped bucket self-join → measure-consistent shingle
+    * Jaccard ≥ `threshold`. Same pipeline shape (and the same
+    * recall/cap contract) as [[nearDupPairs]]; every stage replays in
+    * SQL, so the whole pair set is one hash compare.
+    */
+  def nearDupPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5, k: Int = 16,
+                           bands: Int = 4, shingleN: Int = 3,
+                           maxBucketSize: Int = 10000): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val mins = portableMins(df, idCol, textCol, k, shingleN)
+    val bandHash = (0 until bands).map(j =>
+      (j * r until (j + 1) * r).foldLeft(lit(0L).cast("bigint")) {
+        (acc, i) => (acc * lit(31L) + col(s"__m$i")) % lit(PortableMod)
+      })
+    val buckets = mins
+      .select(col(idCol), posexplode(array(bandHash: _*)))
+      .select(col(idCol), col("pos").cast("long").as("band_id"),
+        col("col").as("band_hash"))
+    val pairs = candidatePairs(buckets, idCol, maxBucketSize)
+    gramJaccardVerify(pairs, df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** LSH banding: split the k-wide signature into `bands` bands of
     * `rowsPerBand` and emit (band_id, band_hash) bucket keys. Docs
     * sharing any bucket become candidates via a self-equi-join on the

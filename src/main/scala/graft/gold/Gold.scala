@@ -197,27 +197,28 @@ object Gold {
     */
   def rfmSegments(df: DataFrame, custCol: String, tsCol: String,
                   valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Quintile ranks via Ranks.rowNumber (bucketed two-pass) and the
+    // global max/count via a one-row broadcast — no single-partition
+    // window anywhere, so the customer dim can be fact-scale (the r09
+    // perf audit's reuse site for the distributed-rank operator).
     val per = df.groupBy(col(custCol))
       .agg(max(to_date(col(tsCol))).as("last_order"),
         count(lit(1)).as("frequency"),
         dsum(col(valueCol)).as("monetary"))
-    val all = Window.partitionBy()
-    val g = per
-      .withColumn("__mx", max(col("last_order")).over(all))
-      .withColumn("__n", count(lit(1)).over(all))
+    val tot = per.agg(max(col("last_order")).as("__mx"),
+      count(lit(1)).as("__n"))
+    val g = per.crossJoin(broadcast(tot))
       .withColumn("recency_days",
         datediff(col("__mx"), col("last_order")).cast("long"))
-    val scored = g
-      .withColumn("r_score", lit(5L) -
-        expr(s"5L * (row_number() over (order by recency_days asc, " +
-          s"$custCol asc) - 1) div __n"))
-      .withColumn("f_score", lit(5L) -
-        expr(s"5L * (row_number() over (order by frequency desc, " +
-          s"$custCol asc) - 1) div __n"))
-      .withColumn("m_score", lit(5L) -
-        expr(s"5L * (row_number() over (order by monetary desc, " +
-          s"$custCol asc) - 1) div __n"))
+    def quintile(in: DataFrame, v: String, asc: Boolean, out: String) =
+      graft.operators.Ranks.rowNumber(in, v, ascending = asc,
+          tiebreaks = Seq(custCol), out = "__rn")
+        .withColumn(out, lit(5L) - expr("5L * (__rn - 1) div __n"))
+        .drop("__rn")
+    val scored = quintile(quintile(quintile(
+      g, "recency_days", asc = true, "r_score"),
+      "frequency", asc = false, "f_score"),
+      "monetary", asc = false, "m_score")
     scored.select(col(custCol), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         when(col("r_score") >= 4 && col("f_score") >= 4, "champion")

@@ -55,9 +55,14 @@ object Attribution {
     val byConv = Window.partitionBy("__cid")
     val ordAsc = byConv.orderBy(col("__tus").asc, col("__tid").asc)
     val ordDesc = byConv.orderBy(col("__tus").desc, col("__tid").desc)
+    // 6 dp, not 9: the weight is summed through a DECIMAL(18,6)
+    // accumulator, and a 9 dp value can land EXACTLY on the cast's
+    // half-way grid, where engines' double→decimal rounding diverges
+    // (the Hits lesson — 3/3500 values diverged at sf0.01 before it
+    // moved to the accumulator's own grid).
     val decay = round(pow(lit(0.5),
       (col("__cus") - col("__tus")).cast("double") /
-        (lit(halfLifeDays) * dayUs)), 9)
+        (lit(halfLifeDays) * dayUs)), 6)
 
     val credited = paired
       .withColumn("__k", count(lit(1)).over(byConv))

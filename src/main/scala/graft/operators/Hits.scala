@@ -30,8 +30,38 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
+  /** Half-rounds before the lazy-chain strategy switches to the
+    * checkpointed one — see [[hits]]. iters=2 (4 half-rounds, the
+    * registered shape) stays on the window form it A/B-wins at (4/4 at
+    * sf0.1); convergence-grade depth (iters ≥ 4 ⇒ ≥ 8 half-rounds)
+    * takes the per-round barrier instead.
+    */
+  val DeepIters = 4
+
   /** (kind ∈ {hub, authority}, id, score) after `iters` full rounds.
     * Hubs are `srcCol` nodes, authorities `dstCol` nodes.
+    *
+    * Two plan shapes by depth (the iteration-lineage rule, A/B'd both
+    * ways):
+    *
+    *  - SHALLOW (iters < [[DeepIters]]): each half-round's L1 total
+    *    comes from a GLOBAL WINDOW, not a separate .agg + crossJoin —
+    *    the agg form references `scores` twice, and with four
+    *    lazily-chained half-rounds that doubling fans the
+    *    re-derivation out 2^4× (the KCore lineage lesson, measured
+    *    here too: 20 s → ~3 s at sf0.1). The window keeps each
+    *    half-round a SINGLE reference, so the whole chain stays
+    *    linear and needs no checkpoint barrier. Cost: the |V|-row
+    *    single-partition window task — fine for 2 rounds, the
+    *    bottleneck at 100× |V| and deep iteration.
+    *  - DEEP (iters ≥ [[DeepIters]]): agg + broadcast crossJoin totals
+    *    (every stage hash-distributed, no single-partition funnel)
+    *    WITH an eager localCheckpoint per half-round — the checkpoint
+    *    is what the lineage rule prescribes once a round references
+    *    its input twice (agg + projection), and it also caps the plan
+    *    at O(1) per round instead of O(2^halfRounds). A/B at iters=8
+    *    (AbBench q176_hits_deep8 vs v176_window_deep8): deep 5/5 wins,
+    *    median 12.6 s vs 17.3 s at sf0.1.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {
@@ -39,21 +69,35 @@ object Hits {
     val e = edges.select(col(srcCol).as("c"), col(dstCol).as("p"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = hitsOn(e, iters, deep = iters >= DeepIters)
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
 
-    // total via a GLOBAL WINDOW, not a separate .agg + crossJoin: the
-    // agg form references `scores` twice, and with four lazily-chained
-    // half-rounds that doubling fans the re-derivation out 2^4× (the
-    // KCore lineage lesson, measured here too: 20 s → ~3 s at sf0.1).
-    // The window keeps each half-round a SINGLE reference, so the
-    // whole chain stays linear and needs no checkpoint barrier.
-    def normalized(scores: DataFrame, idName: String): DataFrame = {
-      val all = org.apache.spark.sql.expressions.Window.partitionBy()
-      scores
-        .withColumn("__t",
-          sum(col("s").cast(graft.Exprs.Money)).over(all).cast("double"))
-        .select(col(idName),
-          round(col("s") * lit(1000000.0) / col("__t"), 6).as("s"))
-    }
+  /** Iteration body over a pre-deduped, persisted edge list `e(c, p)`
+    * — exposed package-private so AbBench can pin either strategy at
+    * any depth; results are bit-identical between the two (same sums,
+    * same 6 dp grid), only the plan differs.
+    */
+  private[graft] def hitsOn(e: DataFrame, iters: Int, deep: Boolean)
+      : DataFrame = {
+    def normalized(scores: DataFrame, idName: String): DataFrame =
+      if (deep) {
+        val tot = scores.agg(
+          sum(col("s").cast(graft.Exprs.Money)).cast("double").as("__t"))
+        scores.crossJoin(broadcast(tot))
+          .select(col(idName),
+            round(col("s") * lit(1000000.0) / col("__t"), 6).as("s"))
+          .localCheckpoint(true)
+      } else {
+        val all = org.apache.spark.sql.expressions.Window.partitionBy()
+        scores
+          .withColumn("__t",
+            sum(col("s").cast(graft.Exprs.Money)).over(all).cast("double"))
+          .select(col(idName),
+            round(col("s") * lit(1000000.0) / col("__t"), 6).as("s"))
+      }
 
     // h0 = 1 per hub; each round: authorities from hubs, then hubs
     // from the fresh authorities
@@ -67,12 +111,9 @@ object Hits {
         e.join(auths, Seq("p"))
           .groupBy(col("c")).agg(graft.Exprs.dsum(col("s")).as("s")), "c")
     }
-    val out = hubs.select(lit("hub").as("kind"), col("c").as("id"),
+    hubs.select(lit("hub").as("kind"), col("c").as("id"),
         col("s").as("score"))
       .unionByName(auths.select(lit("authority").as("kind"),
         col("p").as("id"), col("s").as("score")))
-      .localCheckpoint(true)
-    e.unpersist()
-    out
   }
 }

@@ -83,7 +83,13 @@ object MarketBasket {
         col("antecedent_count"), col("consequent_count"), col("n_baskets"),
         expr("pair_count * 1000000L div n_baskets").as("support_ppm"),
         expr("pair_count * 1000000L div antecedent_count").as("confidence_ppm"),
-        expr("pair_count * n_baskets * 1000000L div " +
-          "(antecedent_count * consequent_count)").as("lift_ppm"))
+        // lift's numerator multiplies two corpus-scale counts — in
+        // BIGINT it wraps silently past ~9.2e18 (a few million baskets
+        // with a frequent pair), so both products run in DECIMAL(38,0);
+        // IntegralDivide(decimal, decimal) returns BIGINT, keeping the
+        // output schema and the oracle's integer ppm contract unchanged.
+        expr("CAST(pair_count AS DECIMAL(38,0)) * n_baskets * 1000000 div " +
+          "(CAST(antecedent_count AS DECIMAL(38,0)) * consequent_count)")
+          .as("lift_ppm"))
   }
 }

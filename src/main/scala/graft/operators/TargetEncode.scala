@@ -49,24 +49,22 @@ object TargetEncode {
     * normalization in exact integer parts-per-million: identical
     * values share the MIN rank (so the transform is a function of the
     * value, ties or not), `cdf_ppm = (rank-1)·1e6 div (n-1)`, mapping
-    * min→0 and max→1e6. The rank-vs-value table is value-DISTINCT
-    * (aggregate before the sort, so the global rank window sorts
-    * distinct values, not rows) and joins back on the value — AQE
-    * picks broadcast when the distinct set is small. A mostly-unique
-    * column keeps the distinct table near row-count-sized; at that
-    * extreme swap the exact ranks for histogram-sketch cutpoints
-    * ([[Sketches.histogramQuantiles]]).
+    * min→0 and max→1e6. Min-ranks come from [[Ranks.minRank]]'s
+    * bucketed two-pass scheme (exact, no single-partition window even
+    * when the column is near-unique — the r09 degenerate case), the
+    * row total from a one-row aggregate, and the rank table joins back
+    * on the value — AQE picks broadcast when the distinct set is
+    * small. A truly near-unique column still pays a rank table the
+    * size of the input; when approximate quantiles suffice, prefer
+    * [[Sketches.histogramQuantiles]] cut points.
     */
   def cdfTransform(df: DataFrame, idCol: String, valueCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vals = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
-    val ranked = vals
-      .withColumn("__rank", lit(1L) +
-        coalesce(sum(col("__c")).over(Window.orderBy(col(valueCol))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+    val nn = df.filter(col(valueCol).isNotNull)
+    val nRow = nn.agg(count(lit(1)).as("__n"))
+    val ranked = Ranks.minRank(nn, valueCol, ascending = true,
+        out = "__rank")
+      .crossJoin(broadcast(nRow))
       .select(col(valueCol),
         when(col("__n") > 1,
           expr("(__rank - 1) * 1000000L div (__n - 1)"))

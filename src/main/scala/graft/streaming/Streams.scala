@@ -202,11 +202,21 @@ object Streams {
     * stores without changelogs publish at); the sink diffs it against
     * the previously stored snapshot via
     * [[graft.operators.SnapshotDiff.snapshotDiff]], appends the
-    * insert/update/delete feed under `feedDir/batch=N`, and swaps the
-    * stored snapshot. Downstream incrementals (SCD2 apply, upsert
-    * sinks, audit) then consume diffs instead of reprocessing
-    * snapshots. The first batch emits everything as inserts against an
-    * empty baseline.
+    * insert/update/delete feed under `feedDir/batch=N`, and stores the
+    * new snapshot under `snapshotPath/v=N`. Downstream incrementals
+    * (SCD2 apply, upsert sinks, audit) consume diffs instead of
+    * reprocessing snapshots; read the live snapshot with
+    * [[currentSnapshot]]. The first batch emits everything as inserts
+    * against an empty baseline.
+    *
+    * Replay safety (foreachBatch is at-least-once): the snapshot is
+    * VERSIONED BY batchId and written last, so if the job dies after
+    * the snapshot commit but before the checkpoint commit, the replay
+    * sees `v=N` already present and is a complete no-op — the r09
+    * hazard was an unversioned swap, where the replay diffed the new
+    * snapshot against itself and overwrote `feedDir/batch=N` with an
+    * empty feed. Versions older than a committed `v=N` can never be
+    * needed by any replay again and are retired in the same batch.
     */
   def cdcSink(snapshots: DataFrame, keys: Seq[String], snapshotPath: String,
               feedDir: String, checkpoint: String)
@@ -219,18 +229,49 @@ object Streams {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(snapshotPath),
           spark.sparkContext.hadoopConfiguration)
-        val b = batch.persist()
-        val prev =
-          if (fs.exists(new org.apache.hadoop.fs.Path(snapshotPath)))
-            spark.read.parquet(snapshotPath)
-          else b.limit(0)
-        graft.operators.SnapshotDiff.snapshotDiff(prev, b, keys)
-          .write.mode("overwrite").parquet(s"$feedDir/batch=$batchId")
-        graft.pipeline.Runner.overwriteSwapped(b, snapshotPath)
-        b.unpersist()
+        val root = new org.apache.hadoop.fs.Path(snapshotPath)
+        val cur = new org.apache.hadoop.fs.Path(root, s"v=$batchId")
+        if (!fs.exists(cur)) {
+          val b = batch.persist()
+          val prevIds = snapshotVersions(fs, root)
+          val prev = prevIds.lastOption match {
+            case Some(id) => spark.read.parquet(s"$snapshotPath/v=$id")
+            case None     => b.limit(0)
+          }
+          graft.operators.SnapshotDiff.snapshotDiff(prev, b, keys)
+            .write.mode("overwrite").parquet(s"$feedDir/batch=$batchId")
+          // write-then-rename underneath, so a crash mid-write leaves a
+          // .tmp dir (never a half `v=N` that a replay would trust)
+          graft.pipeline.Runner.overwriteSwapped(b, cur.toString)
+          prevIds.foreach(id =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$id"), true))
+          b.unpersist()
+        }
         ()
       }
       .start()
+
+  /** Committed snapshot versions under a [[cdcSink]] root, ascending.
+    * `v=N.tmp` in-flight dirs parse to no Long and are excluded.
+    */
+  private def snapshotVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption)
+      .sorted
+
+  /** The live (max-version) snapshot a [[cdcSink]] maintains. */
+  def currentSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      snapshotPath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(snapshotPath), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(snapshotPath)
+    val ids = snapshotVersions(fs, root)
+    require(ids.nonEmpty, s"no committed snapshot under $snapshotPath")
+    spark.read.parquet(s"$snapshotPath/v=${ids.last}")
+  }
 
   /** Continuous distribution-drift monitoring: every micro-batch is
     * scored with [[graft.operators.Quality.psiDrift]] against a FROZEN

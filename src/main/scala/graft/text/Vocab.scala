@@ -478,9 +478,10 @@ object Vocab {
     * Determinism/oracle parity: the token→bucket hash is the portable
     * rolling-hash + multiplicative-mod chain (replayable in ANSI SQL);
     * bucket weights use add-one smoothing with all-INTEGER numerator/
-    * denominator products (BIGINT-exact in both engines), one double
-    * division, ln rounded to 9 dp; per-doc totals accumulate in exact
-    * decimal (the q105/q114 pattern). `selected` breaks score ties on
+    * denominator products in DECIMAL(38,0) (HUGEINT on the oracle side
+    * — BIGINT would wrap past ~3e9 corpus tokens), one double division,
+    * ln rounded to 9 dp; per-doc totals accumulate in exact decimal
+    * (the q105/q114 pattern). `selected` breaks score ties on
     * doc id.
     *
     * Plan shape: token instances are hash-partitioned by doc id ONCE;
@@ -535,8 +536,15 @@ object Vocab {
       .withColumn("__ts", sum(col("sc")).over(all))
       .withColumn("__tt", sum(col("tc")).over(all))
       .select(col("__b"),
-        round(log(((col("tc") + 1) * (col("__ts") + b)).cast("double") /
-          ((col("sc") + 1) * (col("__tt") + b)).cast("double")), 9).as("__w"))
+        // products in DECIMAL(38,0): the BIGINT product of two
+        // corpus-level token totals wraps silently past ~3e9 tokens.
+        // DECIMAL(38,0)→double rounds the exact integer the same way
+        // BIGINT→double does (round-to-nearest), so values are
+        // unchanged wherever BIGINT didn't wrap.
+        round(log(((col("tc") + 1).cast("decimal(38,0)") * (col("__ts") + b))
+            .cast("double") /
+          ((col("sc") + 1).cast("decimal(38,0)") * (col("__tt") + b))
+            .cast("double")), 9).as("__w"))
 
     val scored = tf.join(broadcast(weights), Seq("__b"))
       .groupBy(col(idCol))

@@ -293,4 +293,26 @@ class NearDupSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "planted near-dups must verify")
     assert(got == expected)
   }
+
+  test("portable minhash: deterministic across layouts, sound pairs, " +
+    "finds the fixture's near-dups") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // signatures are pure integer folds — bit-identical on any layout
+    val s1 = NearDup.minhashSignaturesPortable(corpus.repartition(7),
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val s2 = NearDup.minhashSignaturesPortable(corpus.coalesce(1),
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    // every emitted pair really clears the threshold (soundness is
+    // exact — the verify step is the true shingle Jaccard), and the
+    // template-heavy fixture corpus must yield pairs (recall smoke)
+    val pairs = NearDup.nearDupPairsPortable(corpus, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(p => p._3 >= 0.5 && p._1 < p._2))
+  }
 }

@@ -26,6 +26,24 @@ class HitsSpec extends AnyFunSuite {
     assert(math.abs(hubs - 1e6) < 1e-2 && math.abs(auths - 1e6) < 1e-2)
   }
 
+  test("deep (checkpointed agg) strategy is bit-identical to shallow") {
+    // iters=4 crosses DeepIters, so hits() takes the deep path; forcing
+    // the window path through hitsOn must give the same scores — the
+    // two shapes differ ONLY in plan (totals via window vs agg+cross,
+    // checkpoint barriers), never in arithmetic.
+    val edges = (1L to 300L).map(i => (i % 17, i % 31)).toDF("c", "p")
+    def run(deep: Boolean) = {
+      val e = edges.distinct().persist()
+      val out = Hits.hitsOn(e, iters = 4, deep = deep)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      e.unpersist()
+      out
+    }
+    assert(Hits.DeepIters == 4)
+    assert(run(deep = true) == run(deep = false))
+  }
+
   test("deterministic across partition layouts") {
     val edges = (1L to 300L).map(i => (i % 17, i % 31)).toDF("c", "p")
     val a = Hits.hits(edges.repartition(13), "c", "p", 2)

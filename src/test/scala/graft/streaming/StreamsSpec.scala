@@ -308,9 +308,42 @@ class StreamsSpec extends AnyFunSuite {
       val b1 = spark.read.parquet(s"$dir/feed/batch=1")
         .select("id", "change_type").as[(Long, String)].collect().toSet
       assert(b1 == Set((1L, "update"), (2L, "delete"), (3L, "insert")))
-      val snap = spark.read.parquet(s"$dir/snap")
+      val snap = Streams.currentSnapshot(spark, s"$dir/snap")
         .as[(Long, String)].collect().toSet
       assert(snap == Set((1L, "a2"), (3L, "c")))
+      // only the latest version is retained (older ones retired after
+      // the newer commit — no replay can need them again)
+      assert(new java.io.File(s"$dir/snap").list()
+        .count(_.matches("v=\\d+")) == 1)
     } finally q.stop()
+  }
+
+  test("cdcSink: a replayed batch is a no-op (feed not clobbered)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcr").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.cdcSink(input.toDF().toDF("id", "v"), Seq("id"),
+      s"$dir/snap", s"$dir/feed", s"$dir/chk")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // crash-after-snapshot-commit-before-checkpoint-commit replay: the
+    // same batchId arrives again (fresh checkpoint restarts at 0) with
+    // v=0 already on disk — the r09 hazard diffed the snapshot against
+    // itself here and overwrote feed/batch=0 with an EMPTY feed.
+    val replay = MemoryStream[(Long, String)]
+    val q2 = Streams.cdcSink(replay.toDF().toDF("id", "v"), Seq("id"),
+      s"$dir/snap", s"$dir/feed", s"$dir/chk2")
+    try {
+      replay.addData((1L, "a"), (2L, "b"))
+      q2.processAllAvailable()
+      val b0 = spark.read.parquet(s"$dir/feed/batch=0")
+        .select("id", "change_type").as[(Long, String)].collect().toSet
+      assert(b0 == Set((1L, "insert"), (2L, "insert")))
+      val snap = Streams.currentSnapshot(spark, s"$dir/snap")
+        .as[(Long, String)].collect().toSet
+      assert(snap == Set((1L, "a"), (2L, "b")))
+    } finally q2.stop()
   }
 }
