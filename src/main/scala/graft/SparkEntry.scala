@@ -4150,6 +4150,115 @@ object SparkEntry {
        |    len(list_distinct(list_concat(s1.gs, s2.gs))) >= 0.5"""
         .stripMargin)),
 
+    ("q185_global_rank", (s, d) =>
+      // the distributed exact-rank operator registered DIRECTLY on a
+      // fact-scale, near-unique column — the regime whose single-
+      // partition window q179/q175 previously paid for. Bucketed
+      // two-pass: approx-percentile cuts assign buckets (pure function
+      // of the value), exact per-bucket offsets + local ranks, result
+      // bit-equal to the global window the oracle runs.
+      graft.operators.Ranks.rowNumber(
+        t(s, d, "events").select(col("event_id"), col("value")),
+        "value", ascending = false, tiebreaks = Seq("event_id"),
+        out = "rn"),
+      Some("""SELECT event_id, value,
+       |  row_number() OVER (ORDER BY value DESC, event_id ASC) AS rn
+       |FROM events""".stripMargin)),
+
+    ("q186_funnel", (s, d) =>
+      // strict-order first-touch conversion funnel view→click→purchase
+      // within a 7-day window of the first view: per step one filter +
+      // one user-key equi-join + one min-aggregate (no global windows,
+      // reached-set shrinks down the funnel); conversion in exact
+      // integer ppm of the step-1 cohort.
+      graft.gold.Funnel.funnel(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), windowDays = 7),
+      Some("""WITH s1 AS (
+       |  SELECT user_id AS u, min(epoch_us(ts)) AS t1
+       |  FROM events WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (
+       |  SELECT e.user_id AS u, s1.t1, min(epoch_us(e.ts)) AS t2
+       |  FROM events e JOIN s1 ON s1.u = e.user_id
+       |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+       |    AND epoch_us(e.ts) <= s1.t1 + 604800000000
+       |  GROUP BY 1, 2),
+       |s3 AS (
+       |  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t3
+       |  FROM events e JOIN s2 ON s2.u = e.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+       |    AND epoch_us(e.ts) <= s2.t1 + 604800000000
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_idx,
+       |    CAST(count(*) AS BIGINT) AS users FROM s1
+       |  UNION ALL SELECT 'click', 2, count(*) FROM s2
+       |  UNION ALL SELECT 'purchase', 3, count(*) FROM s3),
+       |b AS (SELECT users AS base FROM c WHERE step_idx = 1)
+       |SELECT step, step_idx, users,
+       |  users * 1000000 // base AS conversion_ppm
+       |FROM c CROSS JOIN b""".stripMargin)),
+
+    ("q187_cohort_retention", (s, d) =>
+      // day-grain cohort retention matrix: users cohorted by first
+      // active day, (cohort, days_since) activity counts, retention in
+      // exact integer ppm — one distinct, one min, one join back, one
+      // aggregate, all on user/day keys.
+      graft.gold.Funnel.cohortRetention(t(s, d, "events"), "user_id",
+        "ts"),
+      Some("""WITH act AS (
+       |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+       |  FROM events),
+       |fst AS (SELECT u, min(d) AS cohort_date FROM act GROUP BY 1),
+       |sizes AS (SELECT cohort_date, CAST(count(*) AS BIGINT)
+       |    AS cohort_size
+       |  FROM fst GROUP BY 1),
+       |m AS (
+       |  SELECT cohort_date,
+       |    CAST(date_diff('day', cohort_date, d) AS BIGINT) AS days_since,
+       |    CAST(count(*) AS BIGINT) AS active_users
+       |  FROM act JOIN fst USING (u) GROUP BY 1, 2)
+       |SELECT cohort_date, days_since, active_users, cohort_size,
+       |  active_users * 1000000 // cohort_size AS retention_ppm
+       |FROM m JOIN sizes USING (cohort_date)""".stripMargin)),
+
+    ("q188_incremental_agg", (s, d) => {
+      // materialized-view maintenance: per-priority sum/count refreshed
+      // from a snapshotDiff changefeed (inserts %10-only keys, deletes
+      // %7 keys, updates moving %13 keys across groups and bumping %3
+      // values) — the ORACLE is the from-scratch GROUP BY over the new
+      // snapshot, so the compare certifies apply(agg(old), diff) ==
+      // agg(new) bit-exactly (decimal accumulator — a double running
+      // sum would drift an ulp per refresh).
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val old = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val nw = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 13 === 0, lit("1-URGENT"))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+      val feed = graft.operators.SnapshotDiff.snapshotDiff(old, nw,
+        Seq("o_orderkey"))
+      val base = graft.operators.IncrementalAgg.sumCountAgg(old,
+        "o_orderpriority", "o_totalprice")
+      graft.operators.IncrementalAgg.applyAggDelta(base, feed,
+          "o_orderpriority", "o_totalprice")
+        .select(col("o_orderpriority"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("n_rows"))
+    }, Some("""WITH nw AS (
+       |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+       |      ELSE o_orderpriority END AS o_orderpriority,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+       |      ELSE o_totalprice END AS v
+       |  FROM orders WHERE o_orderkey % 7 <> 0)
+       |SELECT o_orderpriority,
+       |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       |FROM nw GROUP BY 1""".stripMargin)),
+
     ("q181_entity_resolution", (s, d) => {
       // the ER pipeline COMPOSED and certified by one hash compare
       // (the q126 pattern): corrupted strings resolve against the

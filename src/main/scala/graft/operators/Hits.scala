@@ -60,8 +60,8 @@ object Hits {
     *    is what the lineage rule prescribes once a round references
     *    its input twice (agg + projection), and it also caps the plan
     *    at O(1) per round instead of O(2^halfRounds). A/B at iters=8
-    *    (AbBench q176_hits_deep8 vs v176_window_deep8): deep 5/5 wins,
-    *    median 12.6 s vs 17.3 s at sf0.1.
+    *    (AbBench v176_deep8 vs v176_window8, quiet box): deep 5/5
+    *    wins, median 19.2 s vs 32.8 s at sf0.1.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {

@@ -1,0 +1,57 @@
+package graft.gold
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class FunnelSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
+
+  test("funnel: strict order, first-touch, window expiry") {
+    val events = Seq(
+      // A converts fully in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // B views only
+      (2L, ts(1), "view"),
+      // C skips the click step — purchase must NOT count
+      (3L, ts(1), "view"), (3L, ts(2), "purchase"),
+      // D clicks BEFORE the first view — click doesn't qualify
+      (4L, ts(2), "view"), (4L, ts(1), "click"), (4L, ts(3), "purchase"),
+      // E's purchase lands past the 7-day window of the first view
+      (5L, ts(1), "view"), (5L, ts(2), "click"), (5L, ts(10), "purchase"),
+      // noise: a non-step event type
+      (1L, ts(1, 1), "error")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowDays = 7)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got("view") == (5L, 1000000L))
+    assert(got("click") == (2L, 400000L))     // A and E
+    assert(got("purchase") == (1L, 200000L))  // A only
+  }
+
+  test("cohortRetention: exact matrix on a hand fixture") {
+    val events = Seq(
+      // cohort day 1: users 1,2 — user 1 returns day 2 and 3, user 2
+      // returns day 3; two rows the same day collapse
+      (1L, ts(1)), (1L, ts(1, 5)), (1L, ts(2)), (1L, ts(3)),
+      (2L, ts(1)), (2L, ts(3)),
+      // cohort day 2: user 3, never returns
+      (3L, ts(2))
+    ).toDF("user_id", "ts").withColumn("event_type",
+      org.apache.spark.sql.functions.lit("view"))
+    val got = Funnel.cohortRetention(events, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("2024-01-01", 0L)) == (2L, 2L, 1000000L))
+    assert(got(("2024-01-01", 1L)) == (1L, 2L, 500000L))
+    assert(got(("2024-01-01", 2L)) == (2L, 2L, 1000000L))
+    assert(got(("2024-01-02", 0L)) == (1L, 1L, 1000000L))
+    assert(got.size == 4)
+  }
+}
