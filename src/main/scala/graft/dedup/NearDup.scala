@@ -61,10 +61,11 @@ object NearDup {
   //                   from i by the two-round multiplicative recipe
   //   band hash     = the ×31 fold over the band's minima
   // Every intermediate stays < 2^60, so the arithmetic is BIGINT-exact
-  // on both engines. Plan shape matches the XXH64 path: projections
-  // until ONE groupBy(id) (k min-aggregates, map-side combined), bands
-  // as a projection + posexplode, candidates via the same capped
-  // bucket self-join.
+  // on both engines. Plan shape matches the XXH64 path EXACTLY:
+  // signatures are one native codegen'd projection per row
+  // (functions/PortableMinHash — no explode, no shuffle), bands a
+  // projection + posexplode, candidates the same capped bucket
+  // self-join.
 
   private[graft] final val PortableMod = 1000000007L
   private[graft] def portableA(i: Int): Long =
@@ -80,37 +81,35 @@ object NearDup {
                                   textCol: String, k: Int,
                                   shingleN: Int): DataFrame = {
     require(k >= 1 && shingleN >= 1, s"bad k=$k shingleN=$shingleN")
-    val shingled = ensureParallel(df, col(idCol))
-      .withColumn("__th",
-        transform(TextOps.tokens(col(textCol)),
-          t => graft.functions.RollingHash.of(t)))
-      .withColumn("__sh",
-        when(size(col("__th")) < shingleN, array().cast("array<bigint>"))
-          .otherwise(transform(
-            sequence(lit(0), size(col("__th")) - shingleN),
-            p => (0 until shingleN).foldLeft(lit(0L).cast("bigint")) {
-              (acc, q) =>
-                (acc * lit(31L) + element_at(col("__th"), p + lit(q + 1))) %
-                  lit(PortableMod)
-            })))
-    val mins = (0 until k).map(i =>
-      min((lit(portableA(i)) * col("__s") + lit(portableB(i))) %
-        lit(PortableMod)).as(s"__m$i"))
-    shingled.select(col(idCol), explode(col("__sh")).as("__s"))
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
+    // Pure projection through the native PortableMinHash expression
+    // (whole signature per row inside codegen, NO shuffle). The first
+    // formulation built shingles with a transform HOF and folded k
+    // minima through an explode + 16-min groupBy — HOFs are
+    // CodegenFallback, so every token hashed interpreted, and the
+    // explode shuffled token-instance-scale rows: measured 27 s at
+    // sf0.1 where the XXH64 twin runs ~1 s. Same arithmetic, same
+    // oracles (q183/q184 unchanged and still green).
+    ensureParallel(df, col(idCol))
+      .select(col(idCol),
+        graft.functions.PortableMinHash
+          .minima(TextOps.tokens(col(textCol)), k, shingleN).as("__ms"))
+      .filter(size(col("__ms")) > 0)
+      .select(col(idCol) +: (0 until k).map(i =>
+        element_at(col("__ms"), i + 1).as(s"__m$i")): _*)
   }
 
   /** Portable MinHash signatures in the EXPLODED `(id, i, minhash)`
     * shape (flat — the driver's comparator can sort it; the array
-    * shape stays library-internal).
+    * shape stays library-internal). Short docs (no shingles → empty
+    * minima array) drop at the posexplode.
     */
   def minhashSignaturesPortable(df: DataFrame, idCol: String,
                                 textCol: String, k: Int = 16,
                                 shingleN: Int = 3): DataFrame =
-    portableMins(df, idCol, textCol, k, shingleN)
+    ensureParallel(df, col(idCol))
       .select(col(idCol), posexplode(
-        array((0 until k).map(i => col(s"__m$i")): _*)))
+        graft.functions.PortableMinHash
+          .minima(TextOps.tokens(col(textCol)), k, shingleN)))
       .select(col(idCol), col("pos").cast("long").as("i"),
         col("col").as("minhash"))
 

@@ -183,6 +183,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_portable"),
+      new ExpressionInfo(
+        classOf[PortableMinHash].getName, null, "graft_minhash_portable",
+        "graft_minhash_portable(tokens, k, shingleN) - k-wide " +
+          "SQL-replayable MinHash signature (rolling-hash shingles, " +
+          "universal (a*s+b) mod p minima).",
+        ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(arr, k, n) =>
+            PortableMinHash(arr, intLit(k, "k"), intLit(n, "shingleN"))
+          case Seq(arr, k) => PortableMinHash(arr, intLit(k, "k"), 3)
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_portable(array<string>, k[, shingleN]) — " +
+              s"got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(
         classOf[SimHash64].getName, null, "graft_simhash",

@@ -201,6 +201,14 @@ object Gold {
     // global max/count via a one-row broadcast — no single-partition
     // window anywhere, so the customer dim can be fact-scale (the r09
     // perf audit's reuse site for the distributed-rank operator).
+    // The rollup is CHECKPOINTED before ranking: each Ranks call
+    // references its input three times (cut-point sketch, bucket
+    // counts, the ranked join — under broadcast subqueries, where
+    // AQE's exchange reuse does not reach), and chaining three
+    // quintiles lazily re-derives the rollup up to 3³× (the
+    // iteration-lineage rule's multi-reference case; measured 12 s →
+    // ~2 s at sf0.1). The three score tables then join back on the
+    // customer key — parallel over the checkpoint, never chained.
     val per = df.groupBy(col(custCol))
       .agg(max(to_date(col(tsCol))).as("last_order"),
         count(lit(1)).as("frequency"),
@@ -210,15 +218,17 @@ object Gold {
     val g = per.crossJoin(broadcast(tot))
       .withColumn("recency_days",
         datediff(col("__mx"), col("last_order")).cast("long"))
-    def quintile(in: DataFrame, v: String, asc: Boolean, out: String) =
-      graft.operators.Ranks.rowNumber(in, v, ascending = asc,
+      .localCheckpoint(true)
+    def quintile(v: String, asc: Boolean, out: String) =
+      graft.operators.Ranks.rowNumber(
+          g.select(col(custCol), col(v), col("__n")), v, ascending = asc,
           tiebreaks = Seq(custCol), out = "__rn")
-        .withColumn(out, lit(5L) - expr("5L * (__rn - 1) div __n"))
-        .drop("__rn")
-    val scored = quintile(quintile(quintile(
-      g, "recency_days", asc = true, "r_score"),
-      "frequency", asc = false, "f_score"),
-      "monetary", asc = false, "m_score")
+        .select(col(custCol),
+          (lit(5L) - expr("5L * (__rn - 1) div __n")).as(out))
+    val scored = g
+      .join(quintile("recency_days", asc = true, "r_score"), Seq(custCol))
+      .join(quintile("frequency", asc = false, "f_score"), Seq(custCol))
+      .join(quintile("monetary", asc = false, "m_score"), Seq(custCol))
     scored.select(col(custCol), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         when(col("r_score") >= 4 && col("f_score") >= 4, "champion")

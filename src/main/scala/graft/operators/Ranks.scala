@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   * (callers filter — null buckets would drop in the equi-join); a
   * near-CONSTANT column degenerates to one bucket (at that extreme
   * ranks are meaningless anyway — use [[Sketches.histogramQuantiles]]).
+  *
+  * Reference count (the iteration-lineage rule): each call reads its
+  * input THREE times — the cut-point sketch, the bucket counts, and
+  * the ranked join — and the sketch rides a broadcast subquery, where
+  * AQE's exchange reuse does not reach. An input that is itself an
+  * expensive plan should be persisted/checkpointed by the CALLER
+  * first (rfmSegments checkpoints its rollup — measured 12 s → ~2 s
+  * at sf0.1; a cheap scan-projection like q185's is fine to re-derive).
   */
 object Ranks {
 
@@ -62,18 +70,29 @@ object Ranks {
     * flow through the bucket scheme.
     */
   def minRank(df: DataFrame, valueCol: String, ascending: Boolean = true,
-              out: String = "rank", buckets: Int = 64): DataFrame = {
-    val vals = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+              out: String = "rank", buckets: Int = 64): DataFrame =
+    minRankOfCounts(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol)).agg(count(lit(1)).as("__c")),
+      valueCol, "__c", ascending, out, buckets)
+
+  /** [[minRank]] over a PRE-AGGREGATED `(valueCol, countCol)` table —
+    * the face for callers that already built (and, if it was expensive,
+    * checkpointed) the distinct-value counts.
+    */
+  def minRankOfCounts(vals: DataFrame, valueCol: String, countCol: String,
+                      ascending: Boolean = true, out: String = "rank",
+                      buckets: Int = 64): DataFrame = {
     val bucketed = withBucket(vals, valueCol, ascending, buckets)
     val counts = bucketed.groupBy(col("__b"))
-      .agg(sum(col("__c")).as("__cnt"))
+      .agg(sum(col(countCol)).as("__cnt"))
     val w = Window.partitionBy(col("__b"))
       .orderBy(orderCol(valueCol, ascending))
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(broadcast(offsets(counts)), Seq("__b"))
       .withColumn(out,
-        lit(1L) + col("__off") + coalesce(sum(col("__c")).over(w), lit(0L)))
+        lit(1L) + col("__off") +
+          coalesce(sum(col(countCol)).over(w), lit(0L)))
       .select(col(valueCol), col(out))
   }
 

@@ -62,8 +62,15 @@ object TargetEncode {
       : DataFrame = {
     val nn = df.filter(col(valueCol).isNotNull)
     val nRow = nn.agg(count(lit(1)).as("__n"))
-    val ranked = Ranks.minRank(nn, valueCol, ascending = true,
-        out = "__rank")
+    // Checkpoint the (distinct-value, count) table before ranking:
+    // minRank references it three times (sketch, counts, join — under
+    // broadcast subqueries, outside AQE exchange reuse), and each lazy
+    // reference would re-run the fact-table groupBy. The table is
+    // distinct-value-sized, so the checkpoint itself is tiny.
+    val vals = nn.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val ranked = Ranks.minRankOfCounts(vals, valueCol, "__c",
+        ascending = true, out = "__rank")
       .crossJoin(broadcast(nRow))
       .select(col(valueCol),
         when(col("__n") > 1,

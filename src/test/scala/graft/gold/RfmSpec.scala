@@ -61,12 +61,26 @@ class RfmSpec extends AnyFunSuite {
     assert(out(1L).getAs[Double]("monetary") == 500.0)
   }
 
-  test("plan shape: one rollup exchange + the shared global windows") {
+  test("plan shape: ranks hash-distribute by bucket, no single-partition " +
+    "window over customers") {
     val out = Gold.rfmSegments(orders, "cust", "odate", "total")
     out.collect()
     graft.audit.PlanGuard.assertNoCartesian(out)
-    // customer rollup + the single-partition exchange the four global
-    // windows share (re-sorts, not re-shuffles)
-    graft.audit.PlanGuard.assertMaxExchanges(out, 2)
+    // The r9 shape shared ONE single-partition exchange across three
+    // global rank windows — 2 exchanges total, but every customer row
+    // through one task. The Ranks rewrite trades that for more (cheap,
+    // narrow) exchanges: per quintile a bucket-hash window exchange +
+    // tiny aggregate subtrees. Pin the property that matters — every
+    // rank window partitions by the bucket column, and NO window over
+    // the customer rollup runs on a single partition.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__b"),
+      s"rank windows must hash-distribute by bucket:\n${plan.take(2000)}")
+    val rankWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number()"))
+      .toSeq
+    assert(rankWindows.nonEmpty &&
+      rankWindows.forall(_.contains("windowspecdefinition(__b")),
+      s"a rank window is not bucket-partitioned:\n${rankWindows.mkString("\n")}")
   }
 }
