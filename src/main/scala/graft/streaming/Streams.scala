@@ -251,6 +251,56 @@ object Streams {
       }
       .start()
 
+  /** Continuous materialized-view maintenance — the streaming face of
+    * [[graft.operators.IncrementalAgg]]: each micro-batch is a
+    * changefeed (the [[cdcSink]] / `snapshotDiff` shape, `change_type`
+    * + `old_*`/`new_*` columns) and folds into the stored per-group
+    * sum/count aggregate without ever rescanning the base table.
+    * Together with [[cdcSink]] this closes the loop: snapshot drops →
+    * diff feed → continuously-maintained aggregate, all incremental.
+    *
+    * Replay safety: the aggregate is versioned by batchId exactly like
+    * [[cdcSink]]'s snapshots — written last via write-then-rename, a
+    * replay that finds `v=N` on disk is a no-op, versions older than a
+    * committed `v=N` are retired in the same batch. Exactness: the
+    * maintained sum stays DECIMAL, so the stored table equals the
+    * from-scratch aggregate of the underlying snapshot BIT-exactly at
+    * every version (decimal addition is associative — see
+    * IncrementalAgg's scaladoc). Read the live table with
+    * [[currentSnapshot]] (same layout).
+    */
+  def aggSink(feed: DataFrame, groupCol: String, valueCol: String,
+              aggPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(aggPath), spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(aggPath)
+        val cur = new org.apache.hadoop.fs.Path(root, s"v=$batchId")
+        if (!fs.exists(cur)) {
+          val prevIds = snapshotVersions(fs, root)
+          val prev = prevIds.lastOption match {
+            case Some(id) => spark.read.parquet(s"$aggPath/v=$id")
+            case None => batch
+              .select(col(s"new_$groupCol").as(groupCol)).limit(0)
+              .withColumn("sum_value",
+                lit(0).cast(graft.operators.IncrementalAgg.Acc))
+              .withColumn("n_rows", lit(0L))
+          }
+          val next = graft.operators.IncrementalAgg.applyAggDelta(
+            prev, batch, groupCol, valueCol)
+          graft.pipeline.Runner.overwriteSwapped(next, cur.toString)
+          prevIds.foreach(id =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$id"), true))
+        }
+        ()
+      }
+      .start()
+
   /** Committed snapshot versions under a [[cdcSink]] root, ascending.
     * `v=N.tmp` in-flight dirs parse to no Long and are excluded.
     */

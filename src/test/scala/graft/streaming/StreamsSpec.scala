@@ -318,6 +318,43 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aggSink: streamed changefeed batches maintain the exact aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("aggs").toString
+    // feed rows in the snapshotDiff shape: (change_type, old_g, new_g,
+    // old_v, new_v)
+    val input = MemoryStream[(String, String, String, java.lang.Double,
+      java.lang.Double)]
+    val q = Streams.aggSink(
+      input.toDF().toDF("change_type", "old_g", "new_g", "old_v", "new_v"),
+      "g", "v", s"$dir/agg", s"$dir/chk")
+    try {
+      input.addData(
+        ("insert", null, "a", null, 10.0),
+        ("insert", null, "a", null, 5.0),
+        ("insert", null, "b", null, 7.0))
+      q.processAllAvailable()
+      val v1 = Streams.currentSnapshot(spark, s"$dir/agg")
+        .select("g", "sum_value", "n_rows")
+        .as[(String, java.math.BigDecimal, Long)].collect()
+        .map(r => (r._1, r._2.doubleValue, r._3)).toSet
+      assert(v1 == Set(("a", 15.0, 2L), ("b", 7.0, 1L)))
+      input.addData(
+        ("update", "a", "b", 10.0, 11.0), // group-moving update
+        ("delete", "b", null, 7.0, null),
+        ("insert", null, "c", null, 2.0))
+      q.processAllAvailable()
+      val v2 = Streams.currentSnapshot(spark, s"$dir/agg")
+        .select("g", "sum_value", "n_rows")
+        .as[(String, java.math.BigDecimal, Long)].collect()
+        .map(r => (r._1, r._2.doubleValue, r._3)).toSet
+      assert(v2 == Set(("a", 5.0, 1L), ("b", 11.0, 1L), ("c", 2.0, 1L)))
+      // only the latest version is retained
+      assert(new java.io.File(s"$dir/agg").list()
+        .count(_.matches("v=\\d+")) == 1)
+    } finally q.stop()
+  }
+
   test("cdcSink: a replayed batch is a no-op (feed not clobbered)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("cdcr").toString
