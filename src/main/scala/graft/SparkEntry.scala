@@ -34,6 +34,37 @@ object SparkEntry {
   private def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** Shared q189/q190 oracle prefix: token rolling hash → two
+    * universal expansions → 60 per-bit ±1 vote sums (the
+    * PortableSimHash formula; constants interpolated from the
+    * expression object so they can never drift apart). Ends after the
+    * `v` CTE's close paren — callers append `\nSELECT ...` or
+    * `,\n<more CTEs>`.
+    */
+  private val simhashPortableSql: String = {
+    import graft.functions.PortableSimHash.{A1, A2, B1, B2}
+    s"""WITH tok AS (
+     |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+     |  FROM documents),
+     |th AS (
+     |  SELECT doc_id,
+     |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+     |      list_transform(string_split(t, ''),
+     |        c -> CAST(ascii(c) AS BIGINT))),
+     |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+     |  FROM tok),
+     |hx AS (
+     |  SELECT doc_id, ($A1 * h + $B1) % 1000000007 AS h1,
+     |    ($A2 * h + $B2) % 1000000007 AS h2
+     |  FROM th),
+     |v AS (
+     |  SELECT doc_id, bb.i AS i,
+     |    sum((CASE WHEN bb.i < 30 THEN (h1 >> bb.i) & 1
+     |      ELSE (h2 >> (bb.i - 30)) & 1 END) * 2 - 1) AS vote
+     |  FROM hx CROSS JOIN range(60) bb(i)
+     |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** q167/q168 oracle builder: the unigram-LM EM loop unrolled in SQL.
     * Each round is a recursive path-enumeration Viterbi (every
     * segmentation of each distinct word — compositions with parts ≤ 4,
@@ -4258,6 +4289,49 @@ object SparkEntry {
        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        |  CAST(count(*) AS BIGINT) AS n_rows
        |FROM nw GROUP BY 1""".stripMargin)),
+
+    ("q189_simhash_portable", (s, d) =>
+      // portable 60-bit SimHash signatures — the hash-oracled twin of
+      // q50's XXH64 SimHash: per-occurrence ±1 votes over two
+      // universal expansions of the rolling token hash, tie → 0. A
+      // pure native-expression projection on the Spark side; the
+      // oracle replays token hash → two expansions → 60 bit votes →
+      // sign pack.
+      graft.dedup.NearDup.simhashPortable(t(s, d, "documents"),
+        "doc_id", "text"),
+      Some(simhashPortableSql + "\n" +
+        """SELECT doc_id,
+       |  CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << i
+       |    ELSE 0 END) AS BIGINT) AS simhash
+       |FROM v GROUP BY 1""".stripMargin)),
+
+    ("q190_simhash_pairs_portable", (s, d) => {
+      // END-TO-END portable SimHash near-dup: portable signatures →
+      // 4×15-bit pigeonhole blocking (any pair within Hamming 3 agrees
+      // exactly on ≥ 1 block) → capped block self-join → Hamming ≤ 3 —
+      // q50's pipeline with every bit SQL-replayable, one hash compare.
+      val sigs = graft.dedup.NearDup.simhashPortable(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.dedup.NearDup.simhashPairs(sigs, "doc_id", maxHamming = 3,
+        blocks = 4, bits = 60)
+    }, Some(simhashPortableSql + ",\n" +
+      """sg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << i
+       |      ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM v GROUP BY 1),
+       |blk AS (
+       |  SELECT doc_id, simhash, bb.b AS block_id,
+       |    (simhash >> CAST(bb.b * 15 AS INTEGER)) & 32767 AS block_val
+       |  FROM sg CROSS JOIN range(4) bb(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, a.simhash AS s1,
+       |    b.doc_id AS id2, b.simhash AS s2
+       |  FROM blk a JOIN blk b
+       |    ON a.block_id = b.block_id AND a.block_val = b.block_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin)),
 
     ("q181_entity_resolution", (s, d) => {
       // the ER pipeline COMPOSED and certified by one hash compare

@@ -541,14 +541,28 @@ object NearDup {
         graft.functions.SimHash64.simhash(TextOps.tokens(col(textCol)))
           .as("simhash"))
 
+  /** Portable 60-bit SimHash signatures — the hash-oracled twin of
+    * [[simhash]] (see [[graft.functions.PortableSimHash]]); plug into
+    * [[simhashPairs]] with `bits = 60` for the end-to-end oracled
+    * pipeline (q189/q190). Same pure-projection plan as the XXH64
+    * path.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    ensureParallel(df, col(idCol))
+      .select(col(idCol),
+        graft.functions.PortableSimHash
+          .simhash(TextOps.tokens(col(textCol))).as("simhash"))
+
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`, using
     * the pigeonhole block trick: split 64 bits into `blocks` chunks; any
     * pair within distance `blocks-1` must agree exactly on ≥1 chunk, so
     * candidates come from an equi-join on (block_id, block_value).
     */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int = 3,
-                   blocks: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
-    val width = 64 / blocks
+                   blocks: Int = 4, maxBucketSize: Int = 10000,
+                   bits: Int = 64): DataFrame = {
+    val width = bits / blocks
     val mask = (1L << width) - 1L
     val keyed0 = sigs.select(col(idCol), col("simhash"),
       posexplode(expr(

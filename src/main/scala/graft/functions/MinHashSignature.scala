@@ -201,6 +201,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash_portable"),
+      new ExpressionInfo(
+        classOf[PortableSimHash].getName, null, "graft_simhash_portable",
+        "graft_simhash_portable(tokens) - 60-bit SQL-replayable SimHash " +
+          "(rolling-hash votes through two universal expansions).", ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(arr) => PortableSimHash(arr)
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash_portable(tokens) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(
         classOf[SimHash64].getName, null, "graft_simhash",
