@@ -35,12 +35,23 @@ import org.apache.spark.sql.functions._
   * ranks are meaningless anyway — use [[Sketches.histogramQuantiles]]).
   *
   * Reference count (the iteration-lineage rule): each call reads its
-  * input THREE times — the cut-point sketch, the bucket counts, and
-  * the ranked join — and the sketch rides a broadcast subquery, where
-  * AQE's exchange reuse does not reach. An input that is itself an
-  * expensive plan should be persisted/checkpointed by the CALLER
-  * first (rfmSegments checkpoints its rollup — measured 12 s → ~2 s
-  * at sf0.1; a cheap scan-projection like q185's is fine to re-derive).
+  * input THREE times — the cut-point sketch (collected EAGERLY at
+  * call time, see below), the bucket counts, and the ranked join. An
+  * input that is itself an expensive plan should be persisted/
+  * checkpointed by the CALLER first (rfmSegments checkpoints its
+  * rollup — measured 12 s → ~2 s at sf0.1; a cheap scan-projection
+  * like q185's is fine to re-derive).
+  *
+  * Cut-point consistency: `approx_percentile`'s final merge is
+  * shuffle-fetch-order-sensitive, so leaving the sketch as a lazy
+  * broadcast subquery lets the TWO references of the bucketed frame
+  * (counts vs join) each re-evaluate it and potentially see slightly
+  * DIFFERENT cut arrays — offsets computed against one boundary set,
+  * rows bucketed against another → silently duplicated/skipped ranks.
+  * The cuts are therefore collected ONCE to the driver (a 1-row,
+  * ≤(B-1)-double result) and inlined as a literal array every
+  * reference shares. This makes each rank call eager — acceptable: a
+  * rank is always terminal-ish, and the collected payload is bytes.
   */
 object Ranks {
 
@@ -96,8 +107,62 @@ object Ranks {
       .select(col(valueCol), col(out))
   }
 
+  /** [[rowNumber]] generalized to a NON-NUMERIC total order: `ord` is
+    * the full ordering (must be total — append tiebreaks), `key` any
+    * numeric column that is a MONOTONE NON-DECREASING function of the
+    * ordering's leading component (equal leading values ⇒ equal keys).
+    * Monotonicity means a bucket boundary can only fall BETWEEN order-
+    * distinct keys, and ties-share-a-key means ties never straddle —
+    * the same exactness argument as the numeric path, so the result is
+    * bit-identical to the single-partition window regardless of key
+    * precision loss (rounding to double is itself monotone).
+    *
+    * The string case: [[stringPrefixKey]] (7-byte big-endian prefix as
+    * a number, zero-padded so shorter-prefix strings key lower) is
+    * monotone w.r.t. Spark's binary UTF-8 string order — used by
+    * [[graft.text.Linkage.sortedNeighborhoodPairs]].
+    */
+  def rowNumberKeyed(df: DataFrame, key: Column, ord: Seq[Column],
+                     out: String = "rn", buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val cuts = materializedCuts(df, key, buckets)
+    val bucketed = df.withColumn("__b",
+      size(filter(typedLit(cuts), c => key > c)))
+    val counts = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    bucketed.join(broadcast(offsets(counts)), Seq("__b"))
+      .withColumn(out, col("__off") +
+        row_number().over(Window.partitionBy(col("__b")).orderBy(ord: _*)))
+      .drop("__b", "__off")
+  }
+
+  /** Order-preserving numeric key for a string under Spark's binary
+    * UTF-8 collation: the first 7 bytes big-endian as an integer, hex
+    * right-padded with zeros so that a string that is a strict prefix
+    * of another keys strictly lower (0x00 ≤ every byte). 7 bytes
+    * (2^56) exceeds double's 2^53 exact range, but double rounding is
+    * monotone, so order is preserved — colliding keys just share a
+    * bucket, which [[rowNumberKeyed]]'s contract allows.
+    */
+  def stringPrefixKey(c: Column): Column =
+    conv(rpad(hex(substring(c.cast("binary"), lit(1), lit(7))),
+      14, "0"), 16, 10).cast("double")
+
   private def orderCol(valueCol: String, ascending: Boolean): Column =
     if (ascending) col(valueCol).asc else col(valueCol).desc
+
+  /** The cut points, evaluated ONCE (driver-collected; see the
+    * class scaladoc's consistency note). Null (empty input) → no cuts
+    * → everything in bucket 0, which degrades to the plain window.
+    */
+  private def materializedCuts(df: DataFrame, key: Column,
+                               buckets: Int): Seq[Double] = {
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val row = df.agg(
+      approx_percentile(key, typedLit(qs), lit(10000)).as("__cuts")).head()
+    if (row.isNullAt(0)) Seq.empty[Double]
+    else row.getSeq[Double](0).toSeq
+  }
 
   /** Bucket id in rank order: the count of cut points strictly before
     * the value in the chosen direction. Cast to double for the sketch
@@ -107,14 +172,10 @@ object Ranks {
   private def withBucket(df: DataFrame, valueCol: String,
                          ascending: Boolean, buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val qs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = df.agg(approx_percentile(col(valueCol).cast("double"),
-      typedLit(qs), lit(10000)).as("__cuts"))
     val v = col(valueCol).cast("double")
-    df.crossJoin(broadcast(cuts))
-      .withColumn("__b",
-        size(filter(col("__cuts"), c => if (ascending) v > c else v < c)))
-      .drop("__cuts")
+    val cuts = materializedCuts(df, v, buckets)
+    df.withColumn("__b",
+      size(filter(typedLit(cuts), c => if (ascending) v > c else v < c)))
   }
 
   /** Prefix-sum offsets over the (≤ buckets)-row count table — the one

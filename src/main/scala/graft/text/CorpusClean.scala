@@ -60,22 +60,25 @@ object CorpusClean {
     * even though emitting a rounded quotient would not be (the q150
     * round-tie lesson: round-ties drift, comparisons don't). Deciles
     * are exact integer rank arithmetic (`(rank-1)·10 div n`), id
-    * tiebreaks. The global rank window sorts one row per DOCUMENT,
-    * not per token; for a trillion-doc corpus swap in histogram-
-    * quantile cutpoints ([[graft.operators.Sketches]]).
+    * tiebreaks, with the rank produced by the distributed
+    * [[graft.operators.Ranks.rowNumber]] — one row per document, never
+    * a no-partition window, so the decile pass hash-distributes even
+    * on a trillion-doc corpus. Ranks reads its input three times, so
+    * the per-document score table (a tokenize+join+agg chain) is
+    * eagerly checkpointed first (the operator's caller contract).
     */
   def surprisalDecileFilter(docs: DataFrame, idCol: String,
                             textCol: String,
                             dropWorstDeciles: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = Vocab.unigramSurprisal(docs, idCol, textCol)
       .withColumn("mean_surprisal",
         col("total_surprisal") / col("n_tokens"))
-    val all = Window.partitionBy()
-    val ranked = per.withColumn("__n", count(lit(1)).over(all))
-      .withColumn("decile", lit(1L) +
-        expr(s"10L * (row_number() over (order by mean_surprisal asc, " +
-          s"$idCol asc) - 1) div __n"))
+      .localCheckpoint(true)
+    val ranked = graft.operators.Ranks
+      .rowNumber(per, "mean_surprisal", ascending = true,
+        tiebreaks = Seq(idCol), out = "__rn")
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("__n"))))
+      .withColumn("decile", lit(1L) + expr("10L * (__rn - 1) div __n"))
     ranked.select(col(idCol), col("n_tokens"), col("total_surprisal"),
       col("mean_surprisal"), col("decile"),
       (col("decile") <= lit(10L - dropWorstDeciles)).as("keep"))

@@ -64,11 +64,16 @@ object Linkage {
     *
     * Pair generation is an EQUI-join: each row explodes to its
     * `windowSize - 1` forward offsets and joins on
-    * `position + offset` — bounded fan-out, no range join. The global
-    * row_number is a single-partition sort of the LINKAGE UNIVERSE
-    * (dimension-sized); for a billion-row universe, range-partition
-    * the sort and number within ranges off a broadcast prefix-count
-    * table.
+    * `position + offset` — bounded fan-out, no range join. Global
+    * positions come from [[graft.operators.Ranks.rowNumberKeyed]]
+    * with the order-preserving 7-byte string prefix key: the universe
+    * is bucketed by prefix, offsets are exact per-bucket prefix
+    * counts, and each bucket sorts independently — a hash-distributed
+    * plan that is bit-identical to the single-partition sort it
+    * replaces and survives a billion-row universe. The ranked
+    * universe feeds BOTH the offset explode and the position join, so
+    * it is eagerly checkpointed (also guaranteeing one consistent
+    * numbering across the two references).
     *
     * Determinism: positions come from the total order
     * (value asc, source asc); scores are 9 dp-rounded Jaro-Winkler.
@@ -78,10 +83,13 @@ object Linkage {
                               windowSize: Int = 4,
                               minJw: Double = 0.8): DataFrame = {
     require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
-    val uni = left.select(col(lCol).as("value"), lit("L").as("src"))
-      .unionByName(right.select(col(rCol).as("value"), lit("R").as("src")))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("value").asc, col("src").asc)))
+    val uni = graft.operators.Ranks.rowNumberKeyed(
+        left.select(col(lCol).as("value"), lit("L").as("src"))
+          .unionByName(
+            right.select(col(rCol).as("value"), lit("R").as("src"))),
+        graft.operators.Ranks.stringPrefixKey(col("value")),
+        Seq(col("value").asc, col("src").asc), out = "__rn")
+      .localCheckpoint(true)
     val offs = uni.select(col("value").as("v1"), col("src").as("s1"),
         col("__rn"),
         explode(sequence(lit(1), lit(windowSize - 1))).as("__o"))

@@ -551,15 +551,21 @@ object Vocab {
       .agg(sum(col("n")).as("n_tokens"),
         graft.Exprs.dsum(col("n") * col("__w")).as("dsir_score"))
 
-    val w = Window.orderBy(col("dsir_score").desc, col(idCol).asc)
-    val res = scored.withColumn("selected",
-      (row_number().over(w) <= topK).cast("boolean"))
-    if (persistInput) {
-      // eager result off the cache, then free it (heavyHitters pattern:
-      // truncated lineage, blocks live until GC)
-      val ckpt = res.localCheckpoint(true)
-      tf.unpersist()
-      ckpt
-    } else res
+    // Top-K via the distributed exact-rank operator, not a global
+    // row_number window: on a trillion-doc corpus the per-document
+    // score table IS fact-sized and a no-partition window funnels it
+    // through one task. Ranks reads its input three times (cuts /
+    // bucket counts / ranked join), so the scored frame — itself a
+    // join+agg chain — is eagerly checkpointed first (the operator's
+    // documented caller contract); that checkpoint also replaces the
+    // old post-window one, so the call count is unchanged.
+    val scoredM =
+      if (persistInput) scored.localCheckpoint(true) else scored
+    val res = graft.operators.Ranks
+      .rowNumber(scoredM, "dsir_score", ascending = false,
+        tiebreaks = Seq(idCol), out = "__rnk")
+      .withColumn("selected", (col("__rnk") <= topK).cast("boolean"))
+      .drop("__rnk")
+    if (persistInput) { tf.unpersist(); res } else res
   }
 }

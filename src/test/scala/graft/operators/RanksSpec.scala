@@ -54,6 +54,37 @@ class RanksSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("rowNumberKeyed + stringPrefixKey == global window over strings") {
+    // customer names: shared long prefixes ("Customer#0000...") force
+    // the 7-byte prefix key to collide massively — every row of a
+    // collision class must still rank exactly by the full (value, key)
+    // order via the within-bucket sort. Add crafted prefix/short
+    // strings to pin the zero-padding monotonicity ("ab" < "aaz" is
+    // the bug the padding prevents).
+    val names = graft.Tables.t(spark, sf, "customer")
+      .select(col("c_name").as("v"), col("c_custkey").cast("string").as("k"))
+      .unionByName(spark.createDataFrame(Seq(
+        ("ab", "x1"), ("aaz", "x2"), ("a", "x3"), ("", "x4"),
+        ("aazzzzzzzzzz", "x5"), ("abé", "x6"))).toDF("v", "k"))
+    val got = Ranks.rowNumberKeyed(names, Ranks.stringPrefixKey(col("v")),
+        Seq(col("v").asc, col("k").asc), out = "rn", buckets = 8)
+      .select("k", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exp = names.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").asc, col("k").asc))
+          .cast("long"))
+      .select("k", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exp)
+  }
+
+  test("stringPrefixKey is monotone on the prefix-trap cases") {
+    val vs = Seq("", "a", "aaz", "aazzzzzzzzzz", "ab", "abé", "b")
+    val keys = spark.createDataFrame(vs.map(Tuple1(_))).toDF("v")
+      .select(Ranks.stringPrefixKey(col("v")).as("key"))
+      .collect().map(_.getDouble(0))
+    assert(keys.sameElements(keys.sorted),
+      s"keys not monotone for sorted inputs: ${vs.zip(keys)}")
+  }
+
   test("fact rows hash-distribute by bucket (no fact-scale single partition)") {
     val plan = Ranks.rowNumber(orders, "o_totalprice", ascending = true,
         tiebreaks = Seq("o_orderkey"), out = "rn")

@@ -65,12 +65,15 @@ class DsirSpec extends AnyFunSuite {
     // repartition ×2 (the weight subtree sits under the broadcast
     // boundary, where AQE's exchange reuse does not reach — why the
     // default path persists tf instead), bucket-count agg, the
-    // single-partition totals window, the global top-k window
+    // single-partition totals window, plus the distributed top-k
+    // rank's two exchanges (rank-bucket count agg + hash-by-bucket
+    // redistribution — bounded-size, the price of retiring the
+    // no-partition row_number window over the per-document scores)
     val out = Vocab.dsirScore(docs, "doc_id", "text", col("tgt"),
       buckets = 61, topK = 2, persistInput = false)
     out.collect()
     graft.audit.PlanGuard.assertNoCartesian(out)
-    graft.audit.PlanGuard.assertMaxExchanges(out, 5)
+    graft.audit.PlanGuard.assertMaxExchanges(out, 7)
     // persisted default: single tokenize, cache feeds both passes
     val dflt = Vocab.dsirScore(docs, "doc_id", "text", col("tgt"),
       buckets = 61, topK = 2)
