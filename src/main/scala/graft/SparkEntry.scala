@@ -192,6 +192,36 @@ object SparkEntry {
     (base +: steps).mkString(",\n")
   }
 
+  /** Unrolled PageRank oracle: `iters` power-iteration rounds over the
+    * `e0` edge SQL, each round the exact q145 construction (per-edge
+    * r/outdeg summed in DECIMAL(30,15), rank update in the Spark
+    * operand order) — both engines run identical IEEE ops per round,
+    * so depth composes without drift. Shared by q145 (2 rounds) and
+    * q191 (6 rounds, the checkpoint-grade pre-partitioned shape).
+    */
+  private def pageRankChainSql(iters: Int, e0: String): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id,
+         |    CAST(sum(CAST(r.r / o.od AS DECIMAL(30,15))) AS DOUBLE) AS m
+         |  FROM e0 e JOIN r${i - 1} r ON r.id = e.src
+         |    JOIN outd o ON o.src = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT nd.id, (1.0 - 0.85) / nn + 0.85 * coalesce(c$i.m, 0.0) AS r
+         |  FROM nodes nd CROSS JOIN n LEFT JOIN c$i ON c$i.id = nd.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($e0),
+       |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+       |  FROM e0 GROUP BY 1),
+       |r0 AS (SELECT id, 1.0 / nn AS r FROM nodes CROSS JOIN n),
+       |$rounds
+       |SELECT id, round(r, 9) AS rank FROM r$iters""".stripMargin
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is", "it")
 
   /** Oracle fragment: per-language marker-hit scores from `documents`
@@ -4855,7 +4885,99 @@ object SparkEntry {
          |  SELECT dim, sm / n AS mean, sqrt(s2 / n - (sm / n) * (sm / n)) AS std
          |  FROM s)
          |SELECT x.vec_id, x.dim, (x.x - mean) / std AS z
-         |FROM x JOIN st USING (dim)""".stripMargin))
+         |FROM x JOIN st USING (dim)""".stripMargin)),
+
+    ("q191_pagerank_deep", (s, d) => {
+      // convergence-grade PageRank: 6 power iterations with the edge
+      // table explicitly pre-partitioned on src (the scale shape the
+      // r10 verdict asked CORRECTNESS to gate — until now only the
+      // shallow/off path was registered). Graph: part co-purchase
+      // restricted to the first two lines of each order, so the edge
+      // build stays cheap while the iteration depth dominates — the
+      // thing this entry exercises. Oracle unrolls all 6 rounds
+      // (identical per-round IEEE construction as q145's 2 rounds).
+      val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 2)
+        .select("l_orderkey", "l_partkey")
+      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey").as("k"),
+          col("l_partkey").as("dst")), Seq("k"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.PageRank.pageRank(e, "src", "dst", iters = 6,
+        prePartitionEdges = Some(true))
+    }, Some(pageRankChainSql(6,
+      """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_linenumber <= 2 AND b.l_linenumber <= 2"""
+        .stripMargin))),
+
+    ("q192_agg_sink_stream", (s, d) => {
+      // the STREAMING face of q188, certified batch-equivalently: an
+      // actual aggSink StreamingQuery consumes a staged changefeed in
+      // three real micro-batches (files appear between processAllAvailable
+      // fences, so batch boundaries are deterministic: inserts of the
+      // %3==0 keys, inserts of the rest, then deletes of %5==0 and
+      // +10-with-group-move updates of %5!=0&&%7==0), and the result
+      // is the MAINTAINED TABLE read back from disk — the oracle is
+      // the from-scratch GROUP BY over the final population, so the
+      // compare certifies fold(fold(fold(∅,b1),b2),b3) == agg(final)
+      // bit-exactly through the real sink (versioned write-then-rename
+      // commit path included), not just the operator.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q192_").toString
+      val feedDir = s"$tmp/feed"
+      new java.io.File(feedDir).mkdirs()
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("g"), col("o_totalprice").as("p"))
+      val nullG = lit(null).cast("string")
+      val nullP = lit(null).cast(orders.schema("p").dataType.sql)
+      def ins(rows: org.apache.spark.sql.DataFrame) = rows.select(
+        lit("insert").as("change_type"), nullG.as("old_grp"),
+        col("g").as("new_grp"), nullP.as("old_v"), col("p").as("new_v"))
+      val b1 = ins(orders.filter(col("k") % 3 === 0))
+      val b2 = ins(orders.filter(col("k") % 3 =!= 0))
+      val b3 = orders.filter(col("k") % 5 === 0).select(
+          lit("delete").as("change_type"), col("g").as("old_grp"),
+          nullG.as("new_grp"), col("p").as("old_v"), nullP.as("new_v"))
+        .unionByName(orders
+          .filter(col("k") % 5 =!= 0 && col("k") % 7 === 0)
+          .select(lit("update").as("change_type"), col("g").as("old_grp"),
+            when(col("k") % 11 === 0, lit("1-URGENT")).otherwise(col("g"))
+              .as("new_grp"),
+            col("p").as("old_v"), (col("p") + 10).as("new_v")))
+      // stage each batch as ONE file dropped into the watched dir (a
+      // finished parquet written aside, then moved in atomically)
+      def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+        val aside = s"$tmp/stage$n"
+        df.coalesce(1).write.mode("overwrite").parquet(aside)
+        val part = new java.io.File(aside).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
+      }
+      stage(b1, 1)
+      val sq = graft.streaming.Streams.aggSink(
+        s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+          .parquet(feedDir),
+        "grp", "v", s"$tmp/agg", s"$tmp/ckpt")
+      sq.processAllAvailable()
+      stage(b2, 2); sq.processAllAvailable()
+      stage(b3, 3); sq.processAllAvailable()
+      sq.stop()
+      graft.streaming.Streams.currentSnapshot(s, s"$tmp/agg")
+        .select(col("grp"),
+          col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+    }, Some("""WITH cur AS (
+       |  SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 = 0
+       |      THEN '1-URGENT' ELSE o_orderpriority END AS grp,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+       |      ELSE o_totalprice END AS v
+       |  FROM orders WHERE o_orderkey % 5 <> 0)
+       |SELECT grp,
+       |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       |FROM cur GROUP BY 1""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -27,6 +27,15 @@ import org.apache.spark.sql.types.DecimalType
   * maintained table. Groups whose count reaches zero are dropped,
   * matching the from-scratch result.
   *
+  * PRECONDITION: `valueCol` must be non-null. The maintained sum
+  * coalesces through 0, so a group whose surviving values were all
+  * NULL would read sum_value = 0 where the from-scratch GROUP BY
+  * reads NULL — the bit-exact contract holds only for non-null value
+  * columns (null GROUP keys are fine; they form their own group like
+  * any other). Feeds from measures that can be null should
+  * `coalesce`/filter upstream, the same rule every decimal
+  * accumulator in this library applies.
+  *
   * Shape: the feed folds to one row per TOUCHED group (map-side
   * combined), then a full-outer equi-join against the aggregate table
   * — group-cardinality-sized, never fact-sized.

@@ -212,11 +212,16 @@ object Streams {
     * Replay safety (foreachBatch is at-least-once): the snapshot is
     * VERSIONED BY batchId and written last, so if the job dies after
     * the snapshot commit but before the checkpoint commit, the replay
-    * sees `v=N` already present and is a complete no-op — the r09
-    * hazard was an unversioned swap, where the replay diffed the new
-    * snapshot against itself and overwrote `feedDir/batch=N` with an
-    * empty feed. Versions older than a committed `v=N` can never be
-    * needed by any replay again and are retired in the same batch.
+    * sees its batchId at-or-below the max committed version and is a
+    * complete no-op — the r09 hazard was an unversioned swap, where
+    * the replay diffed the new snapshot against itself and overwrote
+    * `feedDir/batch=N` with an empty feed. The guard compares against
+    * the MAX committed version (not merely `exists(v=N)`): older
+    * versions are retired after each commit, so an exact-probe guard
+    * would let a backup-restored checkpoint replay a LOWER batchId on
+    * top of newer state. Versions older than a committed `v=N` can
+    * never be needed by any replay again and are retired in the same
+    * batch.
     */
   def cdcSink(snapshots: DataFrame, keys: Seq[String], snapshotPath: String,
               feedDir: String, checkpoint: String)
@@ -231,9 +236,16 @@ object Streams {
           spark.sparkContext.hadoopConfiguration)
         val root = new org.apache.hadoop.fs.Path(snapshotPath)
         val cur = new org.apache.hadoop.fs.Path(root, s"v=$batchId")
-        if (!fs.exists(cur)) {
+        val prevIds = snapshotVersions(fs, root)
+        // Replay guard must compare against the MAX committed version,
+        // not just probe for v=batchId: older versions are retired
+        // after each commit, so a replay whose batchId is below the
+        // newest retained version (checkpoint restored from a backup)
+        // would find its own v= absent, diff against the NEWER
+        // snapshot, and overwrite the feed with garbage. Any
+        // batchId <= max committed is already folded in — no-op.
+        if (prevIds.forall(_ < batchId)) {
           val b = batch.persist()
-          val prevIds = snapshotVersions(fs, root)
           val prev = prevIds.lastOption match {
             case Some(id) => spark.read.parquet(s"$snapshotPath/v=$id")
             case None     => b.limit(0)
@@ -281,8 +293,11 @@ object Streams {
           new java.net.URI(aggPath), spark.sparkContext.hadoopConfiguration)
         val root = new org.apache.hadoop.fs.Path(aggPath)
         val cur = new org.apache.hadoop.fs.Path(root, s"v=$batchId")
-        if (!fs.exists(cur)) {
-          val prevIds = snapshotVersions(fs, root)
+        val prevIds = snapshotVersions(fs, root)
+        // same max-version replay guard as cdcSink: a backup-restored
+        // checkpoint replaying batchId below the newest retained
+        // version must NOT apply its delta on top of the newer state
+        if (prevIds.forall(_ < batchId)) {
           val prev = prevIds.lastOption match {
             case Some(id) => spark.read.parquet(s"$aggPath/v=$id")
             case None => batch

@@ -30,6 +30,29 @@ class PageRankSpec extends AnyFunSuite {
     assert(got(1L) > got(2L)) // the hub outranks the leaves
   }
 
+  test("deep pre-partitioned path == unpartitioned path, and the plan pins the src exchange") {
+    // the q191 scale shape: convergence-grade depth pays one explicit
+    // |E| re-exchange on src so every iteration's join reads the
+    // cache's partitioning. Results must be BIT-identical either way
+    // (the repartition moves rows, never changes them), and the pin
+    // asserts the deliberate exchange is actually in the executed plan
+    // (REPARTITION_BY_COL on src) — and absent when switched off.
+    val edges = (1L to 300L).flatMap { i =>
+      Seq((i, i * 7 % 60 + 1), (i * 7 % 60 + 1, i))
+    }.toDF("s", "d")
+    val on = PageRank.pageRank(edges, "s", "d", iters = 4,
+      prePartitionEdges = Some(true))
+    val off = PageRank.pageRank(edges, "s", "d", iters = 4,
+      prePartitionEdges = Some(false))
+    assert(on.as[(Long, Double)].collect().toSet ==
+      off.as[(Long, Double)].collect().toSet)
+    val onPlan = on.queryExecution.executedPlan.toString
+    assert(onPlan.contains("REPARTITION_BY_COL") &&
+      onPlan.contains("hashpartitioning(src"), onPlan.take(2000))
+    assert(!off.queryExecution.executedPlan.toString
+      .contains("REPARTITION_BY_COL"))
+  }
+
   test("pageRank is layout-independent") {
     val edges = (1L to 200L).flatMap { i =>
       Seq((i, i % 50 + 1), (i % 50 + 1, i))

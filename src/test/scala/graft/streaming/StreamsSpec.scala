@@ -355,6 +355,46 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aggSink: replay BELOW the max committed version is a no-op") {
+    // backup-restored checkpoint: the sink committed v=1 (v=0 already
+    // retired), then a fresh stream restarts numbering at batchId 0.
+    // An exists(v=0) probe would find nothing and fold batch 0's
+    // delta onto the NEWER v=1 state a second time; the max-version
+    // guard must leave the maintained table untouched.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("aggr").toString
+    val input = MemoryStream[(String, String, String, java.lang.Double,
+      java.lang.Double)]
+    val q = Streams.aggSink(
+      input.toDF().toDF("change_type", "old_g", "new_g", "old_v", "new_v"),
+      "g", "v", s"$dir/agg", s"$dir/chk")
+    try {
+      input.addData(("insert", null: String, "a", null: java.lang.Double,
+        java.lang.Double.valueOf(10.0)))
+      q.processAllAvailable()
+      input.addData(("insert", null: String, "a", null: java.lang.Double,
+        java.lang.Double.valueOf(5.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(s"$dir/agg").list().toSeq == Seq("v=1"))
+    val replay = MemoryStream[(String, String, String, java.lang.Double,
+      java.lang.Double)]
+    val q2 = Streams.aggSink(
+      replay.toDF().toDF("change_type", "old_g", "new_g", "old_v", "new_v"),
+      "g", "v", s"$dir/agg", s"$dir/chk2")
+    try {
+      replay.addData(("insert", null: String, "a", null: java.lang.Double,
+        java.lang.Double.valueOf(10.0))) // batchId 0 again
+      q2.processAllAvailable()
+      val got = Streams.currentSnapshot(spark, s"$dir/agg")
+        .select("g", "sum_value", "n_rows")
+        .as[(String, java.math.BigDecimal, Long)].collect()
+        .map(r => (r._1, r._2.doubleValue, r._3)).toSet
+      assert(got == Set(("a", 15.0, 2L)))
+      assert(new java.io.File(s"$dir/agg").list().toSeq == Seq("v=1"))
+    } finally q2.stop()
+  }
+
   test("cdcSink: a replayed batch is a no-op (feed not clobbered)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("cdcr").toString
