@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * here verbatim (bench-only, never registered) so the change-attributed
   * claims in COVERAGE.md reproduce with one command:
   *
-  *   runMain graft.AbBench q49_near_dup_pairs v49_cap_countjoin
+  *   runMain graft.AbBench v49_neardup_xxh64 v49_cap_countjoin
   *   runMain graft.AbBench q124_pq_codes      v124_pq_hof
   *
   * Protocol: one UNTIMED warm run of each side (codegen compilation and
@@ -256,6 +256,51 @@ object AbBench {
   }
 
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The XXH64 production-hash family, demoted from the registry in
+    // r11 (they were the last rows-only CORRECTNESS entries; every
+    // family has a green portable-hash twin — q136, q142, q183/q184,
+    // q189/q190 — and the XXH64 expressions keep their own
+    // codegen==interpreted + brute-force units). Preserved here
+    // verbatim so the production shapes stay one command away from a
+    // measurement: runMain graft.AbBench v49_neardup_xxh64 q183_...
+    "v48_minhash_xxh64" -> ((s, d) =>
+      graft.dedup.NearDup.minhashSignatures(
+          Tables.t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("m0"),
+          element_at(col("sig"), 2).as("m1"),
+          element_at(col("sig"), 3).as("m2"),
+          element_at(col("sig"), 4).as("m3"))),
+    "v49_neardup_xxh64" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      graft.dedup.NearDup.nearDupPairs(docs.unionByName(mutated),
+        "doc_id", "text", threshold = 0.5, k = 64, bands = 16)
+    }),
+    "v50_simhash_xxh64" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      graft.dedup.NearDup.simhashPairsBlocked(
+        graft.dedup.NearDup.simhash(docs.unionByName(mutated),
+          "doc_id", "text"),
+        "doc_id", maxHamming = 7)
+    }),
+    "v51_ann_lsh_xxh64" -> ((s, d) => {
+      val emb = Tables.t(s, d, "embeddings")
+      graft.sim.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, bits = 8, dim = 64, tables = 8)
+    }),
+    "v56_ann_ivf_xxh64" -> ((s, d) => {
+      val emb = Tables.t(s, d, "embeddings")
+      graft.sim.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+    }),
+    "v57_hll_distinct" -> ((s, d) =>
+      Tables.t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(approx_count_distinct("user_id").as("approx_users"))),
     "v176_agg_crossjoin" -> ((s, d) => {
       val e = hitsEdges(s, d)
       hitsAggCrossjoin(e, 2)

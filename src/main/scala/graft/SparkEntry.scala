@@ -821,15 +821,6 @@ object SparkEntry {
     }, Some("""SELECT event_id, user_id, value, c_mktsegment
        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin)),
 
-    ("q57_hll_distinct", (s, d) =>
-      // HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT):
-      // mergeable, fixed memory. Sketches differ across engines, so
-      // the approx column is a rows-only check; the unit suite bounds
-      // the error and q61 oracles the exact half.
-      t(s, d, "events").groupBy(to_date(col("ts")).as("event_date"))
-        .agg(approx_count_distinct("user_id").as("approx_users")),
-      None),
-
     ("q61_exact_distinct_daily", (s, d) =>
       // the exact COUNT(DISTINCT) twin of q57 — oracle-checked, so the
       // sketch query's shape has a hard correctness anchor
@@ -2090,30 +2081,6 @@ object SparkEntry {
       Some("""SELECT min(doc_id) AS keeper_id, count(*) AS group_size
          |FROM documents GROUP BY text""".stripMargin)),
 
-    ("q48_minhash_signatures", (s, d) =>
-      NearDup.minhashSignatures(t(s, d, "documents"), "doc_id", "text")
-        .select(col("doc_id"),
-          element_at(col("sig"), 1).as("m0"), element_at(col("sig"), 2).as("m1"),
-          element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3")),
-      None),
-
-    ("q49_near_dup_pairs", (s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
-      NearDup.nearDupPairs(docs.unionByName(mutated), "doc_id", "text",
-        threshold = 0.5, k = 64, bands = 16)
-    }, None),
-
-    ("q50_simhash_pairs", (s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
-      NearDup.simhashPairsBlocked(
-        NearDup.simhash(docs.unionByName(mutated), "doc_id", "text"),
-        "doc_id", maxHamming = 7)
-    }, None),
-
     ("q137_incremental_dedup", (s, d) => {
       // daily-batch dedup against a PERSISTED signature index: docs with
       // doc_id % 10 == 0 arrive as the new batch; the rest are the
@@ -2361,12 +2328,6 @@ object SparkEntry {
        |JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q ON e.vec_id <> q.vec_id
        |QUALIFY rnk <= 5""".stripMargin)),
 
-    ("q51_ann_lsh_topk", (s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, bits = 8, dim = 64, tables = 8)
-    }, None),
-
     ("q136_ann_lsh_topk_portable", (s, d) => {
       // q51's oracled twin: same SRP-LSH plan (bucket equi-join in any
       // of 8 tables -> exact cosine rank), but every hyperplane sign
@@ -2408,12 +2369,6 @@ object SparkEntry {
        |JOIN embeddings e ON e.vec_id = cand.neighbor_id
        |JOIN embeddings qe ON qe.vec_id = cand.query_id
        |QUALIFY rnk <= 5""".stripMargin)),
-
-    ("q56_ann_ivf_topk", (s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
-    }, None),
 
     ("q47_embedding_norms", (s, d) =>
       t(s, d, "embeddings")
@@ -4977,7 +4932,76 @@ object SparkEntry {
        |SELECT grp,
        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        |  CAST(count(*) AS BIGINT) AS n_rows
-       |FROM cur GROUP BY 1""".stripMargin))
+       |FROM cur GROUP BY 1""".stripMargin)),
+
+    ("q193_gopher_quality", (s, d) =>
+      // Gopher-rule structural quality gate: one codegen'd projection
+      // pass (token count, mean word length, alphabetic-word
+      // fraction, stopword evidence), every ratio an exact integer
+      // ppm so the compare needs no rounding protocol. Thresholds
+      // sized to this corpus (docs are 10-500 tokens of lowercase
+      // words, so length >= 10 and the standard 3..10-char mean
+      // word length separate real rows).
+      graft.text.GopherRules.gopherSignals(t(s, d, "documents"),
+        "doc_id", "text", stopwords, minTokens = 10),
+      Some(s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents),
+         |sg AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(list_reduce(list_prepend(0, list_transform(t,
+         |      x -> len(x))), (a, b) -> a + b) AS BIGINT) AS chars,
+         |  CAST(len(list_filter(t,
+         |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |  CAST(len(list_filter(t, x -> list_contains(
+         |      [${stopwords.map("'" + _ + "'").mkString(", ")}], x)))
+         |    AS BIGINT) AS stop_hits
+         | FROM d)
+         |SELECT doc_id, n_tokens,
+         |  chars * 1000000 // n_tokens AS mean_word_len_ppm,
+         |  alpha * 1000000 // n_tokens AS alpha_word_ppm,
+         |  stop_hits,
+         |  (n_tokens BETWEEN 10 AND 100000
+         |    AND chars * 1000000 // n_tokens
+         |      BETWEEN 3000000 AND 10000000
+         |    AND alpha * 1000000 // n_tokens >= 800000
+         |    AND stop_hits >= 2) AS keep
+         |FROM sg""".stripMargin)),
+
+    ("q194_repetition_filter", (s, d) =>
+      // Gopher-rule repetition gate: most-frequent-bigram share and
+      // duplicated-trigram share per document — doc-keyed n-gram
+      // aggregates (map-side combinable, no windows), exact ppm.
+      // This 40-word synthetic vocabulary repeats heavily, so the
+      // signals take nontrivial values on every row.
+      graft.text.GopherRules.repetitionSignals(t(s, d, "documents"),
+        "doc_id", "text"),
+      Some("""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+         |  FROM documents WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+         |bi AS (
+         |  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1]
+         |    FOR i IN range(1, len(t))]) AS g FROM d),
+         |bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM bi GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS btot
+         |  FROM bc GROUP BY 1),
+         |tri AS (
+         |  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         |    FOR i IN range(1, len(t) - 1)]) AS g FROM d),
+         |tc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM tri GROUP BY 1, 2),
+         |tt AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup,
+         |    CAST(sum(c) AS BIGINT) AS ttot
+         |  FROM tc GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+         |  mx * 1000000 // btot AS top_bigram_ppm,
+         |  dup * 1000000 // ttot AS dup_trigram_ppm,
+         |  (mx * 1000000 // btot <= 200000
+         |    AND dup * 1000000 // ttot <= 300000) AS keep
+         |FROM d JOIN bt USING (doc_id) JOIN tt USING (doc_id)"""
+        .stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -56,6 +56,16 @@ object PageRank {
     val pin = prePartitionEdges.getOrElse(iters >= 3)
     val dedup = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+    // Persists stay LAZY deliberately. Hypothesis tested in r11: the
+    // first job's independent stages (out-degree agg, node build,
+    // first contribution join) race the cold cache and might each
+    // re-run the expensive edge build, so eager `e.count()` +
+    // `nodes.count()` should help. A/B at sf0.1 (eager vs
+    // v145_unpartitioned's lazy shape, 5 interleaved rounds) says NO:
+    // lazy wins 4/5, medians 6.54 s vs 7.10 s — the block manager's
+    // per-partition cache locking already makes concurrent cold reads
+    // compute each partition exactly once, so the counts only add two
+    // full cache scans of overhead.
     val e = (if (pin) dedup.repartition(col("src")) else dedup)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))

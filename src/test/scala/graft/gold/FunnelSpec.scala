@@ -35,6 +35,34 @@ class FunnelSpec extends AnyFunSuite {
     assert(got("purchase") == (1L, 200000L))  // A only
   }
 
+  test("funnel over a user-bucketed events table: no user-key exchange") {
+    // the scaladoc's 100 TB claim, plan-pinned (the Bucketing.scala
+    // discipline): with events bucketed by user, every per-step
+    // filter→join→min-agg stage rides the scan's bucket partitioning
+    // (alias-aware: the userCol→__u rename preserves it, and
+    // hashpartitioning(__u) satisfies the (__u, __t1) clustering as a
+    // subset) — the only exchanges left are the step-count rollup
+    // (rows = #steps) and the 1-row base broadcast.
+    val events = (1L to 400L).flatMap { u =>
+      Seq((u, "view", ts(1)), (u, "click", ts(2))) ++
+        (if (u % 4 == 0) Seq((u, "purchase", ts(3))) else Nil)
+    }.toDF("user_id", "event_type", "ts")
+    graft.maintenance.Bucketing.writeBucketed(events, "bkt_funnel_events",
+      "user_id", buckets = 4)
+    try {
+      val out = Funnel.funnel(spark.table("bkt_funnel_events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      val got = out.as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._3, r._4)).toMap
+      assert(got("view") == (400L, 1000000L))
+      assert(got("click") == (400L, 1000000L))
+      assert(got("purchase") == (100L, 250000L))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(__u"),
+        s"expected no user-key shuffle between funnel stages:\n${plan.take(4000)}")
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_funnel_events")
+  }
+
   test("cohortRetention: exact matrix on a hand fixture") {
     val events = Seq(
       // cohort day 1: users 1,2 — user 1 returns day 2 and 3, user 2
