@@ -3882,6 +3882,48 @@ object SparkEntry {
         .stripMargin
     }),
 
+    ("q195_hits_deep", (s, d) => {
+      // the DEEP HITS strategy (iters >= DeepIters: agg + broadcast
+      // crossJoin totals with a checkpoint per half-round — no
+      // single-partition window anywhere), CORRECTNESS-gated like
+      // q191 does for PageRank's pre-partitioned shape. Graph:
+      // customer→part purchases restricted to the first two lines of
+      // each order, so iteration depth dominates the cheap edge
+      // build. Oracle unrolls all 8 half-rounds with q176's exact
+      // normalization recipe (decimal L1 totals, 6 dp grid).
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem").filter(col("l_linenumber") <= 2),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      graft.operators.Hits.hits(e, "c", "p", iters = 4)
+    }, Some {
+      def half(e: String, in: String, inKey: String, outKey: String,
+               raw: String, out: String) =
+        s"""$raw AS MATERIALIZED (
+           |  SELECT $outKey, ${dsumSql("v.s")} AS s
+           |  FROM $e JOIN $in v USING ($inKey) GROUP BY 1),
+           |$out AS MATERIALIZED (
+           |  SELECT $outKey, round(s * 1000000.0 / t, 6) AS s
+           |  FROM $raw CROSS JOIN
+           |    (SELECT ${dsumSql("s")} AS t FROM $raw) x)"""
+      val rounds = (1 to 4).map { i =>
+        val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+        half("e", hPrev, "c", "p", s"a${i}r", s"a$i") + ",\n" +
+          half("e", s"a$i", "p", "c", s"h${i}r", s"h$i")
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE l_linenumber <= 2),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS s FROM e),
+       |$rounds
+       |SELECT 'hub' AS kind, c AS id, s AS score FROM h4
+       |UNION ALL
+       |SELECT 'authority' AS kind, p AS id, s AS score FROM a4"""
+        .stripMargin
+    }),
+
     ("q178_token_pmi", (s, d) =>
       // pointwise mutual information over within-doc token
       // co-occurrence — the count-based word-association table (the
