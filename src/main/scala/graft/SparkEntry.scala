@@ -5043,7 +5043,100 @@ object SparkEntry {
          |  (mx * 1000000 // btot <= 200000
          |    AND dup * 1000000 // ttot <= 300000) AS keep
          |FROM d JOIN bt USING (doc_id) JOIN tt USING (doc_id)"""
-        .stripMargin))
+        .stripMargin)),
+
+    ("q196_cdc_agg_loop", (s, d) => {
+      // the FULL streaming loop certified by one hash compare:
+      // snapshot drops → cdcSink (diff feed extraction, versioned
+      // snapshot store) → feed relay → aggSink (incremental
+      // materialized view). Three snapshot versions of a keyed orders
+      // subset evolve through inserts, price-bump updates, deletes,
+      // and group-moving updates; the maintained aggregate read back
+      // from disk must equal the from-scratch GROUP BY over the FINAL
+      // snapshot — certifying diff extraction AND fold composition
+      // end-to-end through both sinks' versioned commit paths.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q196_").toString
+      val snapDir = s"$tmp/snaps"; val relayDir = s"$tmp/relay"
+      new java.io.File(snapDir).mkdirs(); new java.io.File(relayDir).mkdirs()
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("g"), col("o_totalprice").as("p"))
+      val s1 = orders.filter(col("k") % 3 === 0)
+      val s2 = orders.filter(col("k") % 3 < 2)
+        .withColumn("p",
+          when(col("k") % 7 === 0, col("p") + 10).otherwise(col("p")))
+      val s3 = s2.filter(col("k") % 5 =!= 0)
+        .withColumn("g",
+          when(col("k") % 11 === 0, lit("1-URGENT")).otherwise(col("g")))
+      def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+        val aside = s"$tmp/stage$n"
+        df.coalesce(1).write.mode("overwrite").parquet(aside)
+        val part = new java.io.File(aside).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$snapDir/b$n.parquet"))
+      }
+      // ship each committed feed batch into the relay dir the agg
+      // stream watches (flat files, ordered by the fences below)
+      def relay(batch: Int): Unit =
+        new java.io.File(s"$tmp/feed/batch=$batch").listFiles()
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, i) =>
+            java.nio.file.Files.copy(f.toPath,
+              java.nio.file.Paths.get(s"$relayDir/b${batch}_$i.parquet"))
+          }
+      stage(s1, 1)
+      val cdc = graft.streaming.Streams.cdcSink(
+        s.readStream.schema(s.read.parquet(s"$snapDir/b1.parquet").schema)
+          .parquet(snapDir),
+        Seq("k"), s"$tmp/snapstore", s"$tmp/feed", s"$tmp/ckpt_cdc")
+      cdc.processAllAvailable()
+      relay(0)
+      val agg = graft.streaming.Streams.aggSink(
+        s.readStream
+          .schema(s.read.parquet(s"$tmp/feed/batch=0").schema)
+          .parquet(relayDir),
+        "g", "p", s"$tmp/agg", s"$tmp/ckpt_agg")
+      agg.processAllAvailable()
+      stage(s2, 2); cdc.processAllAvailable()
+      relay(1); agg.processAllAvailable()
+      stage(s3, 3); cdc.processAllAvailable()
+      relay(2); agg.processAllAvailable()
+      cdc.stop(); agg.stop()
+      graft.streaming.Streams.currentSnapshot(s, s"$tmp/agg")
+        .select(col("g"),
+          col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+    }, Some("""WITH cur AS (
+       |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN '1-URGENT'
+       |      ELSE o_orderpriority END AS g,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+       |      ELSE o_totalprice END AS v
+       |  FROM orders WHERE o_orderkey % 3 < 2 AND o_orderkey % 5 <> 0)
+       |SELECT g,
+       |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       |  CAST(count(*) AS BIGINT) AS n_rows
+       |FROM cur GROUP BY 1""".stripMargin)),
+
+    ("q197_transition_matrix", (s, d) =>
+      // first-order Markov hops over per-user event streams: the
+      // every-path statistic next to q186's one-path funnel. User-key
+      // window (never global), (src,dst)-grid aggregate, exact ppm
+      // row probabilities.
+      graft.operators.Sessionize.transitionMatrix(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq(col("event_id").asc)),
+      Some("""WITH seq AS (
+         |  SELECT event_type AS src_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst_type
+         |  FROM events),
+         |pc AS (
+         |  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS t
+         |  FROM pc GROUP BY 1)
+         |SELECT src_type, dst_type, n, n * 1000000 // t AS prob_ppm
+         |FROM pc JOIN tot USING (src_type)""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -54,4 +54,36 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         graft.Exprs.dsum(col(valueCol)).as("total_value"))
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: `(src_type, dst_type, n, prob_ppm)` where `n` counts
+    * consecutive (event, next-event) pairs within each user's
+    * time-ordered stream and `prob_ppm` is the exact integer-ppm row
+    * probability (`n · 1,000,000 div Σ_dst n`). The behavioral
+    * statistic next to [[graft.gold.Funnel]]: the funnel checks ONE
+    * prescribed path, the transition matrix is every observed hop —
+    * propensity models and anomaly detectors read it directly.
+    *
+    * Scale shape: the lead window partitions BY USER (one shuffle on
+    * the user key, bounded per-user sort — never a global window);
+    * the pair counts are a map-side-combinable aggregate over the
+    * (src, dst) type grid, and the row totals join back by broadcast
+    * (the grid is |types|², never data-sized). `tiebreak` makes each
+    * user's order total so re-runs and the SQL twin agree.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tiebreak: Seq[Column]): DataFrame = {
+    val order = col(tsCol).asc +: tiebreak
+    val w = Window.partitionBy(userCol).orderBy(order: _*)
+    val pairs = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("src_type"), col("__next").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("src_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("src_type"))
+      .select(col("src_type"), col("dst_type"), col("n"),
+        expr("n * 1000000L div __tot").as("prob_ppm"))
+  }
 }

@@ -58,4 +58,37 @@ class SessionizeSpec extends AnyFunSuite {
         Seq(col("event_id").asc)),
       max = 1)
   }
+
+  test("transitionMatrix: hand-counted hops, exact ppm rows") {
+    // user 1: a->b->a->b (hops ab, ba, ab); user 2: a->c; user
+    // boundaries never produce a hop (user 2's c has no successor)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "b"),
+      (2L, 5L, ts("2024-01-01 09:00:00"), "a"),
+      (2L, 6L, ts("2024-01-01 09:01:00"), "c")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.transitionMatrix(ev, "user_id", "ts",
+        "event_type", Seq(col("event_id").asc))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // src a: ab x2 + ac x1 -> 666666 / 333333 ppm (floor division)
+    assert(got(("a", "b")) == ((2L, 666666L)))
+    assert(got(("a", "c")) == ((1L, 333333L)))
+    assert(got(("b", "a")) == ((1L, 1000000L)))
+    assert(got.size == 3)
+  }
+
+  test("transitionMatrix: equal timestamps order by the tiebreak") {
+    val ev = Seq(
+      (1L, 2L, ts("2024-01-01 10:00:00"), "y"),
+      (1L, 1L, ts("2024-01-01 10:00:00"), "x")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.transitionMatrix(ev, "user_id", "ts",
+        "event_type", Seq(col("event_id").asc))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("x", "y", 1L, 1000000L)))
+  }
 }
