@@ -2544,6 +2544,28 @@ object SparkEntry {
          | CAST(doc_id % 30000 - 15000 AS BIGINT) AS mean_amp
          |FROM documents""".stripMargin)),
 
+    ("q198_audio_signal_stats", (s, d) =>
+      // waveform-quality curation stats (peak, exact sum of squares,
+      // zero crossings, clipped count) through the REAL JDK PCM
+      // decode, over square-wave fixtures whose every stat is a pure
+      // function of the id — witnesses the per-sample loop, not just
+      // the container walk (q130's mean would pass on a header-only
+      // stub; the crossings/Σs² cannot)
+      Multimodal.audioSignalStats(
+        Multimodal.encodeTestWavsSquare(
+          t(s, d, "documents").select("doc_id"), "doc_id")).toDF(),
+      Some("""SELECT doc_id AS media_id, TRUE AS ok,
+         | CAST(doc_id % 100 + 20 AS BIGINT) AS n_samples,
+         | CAST(abs((doc_id * 7919) % 40000 - 20000) AS BIGINT) AS peak_amp,
+         | CAST((doc_id % 100 + 20) * ((doc_id * 7919) % 40000 - 20000)
+         |   * ((doc_id * 7919) % 40000 - 20000) AS BIGINT) AS sum_sq,
+         | CAST(CASE WHEN (doc_id * 7919) % 40000 = 20000 THEN 0
+         |   ELSE (doc_id % 100 + 19) // (doc_id % 7 + 2) END AS BIGINT)
+         |   AS zero_crossings,
+         | CAST(CASE WHEN abs((doc_id * 7919) % 40000 - 20000) >= 15000
+         |   THEN doc_id % 100 + 20 ELSE 0 END AS BIGINT) AS clipped
+         |FROM documents""".stripMargin)),
+
     ("q133_mp4_metadata", (s, d) =>
       // video-container metadata WITHOUT a codec: a real ISO-BMFF box
       // walk (ftyp brand, mvhd timescale/duration, tkhd 16.16 dims,

@@ -268,6 +268,104 @@ object Multimodal {
       length(col(binCol)).cast("long").as("media_bytes"),
       ascii(col(binCol).cast("string")).as("head_byte"))
 
+  final case class AudioSignal(media_id: Long, ok: Boolean,
+                               n_samples: Long, peak_amp: Long,
+                               sum_sq: Long, zero_crossings: Long,
+                               clipped: Long)
+
+  /** Waveform QUALITY signals off decoded 16-bit PCM — the audio-
+    * curation stats a TTS/ASR data pipeline gates on: peak amplitude
+    * (silence detection), exact sum of squares (RMS = sqrt(sum_sq/n),
+    * left to the caller so every emitted column stays an exact
+    * integer), sign-flip zero crossings (noise/tone character), and
+    * samples at/above `clipThreshold` (clipping). Same mapPartitions
+    * stage and ok=false degradation contract as [[decodeAudioInfo]];
+    * integer outputs make the whole decode→stats path hash-oracle-able
+    * against id-predictable fixtures ([[encodeTestWavsSquare]]).
+    */
+  def audioSignalStats(df: DataFrame, idCol: String = "media_id",
+                       binCol: String = "media",
+                       clipThreshold: Int = 15000): Dataset[AudioSignal] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val bad = (id: Long) => AudioSignal(id, ok = false, 0L, 0L, 0L, 0L, 0L)
+        rows.map { case (id, bytes) =>
+          if (bytes == null || bytes.length == 0) bad(id)
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val pcm16 =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+            if (!pcm16) bad(id)
+            else {
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              var peak = 0L; var ss = 0L; var zc = 0L; var clip = 0L
+              var prev = 0
+              var i = 0
+              while (i < n) {
+                val s: Int =
+                  ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toInt
+                val a = math.abs(s).toLong
+                if (a > peak) peak = a
+                ss += a * a
+                if (a >= clipThreshold) clip += 1
+                if (i > 0 && s != 0 && prev != 0 && (s < 0) != (prev < 0))
+                  zc += 1
+                prev = s
+                i += 1
+              }
+              AudioSignal(id, ok = true, n.toLong, peak, ss, zc, clip)
+            }
+          } catch { case _: Exception => bad(id) }
+        }
+      }
+  }
+
+  /** Square-wave WAV fixtures, every stat a pure function of the id:
+    * `n = id%100+20` mono 16-bit 8 kHz samples of amplitude
+    * `A = (id·7919)%40000 − 20000` flipping sign every
+    * `P = id%7+2` samples. So peak = |A|, sum_sq = n·A²,
+    * zero_crossings = (n−1) div P (0 when A = 0), and with threshold
+    * T every sample clips iff |A| ≥ T. The audio twin of the
+    * [[encodeTestWavs]] constant-amplitude fixture, with enough
+    * waveform structure to witness the per-sample loop.
+    */
+  def encodeTestWavsSquare(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        ids.map { id =>
+          val frames = (id % 100 + 20).toInt
+          val amp = ((id * 7919) % 40000 - 20000).toShort
+          val period = (id % 7 + 2).toInt
+          val data = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            val s: Short =
+              if ((i / period) % 2 == 0) amp else (-amp).toShort
+            data(2 * i) = (s & 0xFF).toByte
+            data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("media_id", "media")
+  }
+
   /** Deterministic frame sampling plan for video-ish payloads: every
     * `stride`-th offset up to `maxFrames` — the partition/batch shape a
     * real frame sampler would use.

@@ -92,6 +92,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 3 && out.forall(r => !r.ok && r.n_frames == 0L))
   }
 
+  test("audioSignalStats: square-wave fixtures match the closed forms") {
+    val ids = Seq(23L, 40L, 157L).toDF("doc_id")
+    val got = Multimodal.audioSignalStats(
+        Multimodal.encodeTestWavsSquare(ids, "doc_id"))
+      .collect().map(a => a.media_id -> a).toMap
+    for (id <- Seq(23L, 40L, 157L)) {
+      val n = id % 100 + 20
+      val amp = (id * 7919) % 40000 - 20000
+      val p = id % 7 + 2
+      val a = got(id)
+      assert(a.ok && a.n_samples == n)
+      assert(a.peak_amp == math.abs(amp))
+      assert(a.sum_sq == n * amp * amp)
+      assert(a.zero_crossings == (if (amp == 0) 0L else (n - 1) / p))
+      assert(a.clipped == (if (math.abs(amp) >= 15000) n else 0L))
+    }
+  }
+
+  test("audioSignalStats degrades corrupt payloads to ok=false") {
+    val df = Seq((9L, Array[Byte](1, 2, 3)), (10L, Array.empty[Byte]))
+      .toDF("media_id", "media")
+    val got = Multimodal.audioSignalStats(df).collect()
+      .map(a => a.media_id -> a.ok).toMap
+    assert(got == Map(9L -> false, 10L -> false))
+  }
+
   test("mediaStats reads bytes declaratively") {
     val out = Multimodal.mediaStats(media, "media_id", "media")
       .orderBy("media_id").collect()
