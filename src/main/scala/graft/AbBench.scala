@@ -255,7 +255,77 @@ object AbBench {
     out
   }
 
+  /** q174's pre-r11 body: sorted-neighborhood positions from a global
+    * single-partition row_number (superseded by the keyed distributed
+    * rank in Linkage.sortedNeighborhoodPairs).
+    */
+  private def sortedNeighborhoodWindow(left: DataFrame, right: DataFrame,
+                                       lCol: String, rCol: String,
+                                       windowSize: Int, minJw: Double)
+      : DataFrame = {
+    val uni = left.select(col(lCol).as("value"), lit("L").as("src"))
+      .unionByName(right.select(col(rCol).as("value"), lit("R").as("src")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("value").asc, col("src").asc)))
+    val offs = uni.select(col("value").as("v1"), col("src").as("s1"),
+        col("__rn"),
+        explode(sequence(lit(1), lit(windowSize - 1))).as("__o"))
+      .select(col("v1"), col("s1"), (col("__rn") + col("__o")).as("__rn2"))
+    offs.join(uni.select(col("value").as("v2"), col("src").as("s2"),
+        col("__rn").as("__rn2")), Seq("__rn2"))
+      .filter(col("s1") =!= col("s2"))
+      .select(
+        when(col("s1") === "L", col("v1")).otherwise(col("v2")).as("query"),
+        when(col("s1") === "L", col("v2")).otherwise(col("v1")).as("matched"))
+      .withColumn("jw",
+        round(graft.functions.JaroWinkler.of(col("query"), col("matched")), 9))
+      .filter(col("jw") >= lit(minJw))
+      .distinct()
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The r10 global-window formulations of the three sites rewired
+    // onto operators/Ranks in r11 — preserved so the rewiring's local
+    // cost/benefit stays one interleaved command away:
+    //   AbBench q155_dsir_selection v155_window_topk
+    //   AbBench q164_surprisal_decile_filter v164_window_decile
+    //   AbBench q174_sorted_neighborhood v174_window_positions
+    "v155_window_topk" -> ((s, d) => {
+      val (scored, tfOpt) = graft.text.Vocab.dsirScoredTable(
+        Tables.t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 1021, persistInput = true)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dsir_score").desc, col("doc_id").asc)
+      val res = scored.withColumn("selected",
+          (row_number().over(w) <= 100).cast("boolean"))
+        .localCheckpoint(true)
+      tfOpt.foreach(_.unpersist())
+      res
+    }),
+    "v164_window_decile" -> ((s, d) => {
+      val per = graft.text.Vocab.unigramSurprisal(
+          Tables.t(s, d, "documents"), "doc_id", "text")
+        .withColumn("mean_surprisal",
+          col("total_surprisal") / col("n_tokens"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val ranked = per.withColumn("__n", count(lit(1)).over(all))
+        .withColumn("decile", lit(1L) +
+          expr("10L * (row_number() over (order by mean_surprisal asc, " +
+            "doc_id asc) - 1) div __n"))
+      ranked.select(col("doc_id"), col("n_tokens"), col("total_surprisal"),
+        col("mean_surprisal"), col("decile"),
+        (col("decile") <= lit(9L)).as("keep"))
+    }),
+    "v174_window_positions" -> ((s, d) => {
+      val words = Tables.t(s, d, "documents")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+        .distinct()
+      val dirty = words.filter(length(col("w")) >= 3)
+        .select(concat(substring(col("w"), 1, 1), expr("substring(w, 3)"))
+          .as("q")).distinct()
+      sortedNeighborhoodWindow(dirty, words, "q", "w", 4, 0.6)
+    }),
     // The XXH64 production-hash family, demoted from the registry in
     // r11 (they were the last rows-only CORRECTNESS entries; every
     // family has a green portable-hash twin — q136, q142, q183/q184,

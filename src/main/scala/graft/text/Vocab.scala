@@ -497,6 +497,39 @@ object Vocab {
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
                 isTarget: Column, buckets: Int = 1021,
                 topK: Int = 100, persistInput: Boolean = true): DataFrame = {
+    val (scored, tfOpt) =
+      dsirScoredTable(df, idCol, textCol, isTarget, buckets, persistInput)
+    // Top-K via the distributed exact-rank operator, not a global
+    // row_number window: on a trillion-doc corpus the per-document
+    // score table IS fact-sized and a no-partition window funnels it
+    // through one task. Ranks reads its input three times (cuts /
+    // bucket counts / ranked join), so the scored frame — itself a
+    // join+agg chain — is eagerly checkpointed first (the operator's
+    // documented caller contract); that checkpoint also replaces the
+    // old post-window one, so the call count is unchanged.
+    // Interleaved A/B vs the superseded window shape
+    // (`AbBench q155_dsir_selection v155_window_topk`): see COVERAGE.
+    val scoredM =
+      if (persistInput) scored.localCheckpoint(true) else scored
+    val res = graft.operators.Ranks
+      .rowNumber(scoredM, "dsir_score", ascending = false,
+        tiebreaks = Seq(idCol), out = "__rnk")
+      .withColumn("selected", (col("__rnk") <= topK).cast("boolean"))
+      .drop("__rnk")
+    tfOpt.foreach(_.unpersist())
+    res
+  }
+
+  /** The per-document `(idCol, n_tokens, dsir_score)` table, selection
+    * left to the caller — package-private so AbBench can pin the
+    * superseded window top-k against [[dsirScore]]'s distributed rank.
+    * Returns the persisted `tf` intermediate (if any) for the caller
+    * to unpersist AFTER materializing its selection.
+    */
+  private[graft] def dsirScoredTable(df: DataFrame, idCol: String,
+                                     textCol: String, isTarget: Column,
+                                     buckets: Int, persistInput: Boolean)
+      : (DataFrame, Option[DataFrame]) = {
     // buckets should be PRIME (default 1021): the bucket hash's last
     // round is multiplicative, and an odd multiplier is a bijection of
     // the low k bits, so a 2^k modulus keeps only the rolling hash's
@@ -550,22 +583,6 @@ object Vocab {
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("n_tokens"),
         graft.Exprs.dsum(col("n") * col("__w")).as("dsir_score"))
-
-    // Top-K via the distributed exact-rank operator, not a global
-    // row_number window: on a trillion-doc corpus the per-document
-    // score table IS fact-sized and a no-partition window funnels it
-    // through one task. Ranks reads its input three times (cuts /
-    // bucket counts / ranked join), so the scored frame — itself a
-    // join+agg chain — is eagerly checkpointed first (the operator's
-    // documented caller contract); that checkpoint also replaces the
-    // old post-window one, so the call count is unchanged.
-    val scoredM =
-      if (persistInput) scored.localCheckpoint(true) else scored
-    val res = graft.operators.Ranks
-      .rowNumber(scoredM, "dsir_score", ascending = false,
-        tiebreaks = Seq(idCol), out = "__rnk")
-      .withColumn("selected", (col("__rnk") <= topK).cast("boolean"))
-      .drop("__rnk")
-    if (persistInput) { tf.unpersist(); res } else res
+    (scored, if (persistInput) Some(tf) else None)
   }
 }
