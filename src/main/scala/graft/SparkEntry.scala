@@ -2474,6 +2474,64 @@ object SparkEntry {
        |FROM u a JOIN u b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""".stripMargin)),
 
+    ("q200_golden_record", (s, d) => {
+      // MDM field-level survivorship: three feed versions of the
+      // customer dimension — a full load, then a PARTIAL Feb feed
+      // (every 3rd key: new segment + balance, name missing) and a
+      // PARTIAL Mar feed (every 5th key: new name, segment/balance
+      // missing). Each golden field independently takes its newest
+      // non-null value, so sparse feeds enrich instead of erase —
+      // the semantics row-level keep-latest (q02) cannot express.
+      val c = t(s, d, "customer")
+      val v1 = c.select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_mktsegment").as("segment"),
+          col("c_acctbal").cast("double").as("balance"))
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val v2 = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"),
+          lit(null).cast("string").as("name"),
+          lit("UPDATED").as("segment"),
+          (col("c_acctbal") + 100).cast("double").as("balance"))
+        .withColumn("ts", lit("2024-02-01 00:00:00").cast("timestamp"))
+      val v3 = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(lit("v3-"), col("c_name")).as("name"),
+          lit(null).cast("string").as("segment"),
+          lit(null).cast("double").as("balance"))
+        .withColumn("ts", lit("2024-03-01 00:00:00").cast("timestamp"))
+      graft.operators.Dedup.goldenRecord(
+        v1.unionByName(v2).unionByName(v3),
+        "k", Seq("name", "segment", "balance"), "ts",
+        tiebreaks = Seq("k"))
+    }, Some("""SELECT c_custkey AS k,
+       |  CASE WHEN c_custkey % 5 = 0 THEN 'v3-' || c_name
+       |    ELSE c_name END AS name,
+       |  CASE WHEN c_custkey % 3 = 0 THEN 'UPDATED'
+       |    ELSE c_mktsegment END AS segment,
+       |  CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+       |    ELSE c_acctbal END AS DOUBLE) AS balance,
+       |  CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-03-01'
+       |    WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2024-02-01'
+       |    ELSE TIMESTAMP '2024-01-01' END AS last_seen
+       |FROM customer""".stripMargin)),
+
+    ("q199_semantic_decontamination", (s, d) => {
+      // embedding-space decontamination: eval set = scaled copies of
+      // every 20th corpus vector (cosine exactly 1 to their source —
+      // guaranteed leakage the exact-fingerprint anti join of q65
+      // cannot see once text is paraphrased); the operator must drop
+      // exactly those sources and nothing else (brute-force-verified:
+      // zero natural cross pairs ≥ 0.999 in this corpus at both
+      // verify scales). 16-bit buckets as in q54.
+      val emb = t(s, d, "embeddings").select("vec_id", "label", "embedding")
+      val evalSet = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Similarity.semanticDecontaminate(emb, evalSet, "vec_id", "embedding",
+          threshold = 0.999, bits = 16, dim = 64, tables = 8)
+        .select("vec_id", "label")
+    }, Some("SELECT vec_id, label FROM embeddings WHERE vec_id % 20 <> 0")),
+
     // === LLM-pipeline: multimodal plumbing ==============================
 
     ("q46_multimodal_stats", (s, d) =>

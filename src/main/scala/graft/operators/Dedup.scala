@@ -111,4 +111,28 @@ object Dedup {
     keepFirstBy(df.withColumn(h, contentHash(contentCols)), Seq(h),
       Seq(col(idCol).asc)).drop(h)
   }
+
+  /** FIELD-level survivorship — the MDM "golden record" merge that
+    * row-level keep-latest cannot express: one output row per key
+    * where EACH attribute independently takes its most recent
+    * NON-NULL value (ordered by `(tsCol, tiebreaks)` descending). A
+    * newer partial record updates the fields it carries and leaves
+    * the rest to older versions, so sparse feeds enrich instead of
+    * erase. `last_seen` carries the key's newest timestamp.
+    *
+    * Shape: ONE map-side-combinable aggregate on the key — each
+    * attribute is a `max_by(attr, ordering-key-if-non-null)` whose
+    * null ordering keys make null attributes invisible to the max;
+    * no window, no self-join, one shuffle at any scale. Determinism:
+    * `tiebreaks` must make the per-key order total (the keep-latest
+    * rule of this module).
+    */
+  def goldenRecord(df: DataFrame, keyCol: String, attrCols: Seq[String],
+                   tsCol: String, tiebreaks: Seq[String]): DataFrame = {
+    val ord = struct((col(tsCol) +: tiebreaks.map(col)): _*)
+    val aggs = attrCols.map(a =>
+      max_by(col(a), when(col(a).isNotNull, ord)).as(a)) :+
+      max(col(tsCol)).as("last_seen")
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -222,6 +222,50 @@ object Similarity {
     out
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[graft.text.CorpusClean.decontaminate]]'s exact-fingerprint anti
+    * join: drop every TRAIN row whose vector matches ANY eval-set
+    * vector at cosine ≥ `threshold` (paraphrased or re-formatted
+    * benchmark leakage that exact hashes cannot see). Candidates come
+    * from shared SRP-LSH buckets in any of the `tables` hash tables;
+    * an exact cosine verify then gates the flag, and the final step is
+    * a broadcast-able anti join on the train key.
+    *
+    * Scale shape: the eval SIDE is an eval suite — thousands of rows
+    * against billions of train rows — so its keyed signatures
+    * broadcast and the train corpus is scanned once, shuffling
+    * nothing (candidate filter + anti-join flag set both ride
+    * broadcasts). Hot-bucket note: bipartite candidates are bounded
+    * by |train ∩ bucket| × |eval ∩ bucket| ≤ |train| · |eval|, the
+    * brute bound — the self-join N² hazard does not exist here (same
+    * argument as [[lshTopK]]).
+    *
+    * Recall contract: a pair at cosine 1−ε disagrees on a sign bit
+    * with probability ∝ ε per plane, so true contamination (near-
+    * identical directions) collides in every table; the miss
+    * probability at the `threshold` ≈ 1 regime is the q54 argument.
+    * Thresholds far below 1 lower LSH recall — compose with
+    * [[bruteTopK]] when the eval set is small enough to brute-force.
+    */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double, bits: Int = 8,
+                            dim: Int = 64, tables: Int = 8): DataFrame = {
+    val t = train.select(col(idCol).as("__tid"), toDouble(col(vecCol)).as("tv"))
+      .select(col("__tid"), col("tv"),
+        explode(lshKeys(col("tv"), bits, dim, tables, -1L)).as("key"))
+    val e = evalSet.select(toDouble(col(vecCol)).as("ev"))
+      .select(col("ev"),
+        explode(lshKeys(col("ev"), bits, dim, tables, -1L)).as("key"))
+    val flagged = t.join(broadcast(e), Seq("key"))
+      .filter(cosine(col("tv"), col("ev")) >= lit(threshold))
+      .select(col("__tid").as(idCol)).distinct()
+    // the flag set is the CONTAMINATED subset — typically tiny, and
+    // AQE broadcasts it at runtime; no explicit hint, so a
+    // mass-contaminated corpus degrades to a shuffle, never an OOM
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Approximate top-k: candidates share an LSH bucket with the query in
     * any of the hash tables, then exact cosine ranks them. The query
     * side is broadcast; the corpus is scanned once and shuffles only the

@@ -82,4 +82,26 @@ class DedupSpec extends AnyFunSuite {
     assert(run(rows.reverse) == base)
     assert(run(scala.util.Random.shuffle(rows)) == base)
   }
+  test("goldenRecord: each field survives independently from its newest non-null") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-$m%02d-01 00:00:00")
+    val feed = Seq(
+      // key 1: full v1; partial v2 nulls phone, updates seg
+      (1L, "p1", "s1", ts(1)),
+      (1L, null, "s2", ts(2)),
+      // key 2: newest has the phone, seg only in the oldest
+      (2L, null, "sA", ts(1)),
+      (2L, "p2", null, ts(3)),
+      // key 3: all-null attribute stays null
+      (3L, null, null, ts(1))
+    ).toDF("k", "phone", "seg", "ts")
+    val got = Dedup.goldenRecord(feed, "k", Seq("phone", "seg"), "ts",
+        tiebreaks = Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getTimestamp(3)))).toMap
+    assert(got(1L) == (("p1", "s2", ts(2))))
+    assert(got(2L) == (("p2", "sA", ts(3))))
+    assert(got(3L) == ((null, null, ts(1))))
+    assert(got.size == 3)
+  }
 }

@@ -15,6 +15,24 @@ class SimilaritySpec extends AnyFunSuite {
     (4L, Array(0.7f, 0.7f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("semanticDecontaminate drops direction-matched train rows only") {
+    // eval matches vec 1's direction (scaled) -> 1 AND 2 are leakage
+    // (identical direction); 3 orthogonal and 4 diagonal survive
+    val evalSet = Seq((100L, Array(3.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(emb, evalSet, "vec_id",
+        "embedding", threshold = 0.999, bits = 8, dim = 4, tables = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // an eval set matching nothing leaves the corpus untouched
+    val none = Seq((100L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val all = Similarity.semanticDecontaminate(emb, none, "vec_id",
+        "embedding", threshold = 0.999, bits = 8, dim = 4, tables = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+  }
+
   test("bruteTopK ranks by exact cosine with deterministic tiebreak") {
     val out = Similarity.bruteTopK(emb, emb.filter($"vec_id" === 1), "vec_id",
         "embedding", 3)
