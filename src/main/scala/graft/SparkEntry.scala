@@ -222,6 +222,18 @@ object SparkEntry {
        |SELECT id, round(r, 9) AS rank FROM r$iters""".stripMargin
   }
 
+  /** Best-effort recursive delete of a streaming query's temp root —
+    * called AFTER the result is eagerly checkpointed off the files,
+    * so the suite never accumulates per-run orders-table copies.
+    */
+  private def deleteRecursively(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    try go(new java.io.File(path)) catch { case _: Exception => () }
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is", "it")
 
   /** Oracle fragment: per-language marker-hit scores from `documents`
@@ -2487,22 +2499,27 @@ object SparkEntry {
           col("c_name").as("name"), col("c_mktsegment").as("segment"),
           col("c_acctbal").cast("double").as("balance"))
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("feed_no", lit(1L))
       val v2 = c.filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey").as("k"),
           lit(null).cast("string").as("name"),
           lit("UPDATED").as("segment"),
           (col("c_acctbal") + 100).cast("double").as("balance"))
         .withColumn("ts", lit("2024-02-01 00:00:00").cast("timestamp"))
+        .withColumn("feed_no", lit(2L))
       val v3 = c.filter(col("c_custkey") % 5 === 0)
         .select(col("c_custkey").as("k"),
           concat(lit("v3-"), col("c_name")).as("name"),
           lit(null).cast("string").as("segment"),
           lit(null).cast("double").as("balance"))
         .withColumn("ts", lit("2024-03-01 00:00:00").cast("timestamp"))
+        .withColumn("feed_no", lit(3L))
       graft.operators.Dedup.goldenRecord(
         v1.unionByName(v2).unionByName(v3),
+        // feed_no is a REAL tiebreak (k is constant within a group):
+        // two versions landing on one timestamp still order totally
         "k", Seq("name", "segment", "balance"), "ts",
-        tiebreaks = Seq("k"))
+        tiebreaks = Seq("feed_no"))
     }, Some("""SELECT c_custkey AS k,
        |  CASE WHEN c_custkey % 5 = 0 THEN 'v3-' || c_name
        |    ELSE c_name END AS name,
@@ -3066,32 +3083,10 @@ object SparkEntry {
           Seq("k"))
         .filter(col("src") =!= col("dst"))
       graft.operators.PageRank.pageRank(e, "src", "dst", iters = 2)
-    }, Some("""WITH e0 AS (
-       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-       |   AND a.l_partkey <> b.l_partkey),
-       |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
-       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
-       |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od
-       |  FROM e0 GROUP BY 1),
-       |r0 AS (SELECT id, 1.0 / nn AS r FROM nodes CROSS JOIN n),
-       |c1 AS (
-       |  SELECT e.dst AS id,
-       |    CAST(sum(CAST(r.r / o.od AS DECIMAL(30,15))) AS DOUBLE) AS m
-       |  FROM e0 e JOIN r0 r ON r.id = e.src JOIN outd o ON o.src = e.src
-       |  GROUP BY 1),
-       |r1 AS (
-       |  SELECT nd.id, (1.0 - 0.85) / nn + 0.85 * coalesce(c1.m, 0.0) AS r
-       |  FROM nodes nd CROSS JOIN n LEFT JOIN c1 ON c1.id = nd.id),
-       |c2 AS (
-       |  SELECT e.dst AS id,
-       |    CAST(sum(CAST(r.r / o.od AS DECIMAL(30,15))) AS DOUBLE) AS m
-       |  FROM e0 e JOIN r1 r ON r.id = e.src JOIN outd o ON o.src = e.src
-       |  GROUP BY 1),
-       |r2 AS (
-       |  SELECT nd.id, (1.0 - 0.85) / nn + 0.85 * coalesce(c2.m, 0.0) AS r
-       |  FROM nodes nd CROSS JOIN n LEFT JOIN c2 ON c2.id = nd.id)
-       |SELECT id, round(r, 9) AS rank FROM r2""".stripMargin)),
+    }, Some(pageRankChainSql(2,
+      """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey""".stripMargin))),
 
     ("q146_histogram_quantiles", (s, d) =>
       // fixed-state approximate percentiles: 128-bin equi-width
@@ -5038,13 +5033,21 @@ object SparkEntry {
         s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
           .parquet(feedDir),
         "grp", "v", s"$tmp/agg", s"$tmp/ckpt")
-      sq.processAllAvailable()
-      stage(b2, 2); sq.processAllAvailable()
-      stage(b3, 3); sq.processAllAvailable()
-      sq.stop()
-      graft.streaming.Streams.currentSnapshot(s, s"$tmp/agg")
+      // stop on EVERY exit path: an orphaned StreamingQuery in the
+      // shared session would pollute every later suite query; the
+      // result is checkpointed off the temp files so the whole root
+      // can be deleted before returning
+      try {
+        sq.processAllAvailable()
+        stage(b2, 2); sq.processAllAvailable()
+        stage(b3, 3); sq.processAllAvailable()
+      } finally sq.stop()
+      val res = graft.streaming.Streams.currentSnapshot(s, s"$tmp/agg")
         .select(col("grp"),
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      res
     }, Some("""WITH cur AS (
        |  SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 = 0
        |      THEN '1-URGENT' ELSE o_orderpriority END AS grp,
@@ -5171,22 +5174,33 @@ object SparkEntry {
         s.readStream.schema(s.read.parquet(s"$snapDir/b1.parquet").schema)
           .parquet(snapDir),
         Seq("k"), s"$tmp/snapstore", s"$tmp/feed", s"$tmp/ckpt_cdc")
-      cdc.processAllAvailable()
-      relay(0)
-      val agg = graft.streaming.Streams.aggSink(
-        s.readStream
-          .schema(s.read.parquet(s"$tmp/feed/batch=0").schema)
-          .parquet(relayDir),
-        "g", "p", s"$tmp/agg", s"$tmp/ckpt_agg")
-      agg.processAllAvailable()
-      stage(s2, 2); cdc.processAllAvailable()
-      relay(1); agg.processAllAvailable()
-      stage(s3, 3); cdc.processAllAvailable()
-      relay(2); agg.processAllAvailable()
-      cdc.stop(); agg.stop()
-      graft.streaming.Streams.currentSnapshot(s, s"$tmp/agg")
+      // both queries stop on EVERY exit path (orphaned streams would
+      // pollute the shared suite session); result checkpointed off
+      // the temp files so the root can be deleted before returning
+      var agg: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        cdc.processAllAvailable()
+        relay(0)
+        agg = graft.streaming.Streams.aggSink(
+          s.readStream
+            .schema(s.read.parquet(s"$tmp/feed/batch=0").schema)
+            .parquet(relayDir),
+          "g", "p", s"$tmp/agg", s"$tmp/ckpt_agg")
+        agg.processAllAvailable()
+        stage(s2, 2); cdc.processAllAvailable()
+        relay(1); agg.processAllAvailable()
+        stage(s3, 3); cdc.processAllAvailable()
+        relay(2); agg.processAllAvailable()
+      } finally {
+        cdc.stop()
+        if (agg != null) agg.stop()
+      }
+      val res = graft.streaming.Streams.currentSnapshot(s, s"$tmp/agg")
         .select(col("g"),
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      res
     }, Some("""WITH cur AS (
        |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN '1-URGENT'
        |      ELSE o_orderpriority END AS g,

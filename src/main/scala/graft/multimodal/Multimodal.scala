@@ -306,7 +306,11 @@ object Multimodal {
               val data = ais.readAllBytes()
               val n = data.length / 2
               var peak = 0L; var ss = 0L; var zc = 0L; var clip = 0L
-              var prev = 0
+              // crossings compare against the LAST NON-ZERO sample:
+              // +A, 0, -A is one crossing (the conventional
+              // definition) — tracking the raw predecessor would let
+              // silence between the signs hide it
+              var lastNz = 0
               var i = 0
               while (i < n) {
                 val s: Int =
@@ -315,9 +319,10 @@ object Multimodal {
                 if (a > peak) peak = a
                 ss += a * a
                 if (a >= clipThreshold) clip += 1
-                if (i > 0 && s != 0 && prev != 0 && (s < 0) != (prev < 0))
-                  zc += 1
-                prev = s
+                if (s != 0) {
+                  if (lastNz != 0 && (s < 0) != (lastNz < 0)) zc += 1
+                  lastNz = s
+                }
                 i += 1
               }
               AudioSignal(id, ok = true, n.toLong, peak, ss, zc, clip)

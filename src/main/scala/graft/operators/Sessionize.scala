@@ -80,9 +80,15 @@ object Sessionize {
       .filter(col("__next").isNotNull)
       .groupBy(col(typeCol).as("src_type"), col("__next").as("dst_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("src_type"))
-      .agg(sum(col("n")).as("__tot"))
-    pairs.join(broadcast(totals), Seq("src_type"))
+    // row totals via a window over the |types|²-row GRID, partitioned
+    // by src_type — a separate totals aggregate + join would put the
+    // whole fact-table lead-window subtree under a broadcast build
+    // side, where exchange reuse is unreliable, and scan the corpus
+    // twice; the grid window reads the pairs once and is bounded by
+    // the type vocabulary, never the data
+    pairs
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(col("src_type"))))
       .select(col("src_type"), col("dst_type"), col("n"),
         expr("n * 1000000L div __tot").as("prob_ppm"))
   }

@@ -98,10 +98,12 @@ object GopherRules {
       .groupBy(col(idCol))
       .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
         .as("__dup"), sum(col("c")).as("__ttot"))
-    toks.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
-      .join(bt, Seq(idCol))
-      .join(tt, Seq(idCol))
-      .select(col(idCol), col("n_tokens"),
+    // n_tokens = bigram instances + 1 (every kept doc has >= 3
+    // tokens), so the token count rides the bigram aggregate for
+    // free — no third tokenize pass over the corpus and no extra
+    // join leg; the two n-gram passes are the only corpus scans.
+    bt.join(tt, Seq(idCol))
+      .select(col(idCol), (col("__btot") + 1L).as("n_tokens"),
         expr("__mx * 1000000L div __btot").as("top_bigram_ppm"),
         expr("__dup * 1000000L div __ttot").as("dup_trigram_ppm"))
       .withColumn("keep",

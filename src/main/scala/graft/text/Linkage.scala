@@ -83,10 +83,18 @@ object Linkage {
                               windowSize: Int = 4,
                               minJw: Double = 0.8): DataFrame = {
     require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
-    val uni = graft.operators.Ranks.rowNumberKeyed(
-        left.select(col(lCol).as("value"), lit("L").as("src"))
-          .unionByName(
-            right.select(col(rCol).as("value"), lit("R").as("src"))),
+    // Two eager checkpoints, each earning its barrier: the UNION
+    // universe feeds Ranks' three internal reads (cuts sketch, bucket
+    // counts, ranked join — the operator's caller contract; in q174
+    // it is two distinct()s over exploded per-document tokens, so
+    // re-deriving it 3× dominated the first wiring), and the RANKED
+    // universe feeds both the offset explode and the position join —
+    // checkpointing it also guarantees one consistent numbering
+    // across those two references.
+    val uni0 = left.select(col(lCol).as("value"), lit("L").as("src"))
+      .unionByName(right.select(col(rCol).as("value"), lit("R").as("src")))
+      .localCheckpoint(true)
+    val uni = graft.operators.Ranks.rowNumberKeyed(uni0,
         graft.operators.Ranks.stringPrefixKey(col("value")),
         Seq(col("value").asc, col("src").asc), out = "__rn")
       .localCheckpoint(true)

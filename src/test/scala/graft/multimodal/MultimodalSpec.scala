@@ -110,6 +110,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioSignalStats counts a crossing across intervening silence") {
+    // +500, 0, -500: one crossing under the last-non-zero-sign
+    // definition (a raw-predecessor compare would report zero)
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, wav(Seq[Short](500, 0, -500))),
+      (2L, wav(Seq[Short](500, 0, 500)))   // same sign resumes: none
+    ).toDF("media_id", "media")
+    val got = Multimodal.audioSignalStats(df).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(got(1L).zero_crossings == 1L && got(1L).peak_amp == 500L)
+    assert(got(1L).sum_sq == 500L * 500 * 2)
+    assert(got(2L).zero_crossings == 0L)
+  }
+
   test("audioSignalStats degrades corrupt payloads to ok=false") {
     val df = Seq((9L, Array[Byte](1, 2, 3)), (10L, Array.empty[Byte]))
       .toDF("media_id", "media")
