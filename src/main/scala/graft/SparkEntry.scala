@@ -2486,6 +2486,42 @@ object SparkEntry {
        |FROM u a JOIN u b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""".stripMargin)),
 
+    ("q201_mixture_schedule", (s, d) =>
+      // the published mixing table of a training recipe: per-language
+      // token counts from the corpus, target weights, a 1M-token
+      // budget — emits exact-integer target tokens and epochs (ppm;
+      // >1e6 = upsampled source, the regime q79's row-level
+      // downsampling cannot express)
+      graft.operators.Sample.mixtureSchedule(
+        t(s, d, "documents")
+          .groupBy(col("lang").as("source"))
+          .agg(sum(graft.text.TextOps.tokenCount(col("text")))
+            .as("n_tokens")),
+        "source", "n_tokens",
+        weights = Map("en" -> 0.6, "fr" -> 0.25, "de" -> 0.15),
+        budgetTokens = 1000000L),
+      Some("""WITH tc AS (
+         |  SELECT lang AS source,
+         |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES
+         |  ('en', CAST(0.6 AS DECIMAL(18,6))),
+         |  ('fr', CAST(0.25 AS DECIMAL(18,6))),
+         |  ('de', CAST(0.15 AS DECIMAL(18,6)))) t(source, w)),
+         |j AS (SELECT tc.source, n_tokens, w,
+         |    sum(w) OVER () AS sumw
+         |  FROM tc JOIN w USING (source)),
+         |p AS (SELECT source, n_tokens,
+         |    CAST(floor(1000000 * (CAST(w AS DOUBLE) / CAST(sumw AS DOUBLE)))
+         |      AS BIGINT) AS weight_ppm
+         |  FROM j)
+         |SELECT source, n_tokens, weight_ppm,
+         |  1000000 * weight_ppm // 1000000 AS target_tokens,
+         |  (1000000 * weight_ppm // 1000000) * 1000000 // n_tokens
+         |    AS epochs_ppm
+         |FROM p""".stripMargin)),
+
     ("q200_golden_record", (s, d) => {
       // MDM field-level survivorship: three feed versions of the
       // customer dimension — a full load, then a PARTIAL Feb feed

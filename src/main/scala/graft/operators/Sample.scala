@@ -263,4 +263,44 @@ object Sample {
       .filter(bucketPpm(col(idCol), seed) < col("__ppm"))
       .drop("__ppm")
   }
+
+  /** The PLANNING face of domain mixing — the per-source epoch table
+    * an LLM training recipe publishes (how many tokens, and how many
+    * passes over each source, to realize target weights within a
+    * token budget): `(source, n_tokens, weight_ppm, target_tokens,
+    * epochs_ppm)` where `epochs_ppm > 1,000,000` means the source is
+    * UPSAMPLED (multiple epochs) — the regime [[mixtureSample]]'s
+    * row-level downsampling cannot express. Weights are normalized
+    * over the sources present in BOTH the counts and the map
+    * (missing-weight sources are dropped, the mixtureSample rule).
+    *
+    * Determinism: weights sum in exact DECIMAL (double summation is
+    * order-dependent), the one normalization is a single IEEE
+    * division of identical operands, and everything downstream of the
+    * floored `weight_ppm` is pure integer arithmetic — the schedule
+    * hash-compares across engines. The no-partition sum window runs
+    * over the SOURCE table (rows = domain vocabulary, never data).
+    */
+  def mixtureSchedule(tokenCounts: DataFrame, sourceCol: String,
+                      tokensCol: String, weights: Map[String, Double],
+                      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val spark = tokenCounts.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(sourceCol, "__w")
+      .select(col(sourceCol), col("__w").cast("decimal(18,6)").as("__w"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    tokenCounts
+      .select(col(sourceCol), col(tokensCol).cast("long").as("n_tokens"))
+      .join(w, sourceCol)
+      .withColumn("__sumw", sum(col("__w")).over(all))
+      .select(col(sourceCol), col("n_tokens"),
+        floor(lit(1000000.0) *
+          (col("__w").cast("double") / col("__sumw").cast("double")))
+          .cast("long").as("weight_ppm"))
+      .withColumn("target_tokens",
+        expr(s"${budgetTokens}L * weight_ppm div 1000000L"))
+      .withColumn("epochs_ppm",
+        expr("target_tokens * 1000000L div n_tokens"))
+  }
 }

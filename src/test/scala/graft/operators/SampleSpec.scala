@@ -191,4 +191,16 @@ class SampleSpec extends AnyFunSuite {
       Sample.hashSplit(ids, "id", Seq("train" -> 900, "val" -> 99))
     }
   }
+  test("mixtureSchedule: exact integer schedule, upsampling expressible") {
+    val counts = Seq(("en", 800000L), ("fr", 50000L), ("xx", 999L))
+      .toDF("source", "n_tokens")
+    val got = Sample.mixtureSchedule(counts, "source", "n_tokens",
+        weights = Map("en" -> 0.75, "fr" -> 0.25), budgetTokens = 1000000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // weights normalized over present sources; xx has no weight -> dropped
+    assert(got.keySet == Set("en", "fr"))
+    assert(got("en") == ((800000L, 750000L, 750000L, 937500L)))  // < 1 epoch
+    assert(got("fr") == ((50000L, 250000L, 250000L, 5000000L)))  // 5 epochs
+  }
 }
