@@ -85,6 +85,24 @@ class RanksSpec extends AnyFunSuite {
       s"keys not monotone for sorted inputs: ${vs.zip(keys)}")
   }
 
+  test("cut points are driver-collected literals — no sketch in the rank plan") {
+    // the r10-advice hazard: a LAZY approx_percentile subquery is
+    // re-evaluated per reference of the bucketed frame, and its merge
+    // is fetch-order-sensitive, so the counts and the join could see
+    // DIFFERENT cut arrays (duplicated/skipped ranks). The fix
+    // collects once and inlines — so no percentile sketch may appear
+    // anywhere in the rank plan.
+    val plan = Ranks.rowNumber(orders, "o_totalprice", ascending = true,
+        tiebreaks = Seq("o_orderkey"), out = "rn")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), plan.take(2000))
+    val keyed = Ranks.rowNumberKeyed(orders,
+        Ranks.stringPrefixKey(col("o_orderkey").cast("string")),
+        Seq(col("o_orderkey").asc), out = "rn")
+      .queryExecution.optimizedPlan.toString
+    assert(!keyed.toLowerCase.contains("percentile"))
+  }
+
   test("fact rows hash-distribute by bucket (no fact-scale single partition)") {
     val plan = Ranks.rowNumber(orders, "o_totalprice", ascending = true,
         tiebreaks = Seq("o_orderkey"), out = "rn")
