@@ -29,17 +29,20 @@ object Runner {
                              qualityResults: Seq[Quality.CheckResult],
                              goldCounts: Map[String, Long])
 
-  /** Atomic-ish overwrite: write to a temp sibling, then swap. Needed
-    * because an upsert reads the live table it is about to replace.
+  /** Atomic-ish overwrite: write to a temp sibling, then rename-aside
+    * swap ([[graft.maintenance.Retention.swapAside]]). Needed because
+    * an upsert reads the live table it is about to replace; the
+    * rename-aside discipline (never delete-then-rename) means a crash
+    * mid-swap leaves either the live table or a recoverable `.old`
+    * copy — there is no window in which the only copy is deleted.
     */
   private[graft] def overwriteSwapped(df: DataFrame, path: String): Unit = {
     val tmp = path + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), df.sparkSession.sparkContext.hadoopConfiguration)
-    val livePath = new org.apache.hadoop.fs.Path(path)
-    fs.delete(livePath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath)
+    graft.maintenance.Retention.swapAside(fs,
+      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
