@@ -27,14 +27,14 @@ import org.apache.spark.sql.types.DecimalType
   * maintained table. Groups whose count reaches zero are dropped,
   * matching the from-scratch result.
   *
-  * PRECONDITION: `valueCol` must be non-null. The maintained sum
-  * coalesces through 0, so a group whose surviving values were all
-  * NULL would read sum_value = 0 where the from-scratch GROUP BY
-  * reads NULL — the bit-exact contract holds only for non-null value
-  * columns (null GROUP keys are fine; they form their own group like
-  * any other). Feeds from measures that can be null should
-  * `coalesce`/filter upstream, the same rule every decimal
-  * accumulator in this library applies.
+  * NULL values are handled exactly: the maintained table tracks
+  * `n_vals` (the COUNT of non-null values, the thing SQL `sum`
+  * actually averages over) alongside `n_rows`, and the read face
+  * emits `sum_value = NULL` whenever `n_vals = 0` — so a group whose
+  * surviving values are all NULL reads NULL, bit-matching the
+  * from-scratch GROUP BY instead of the 0 a bare coalesce-through-0
+  * accumulator would leak (null GROUP keys are fine too; they form
+  * their own group like any other).
   *
   * Shape: the feed folds to one row per TOUCHED group (map-side
   * combined), then a full-outer equi-join against the aggregate table
@@ -48,15 +48,18 @@ object IncrementalAgg {
     */
   val Acc: DecimalType = DecimalType(28, 6)
 
-  /** The maintained aggregate shape: `(groupCol, sum_value, n_rows)`.
-    * Build the initial table with this and refresh it with
-    * [[applyAggDelta]].
+  /** The maintained aggregate shape:
+    * `(groupCol, sum_value, n_vals, n_rows)` — `n_vals` counts
+    * NON-NULL values (so an all-NULL group carries sum_value = NULL,
+    * like SQL `sum`), `n_rows` counts rows. Build the initial table
+    * with this and refresh it with [[applyAggDelta]].
     */
   def sumCountAgg(snapshot: DataFrame, groupCol: String,
                   valueCol: String): DataFrame =
     snapshot.groupBy(col(groupCol))
       .agg(sum(col(valueCol).cast(graft.Exprs.Money)).cast(Acc)
           .as("sum_value"),
+        count(col(valueCol)).as("n_vals"),
         count(lit(1)).as("n_rows"))
 
   /** Fold a snapshotDiff feed (columns `change_type`,
@@ -65,23 +68,35 @@ object IncrementalAgg {
     */
   def applyAggDelta(agg: DataFrame, feed: DataFrame, groupCol: String,
                     valueCol: String): DataFrame = {
+    // NULL values contribute nothing to __v (sum skips them) but are
+    // tracked by the signed non-null indicator __nv, so n_vals stays
+    // the exact count SQL `sum` aggregates over.
     val minus = feed
       .filter(col("change_type").isin("delete", "update"))
       .select(col(s"old_$groupCol").as(groupCol),
-        (-col(s"old_$valueCol")).as("__v"), lit(-1L).as("__c"))
+        (-col(s"old_$valueCol")).as("__v"),
+        when(col(s"old_$valueCol").isNotNull, -1L).otherwise(0L).as("__nv"),
+        lit(-1L).as("__c"))
     val plus = feed
       .filter(col("change_type").isin("insert", "update"))
       .select(col(s"new_$groupCol").as(groupCol),
-        col(s"new_$valueCol").as("__v"), lit(1L).as("__c"))
+        col(s"new_$valueCol").as("__v"),
+        when(col(s"new_$valueCol").isNotNull, 1L).otherwise(0L).as("__nv"),
+        lit(1L).as("__c"))
     val delta = minus.unionByName(plus)
       .groupBy(col(groupCol))
       .agg(sum(col("__v").cast(graft.Exprs.Money)).cast(Acc).as("__dv"),
+        sum(col("__nv")).as("__dnv"),
         sum(col("__c")).as("__dc"))
+    val nVals = coalesce(col("n_vals"), lit(0L)) + coalesce(col("__dnv"), lit(0L))
     agg.join(delta, Seq(groupCol), "full_outer")
       .select(col(groupCol),
-        (coalesce(col("sum_value"), lit(0).cast(Acc)) +
-          coalesce(col("__dv"), lit(0).cast(Acc))).cast(Acc)
+        // all-NULL group (n_vals = 0) reads NULL, exactly like SQL sum
+        when(nVals === 0L, lit(null).cast(Acc))
+          .otherwise((coalesce(col("sum_value"), lit(0).cast(Acc)) +
+            coalesce(col("__dv"), lit(0).cast(Acc))).cast(Acc))
           .as("sum_value"),
+        nVals.as("n_vals"),
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
           .as("n_rows"))
       .filter(col("n_rows") > 0)

@@ -14,6 +14,36 @@ import java.sql.Timestamp
   */
 object Streams {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Per-store-root count of batches discarded by the max-version
+    * replay guard in [[cdcSink]]/[[aggSink]]. A nonzero count on a
+    * HEALTHY job means checkpoint replay after a crash (expected,
+    * usually 0 or 1); a steadily growing count means the
+    * misconfiguration the guard cannot distinguish from replay — a
+    * RESET/deleted checkpoint pointed at an existing store, whose
+    * genuinely new batches re-number from 0 and are silently at-or-
+    * below the store's max committed version. Each skip also logs a
+    * WARN. A fresh checkpoint REQUIRES a fresh store path.
+    */
+  def skippedBatches(storeRoot: String): Long =
+    Option(skippedBatchCounts.get(storeRoot)).map(_.sum).getOrElse(0L)
+
+  private val skippedBatchCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+
+  private def noteSkippedBatch(sink: String, storeRoot: String,
+                               batchId: Long, maxCommitted: Long): Unit = {
+    skippedBatchCounts
+      .computeIfAbsent(storeRoot, _ => new java.util.concurrent.atomic.LongAdder)
+      .increment()
+    log.warn(s"$sink: DISCARDING batch $batchId at $storeRoot — at or below " +
+      s"max committed version $maxCommitted. Expected once after a crash " +
+      s"(checkpoint replay); if this repeats, a reset checkpoint is pointed " +
+      s"at an existing store (fresh checkpoint requires a fresh store path) " +
+      s"and new data is being dropped.")
+  }
+
   /** Daily-revenue KPIs over an event-time window with late-data bound.
     * `approx_count_distinct` replaces the batch `countDistinct` (exact
     * distinct is unsupported in streaming aggregation; HLL is the
@@ -221,7 +251,11 @@ object Streams {
     * would let a backup-restored checkpoint replay a LOWER batchId on
     * top of newer state. Versions older than a committed `v=N` can
     * never be needed by any replay again and are retired in the same
-    * batch.
+    * batch. Every discarded batch logs a WARN and bumps
+    * [[skippedBatches]] — the guard cannot tell a replay from a RESET
+    * checkpoint over an existing store (whose new batches re-number
+    * from 0 and would be silently dropped), so a fresh checkpoint
+    * REQUIRES a fresh `snapshotPath`/`feedDir`.
     */
   def cdcSink(snapshots: DataFrame, keys: Seq[String], snapshotPath: String,
               feedDir: String, checkpoint: String)
@@ -258,7 +292,7 @@ object Streams {
           prevIds.foreach(id =>
             fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$id"), true))
           b.unpersist()
-        }
+        } else noteSkippedBatch("cdcSink", snapshotPath, batchId, prevIds.max)
         ()
       }
       .start()
@@ -304,6 +338,7 @@ object Streams {
               .select(col(s"new_$groupCol").as(groupCol)).limit(0)
               .withColumn("sum_value",
                 lit(0).cast(graft.operators.IncrementalAgg.Acc))
+              .withColumn("n_vals", lit(0L))
               .withColumn("n_rows", lit(0L))
           }
           val next = graft.operators.IncrementalAgg.applyAggDelta(
@@ -311,7 +346,7 @@ object Streams {
           graft.pipeline.Runner.overwriteSwapped(next, cur.toString)
           prevIds.foreach(id =>
             fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$id"), true))
-        }
+        } else noteSkippedBatch("aggSink", aggPath, batchId, prevIds.max)
         ()
       }
       .start()

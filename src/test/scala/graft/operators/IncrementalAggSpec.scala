@@ -27,12 +27,12 @@ class IncrementalAggSpec extends AnyFunSuite {
     val inc = IncrementalAgg.applyAggDelta(
         IncrementalAgg.sumCountAgg(old, "o_orderpriority", "o_totalprice"),
         feed, "o_orderpriority", "o_totalprice")
-      .as[(String, java.math.BigDecimal, Long)].collect()
-      .map(r => (r._1, r._2.toPlainString, r._3)).toSet
+      .as[(String, java.math.BigDecimal, Long, Long)].collect()
+      .map(r => (r._1, r._2.toPlainString, r._3, r._4)).toSet
     val scratch = IncrementalAgg.sumCountAgg(nw, "o_orderpriority",
         "o_totalprice")
-      .as[(String, java.math.BigDecimal, Long)].collect()
-      .map(r => (r._1, r._2.toPlainString, r._3)).toSet
+      .as[(String, java.math.BigDecimal, Long, Long)].collect()
+      .map(r => (r._1, r._2.toPlainString, r._3, r._4)).toSet
     assert(inc == scratch)
   }
 
@@ -46,8 +46,29 @@ class IncrementalAggSpec extends AnyFunSuite {
     val got = IncrementalAgg.applyAggDelta(
         IncrementalAgg.sumCountAgg(old, "g", "v"),
         SnapshotDiff.snapshotDiff(old, nw, Seq("k")), "g", "v")
-      .as[(String, java.math.BigDecimal, Long)].collect()
-      .map(r => (r._1, r._2.doubleValue, r._3)).toSet
-    assert(got == Set(("a", 18.0, 2L), ("c", 2.0, 1L)))
+      .as[(String, java.math.BigDecimal, Long, Long)].collect()
+      .map(r => (r._1, r._2.doubleValue, r._3, r._4)).toSet
+    assert(got == Set(("a", 18.0, 2L, 2L), ("c", 2.0, 1L, 1L)))
+  }
+
+  test("all-NULL-value group reads sum_value NULL, matching from-scratch") {
+    val old = Seq((1L, "a", Some(10.0)), (2L, "a", None),
+      (3L, "b", Some(7.0)), (4L, "b", None)).toDF("k", "g", "v")
+    // delete row 1: group a's surviving values are all NULL; update
+    // row 3's value to NULL: group b goes all-NULL too but keeps both
+    // rows; insert row 5 with a NULL value into a fresh group c
+    val nw = Seq((2L, "a", Option.empty[Double]), (3L, "b", None),
+      (4L, "b", None), (5L, "c", None)).toDF("k", "g", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Option[java.math.BigDecimal], Long, Long)].collect()
+        .map(r => (r._1, r._2.map(_.toPlainString), r._3, r._4)).toSet
+    val inc = canon(IncrementalAgg.applyAggDelta(
+      IncrementalAgg.sumCountAgg(old, "g", "v"),
+      SnapshotDiff.snapshotDiff(old, nw, Seq("k")), "g", "v"))
+    val scratch = canon(IncrementalAgg.sumCountAgg(nw, "g", "v"))
+    assert(inc == scratch)
+    assert(inc.forall { case (_, sum, nVals, _) =>
+      (nVals == 0L) == sum.isEmpty })
+    assert(inc.map(_._1) == Set("a", "b", "c"))
   }
 }

@@ -392,6 +392,9 @@ class StreamsSpec extends AnyFunSuite {
         .map(r => (r._1, r._2.doubleValue, r._3)).toSet
       assert(got == Set(("a", 15.0, 2L)))
       assert(new java.io.File(s"$dir/agg").list().toSeq == Seq("v=1"))
+      // the silent-discard guard is observable: the dropped batch is
+      // counted per store root (and WARN-logged)
+      assert(Streams.skippedBatches(s"$dir/agg") == 1L)
     } finally q2.stop()
   }
 
