@@ -280,6 +280,13 @@ object Sample {
     * floored `weight_ppm` is pure integer arithmetic — the schedule
     * hash-compares across engines. The no-partition sum window runs
     * over the SOURCE table (rows = domain vocabulary, never data).
+    *
+    * Edge guards: a zero-token source is DROPPED (it has no finite
+    * epoch count — Spark's `div` would read NULL where DuckDB errors,
+    * an engine divergence either way), and both integer products run
+    * through DECIMAL(38,0) — `budgetTokens * weight_ppm` overflows
+    * Long above a ~9.2e12-token budget, well inside the stated LLM
+    * use case — with the `div` results landing back in BIGINT.
     */
   def mixtureSchedule(tokenCounts: DataFrame, sourceCol: String,
                       tokensCol: String, weights: Map[String, Double],
@@ -292,6 +299,7 @@ object Sample {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     tokenCounts
       .select(col(sourceCol), col(tokensCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
       .join(w, sourceCol)
       .withColumn("__sumw", sum(col("__w")).over(all))
       .select(col(sourceCol), col("n_tokens"),
@@ -299,8 +307,8 @@ object Sample {
           (col("__w").cast("double") / col("__sumw").cast("double")))
           .cast("long").as("weight_ppm"))
       .withColumn("target_tokens",
-        expr(s"${budgetTokens}L * weight_ppm div 1000000L"))
+        expr(s"CAST(${budgetTokens}L AS DECIMAL(38,0)) * weight_ppm div 1000000L"))
       .withColumn("epochs_ppm",
-        expr("target_tokens * 1000000L div n_tokens"))
+        expr("CAST(target_tokens AS DECIMAL(38,0)) * 1000000L div n_tokens"))
   }
 }

@@ -203,4 +203,22 @@ class SampleSpec extends AnyFunSuite {
     assert(got("en") == ((800000L, 750000L, 750000L, 937500L)))  // < 1 epoch
     assert(got("fr") == ((50000L, 250000L, 250000L, 5000000L)))  // 5 epochs
   }
+
+  test("mixtureSchedule: zero-token sources dropped, huge budgets don't overflow") {
+    // a 100-trillion-token budget: budget * weight_ppm = 1e14 * 5e5
+    // = 5e19 > Long.MaxValue — the decimal-routed products must stay
+    // exact where a Long intermediate would wrap negative
+    val counts = Seq(("en", 2000000000000L), ("fr", 1000000000000L),
+      ("empty", 0L)).toDF("source", "n_tokens")
+    val got = Sample.mixtureSchedule(counts, "source", "n_tokens",
+        weights = Map("en" -> 0.5, "fr" -> 0.5, "empty" -> 0.5),
+        budgetTokens = 100000000000000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // the zero-token source is dropped BEFORE normalization: en/fr
+    // split the whole budget 50/50 and its weight is not absorbed
+    assert(got.keySet == Set("en", "fr"))
+    assert(got("en") == ((2000000000000L, 500000L, 50000000000000L, 25000000L)))  // 25 epochs
+    assert(got("fr") == ((1000000000000L, 500000L, 50000000000000L, 50000000L)))  // 50 epochs
+  }
 }
