@@ -21,10 +21,24 @@ object Bench {
   /** First-pass seconds at or above which a query is timed twice. */
   val RetimeFloorSecs = 2.0
 
+  /** 1-min loadavg above which a slow query earns a THIRD timing: the
+    * r11 lesson is that min-of-2 cannot rescue a SUSTAINED-load run
+    * (driver q145 28.4 s at load 3.5-5 vs 9.8 s isolated) — when the
+    * box is visibly busy at first-timing, one more sample materially
+    * improves the odds that some run lands in a quiet scheduler gap.
+    */
+  val LoadRetimeThreshold = 2.0
+
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split("\\s+").take(3).mkString(",")
     catch { case _: Throwable => "" }
+
+  /** 1-min loadavg as a number (0.0 where /proc is unreadable). */
+  private def load1min(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => 0.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,20 +93,31 @@ object Bench {
       if (ok) secs else -secs
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
+        val qLoad = load1min() // per-query load: contaminated lines self-identify
         val first = timed(name, fn)
+        // A transiently-failing RE-run must not turn a valid measured
+        // success into a reported failure — snapshot the errors map
+        // before each retime and restore it when the first run's time
+        // is kept, so errors and per-query times stay consistent.
+        def retimed(currentBest: Double): Double = {
+          val snap = errors
+          val again = timed(name, fn)
+          if (again > 0) math.min(currentBest, again)
+          else { errors = snap; currentBest }
+        }
         val best =
           if (first >= RetimeFloorSecs) {
-            // a transiently-failing SECOND run must not turn a valid
-            // measured success into a reported failure — keep the
-            // first time unless the retime also succeeded faster
-            val second = timed(name, fn)
-            if (second > 0) math.min(first, second) else first
+            val two = retimed(first)
+            // busy box at first-timing: min-of-2 under sustained load
+            // still reports contention, not the query — take a third
+            if (qLoad > LoadRetimeThreshold) retimed(two) else two
           } else first
-        name -> best
+        (name, best, qLoad)
       }
+    val results = timings.map { case (name, best, _) => name -> best }
     def js(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -118,9 +143,15 @@ object Bench {
     // swallowed — the bench result itself is still on stdout.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       sys.props.getOrElse("user.dir", ".") + "/BENCH_DETAIL.json")
+    // Per-query 1-min loadavg at first-timing (detail file only — the
+    // machine line must stay under the driver's ~2 KB tail capture):
+    // lets a reader attribute any slow line item to contention without
+    // an isolated re-run.
+    val qLoads = timings.map { case (k, _, l) => js(k) + ":" + dp3(l) }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","sf":"$sfDir","load_start":${js(load0)},"load_end":${js(load1)},"queries":$fullQs}""")
+      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","sf":"$sfDir","load_start":${js(load0)},"load_end":${js(load1)},"queries":$fullQs,"query_loads":$qLoads}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARN could not write $detailPath: $e") }
     // Machine line: MUST fit the driver's ~2 KB tail capture whole, or
