@@ -2504,7 +2504,7 @@ object SparkEntry {
          |  SELECT lang AS source,
          |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
          |      AS n_tokens
-         |  FROM documents GROUP BY 1),
+         |  FROM documents GROUP BY 1 HAVING n_tokens > 0),
          |w AS (SELECT * FROM (VALUES
          |  ('en', CAST(0.6 AS DECIMAL(18,6))),
          |  ('fr', CAST(0.25 AS DECIMAL(18,6))),
@@ -2521,6 +2521,48 @@ object SparkEntry {
          |  (1000000 * weight_ppm // 1000000) * 1000000 // n_tokens
          |    AS epochs_ppm
          |FROM p""".stripMargin)),
+
+    ("q202_domain_signals", (s, d) =>
+      // host/domain-level curation rollup: per-source doc count, token
+      // mass, exact-duplicate rate, and Gopher-rule failure rate — the
+      // table a web-corpus curation run turns into domain blocklists
+      // and sampling weights. One digest groupBy + one id join + one
+      // domain rollup, every ratio exact integer ppm. minTokens=10
+      // sized to this corpus like q193.
+      graft.text.DomainSignals.domainSignals(t(s, d, "documents"),
+        "source", "doc_id", "text", stopwords, minTokens = 10),
+      Some(s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |    regexp_split_to_array(text, '\\s+') AS t
+         |  FROM documents),
+         |sg AS (SELECT doc_id, source, text,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  (CAST(len(t) AS BIGINT) BETWEEN 10 AND 100000
+         |    AND CAST(list_reduce(list_prepend(0, list_transform(t,
+         |        x -> len(x))), (a, b) -> a + b) AS BIGINT)
+         |      * 1000000 // CAST(len(t) AS BIGINT)
+         |      BETWEEN 3000000 AND 10000000
+         |    AND CAST(len(list_filter(t,
+         |        x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+         |      * 1000000 // CAST(len(t) AS BIGINT) >= 800000
+         |    AND CAST(len(list_filter(t, x -> list_contains(
+         |        [${stopwords.map("'" + _ + "'").mkString(", ")}], x)))
+         |      AS BIGINT) >= 2) AS keep
+         | FROM d),
+         |dup AS (SELECT text, count(*) AS n FROM documents GROUP BY 1)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_docs,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // CAST(count(*) AS BIGINT) AS dup_ppm,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS fail_docs,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    * 1000000 // CAST(count(*) AS BIGINT) AS quality_fail_ppm
+         |FROM sg JOIN dup USING (text)
+         |GROUP BY 1""".stripMargin)),
 
     ("q200_golden_record", (s, d) => {
       // MDM field-level survivorship: three feed versions of the
