@@ -379,6 +379,14 @@ object AbBench {
       hitsForced(hitsEdges(s, d), iters = 8, deep = true)),
     "v176_window8" -> ((s, d) =>
       hitsForced(hitsEdges(s, d), iters = 8, deep = false)),
+    // the REGISTERED depth, both strategies forced — the r12 size-vs-
+    // depth A/B (run against a 10x edge list: the window's local win at
+    // sf0.1 is what the deep shape's distributed totals must beat as
+    // |V| grows):  AbBench v176_deep2 v176_window2
+    "v176_deep2" -> ((s, d) =>
+      hitsForced(hitsEdges(s, d), iters = 2, deep = true)),
+    "v176_window2" -> ((s, d) =>
+      hitsForced(hitsEdges(s, d), iters = 2, deep = false)),
     "v170_lazy_rounds" -> ((s, d) => {
       val edges = graft.operators.MarketBasket.associationRules(
           Tables.t(s, d, "lineitem"), "l_orderkey", "l_partkey", 2)

@@ -21,11 +21,19 @@ object Bench {
   /** First-pass seconds at or above which a query is timed twice. */
   val RetimeFloorSecs = 2.0
 
-  /** 1-min loadavg above which a slow query earns a THIRD timing: the
-    * r11 lesson is that min-of-2 cannot rescue a SUSTAINED-load run
-    * (driver q145 28.4 s at load 3.5-5 vs 9.8 s isolated) — when the
-    * box is visibly busy at first-timing, one more sample materially
-    * improves the odds that some run lands in a quiet scheduler gap.
+  /** RUN-START 1-min loadavg above which every slow query earns a
+    * THIRD timing: min-of-2 cannot rescue a SUSTAINED-load run (a
+    * 28.4 s report at load 3.5-5 vs 9.8 s isolated for the same
+    * query) — when the box is already busy before this bench has done
+    * any work, one more sample per slow query materially improves the
+    * odds that some run lands in a quiet scheduler gap. The gate
+    * reads the load BEFORE the warmup on purpose: mid-run loadavg is
+    * dominated by this bench's own 32-thread execution (measured
+    * 8-15 during a healthy quiet run), so a per-query gate would
+    * self-trigger on every slow query; only the start value isolates
+    * EXTERNAL contention. Per-query loads are still recorded in the
+    * detail file as a diagnostic — read them relative to the bench's
+    * own baseline, not as absolute idleness.
     */
   val LoadRetimeThreshold = 2.0
 
@@ -51,6 +59,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // External-contention gate input: must be read BEFORE this bench
+    // generates any load of its own (see LoadRetimeThreshold).
+    val startLoad = load1min()
     // Warm up the JVM/codegen/scheduler and the parquet reader path so
     // the alphabetically-first query isn't charged session startup.
     spark.range(1000000).selectExpr("sum(id) s").collect()
@@ -111,9 +122,10 @@ object Bench {
         val best =
           if (first >= RetimeFloorSecs) {
             val two = retimed(first)
-            // busy box at first-timing: min-of-2 under sustained load
-            // still reports contention, not the query — take a third
-            if (qLoad > LoadRetimeThreshold) retimed(two) else two
+            // box was busy before this bench started: min-of-2 under
+            // sustained external load still reports contention, not
+            // the query — take a third sample
+            if (startLoad > LoadRetimeThreshold) retimed(two) else two
           } else first
         (name, best, qLoad)
       }

@@ -2564,6 +2564,33 @@ object SparkEntry {
          |FROM sg JOIN dup USING (text)
          |GROUP BY 1""".stripMargin)),
 
+    ("q203_compacted_readback", (s, d) => {
+      // the maintenance family's CORRECTNESS row: fragment a REAL
+      // table into 40 part files on disk, run the production
+      // Retention.compact (byte-derived count, rename-aside swap),
+      // and hash-compare the COMPACTED layout's read-back — row
+      // preservation plus the exact before/after file counts ride the
+      // same oracle compare as every query. The oracle is the source
+      // table itself: compaction must be invisible to readers.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q203_").toString
+      val path = s"$tmp/orders"
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(40).write.parquet(path)
+      val (before, after) = graft.maintenance.Retention.compact(
+        s, path, targetBytes = 512L << 20)
+      val res = s.read.parquet(path)
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(after))
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      res
+    }, Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+       |  CAST(40 AS BIGINT) AS files_before,
+       |  CAST(1 AS BIGINT) AS files_after
+       |FROM orders""".stripMargin)),
+
     ("q200_golden_record", (s, d) => {
       // MDM field-level survivorship: three feed versions of the
       // customer dimension — a full load, then a PARTIAL Feb feed
