@@ -38,11 +38,35 @@ object Hits {
     */
   val DeepIters = 4
 
+  /** Score-table cardinality above which the deep normalization is
+    * forced REGARDLESS of depth. The shallow window funnels all |V|
+    * score rows through one task per half-round; the deep shape's cost
+    * is a ~constant per-round checkpoint barrier. Interleaved A/B at
+    * the registered depth (AbBench v176_deep2 v176_window2): at |V| ≈
+    * 35k (sf0.1) the window wins 4/4; at |V| ≈ 350k (10× soak edge
+    * list, 5.4M edges) it is down to 3/5 with medians 14.9 s vs 17.2 s
+    * and a 32 s worst round — the window's local win is a shrinking
+    * ~2 s constant (the barrier cost it avoids) while its funnel cost
+    * grows linearly in |V|. 2M is one decade above the largest scale
+    * measured still-winning; past it the projected funnel cost exceeds
+    * the barrier cost it trades against, and erring deep is the
+    * scale-safe side (at 10^9 vertices the window is catastrophic, the
+    * barrier is still ~constant).
+    */
+  val DeepVertices = 2000000L
+
+  /** Strategy pick: deep at convergence-grade depth OR whenever the
+    * per-half-round score table is too large to window through one
+    * task. Exposed for the gate's truth-table unit test.
+    */
+  private[graft] def chooseDeep(iters: Int, maxSideVertices: Long): Boolean =
+    iters >= DeepIters || maxSideVertices > DeepVertices
+
   /** (kind ∈ {hub, authority}, id, score) after `iters` full rounds.
     * Hubs are `srcCol` nodes, authorities `dstCol` nodes.
     *
-    * Two plan shapes by depth (the iteration-lineage rule, A/B'd both
-    * ways):
+    * Two plan shapes, picked by depth AND graph size via
+    * [[chooseDeep]] (the iteration-lineage rule, A/B'd both ways):
     *
     *  - SHALLOW (iters < [[DeepIters]]): each half-round's L1 total
     *    comes from a GLOBAL WINDOW, not a separate .agg + crossJoin —
@@ -69,7 +93,13 @@ object Hits {
     val e = edges.select(col(srcCol).as("c"), col(dstCol).as("p"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = hitsOn(e, iters, deep = iters >= DeepIters)
+    // Size the gate on the LARGER score side (hubs and authorities are
+    // windowed separately, so the bigger one is what funnels). The two
+    // counts are single passes over the persisted edge list and double
+    // as the cache warm the first iteration join previously paid for.
+    val nV = math.max(e.select(col("c")).distinct().count(),
+                      e.select(col("p")).distinct().count())
+    val out = hitsOn(e, iters, deep = chooseDeep(iters, nV))
       .localCheckpoint(true)
     e.unpersist()
     out

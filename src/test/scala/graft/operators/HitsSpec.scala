@@ -44,6 +44,16 @@ class HitsSpec extends AnyFunSuite {
     assert(run(deep = true) == run(deep = false))
   }
 
+  test("strategy gate: deep at depth OR size, shallow only when both small") {
+    // the size-vs-depth truth table behind the r12 A/B (COVERAGE.md):
+    // the window shape is only allowed when the iteration is shallow
+    // AND the larger score side fits a single window task comfortably
+    assert(!Hits.chooseDeep(iters = 2, maxSideVertices = 1000L))
+    assert(Hits.chooseDeep(iters = Hits.DeepIters, maxSideVertices = 1000L))
+    assert(Hits.chooseDeep(iters = 2, maxSideVertices = Hits.DeepVertices + 1))
+    assert(!Hits.chooseDeep(iters = 2, maxSideVertices = Hits.DeepVertices))
+  }
+
   test("deterministic across partition layouts") {
     val edges = (1L to 300L).map(i => (i % 17, i % 31)).toDF("c", "p")
     val a = Hits.hits(edges.repartition(13), "c", "p", 2)
