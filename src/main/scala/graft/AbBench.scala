@@ -387,6 +387,25 @@ object AbBench {
       hitsForced(hitsEdges(s, d), iters = 2, deep = true)),
     "v176_window2" -> ((s, d) =>
       hitsForced(hitsEdges(s, d), iters = 2, deep = false)),
+    // q182 before the r12 kept-checkpoint: the surprisal pipeline
+    // re-evaluates at every reference prefixFilterPairs makes to its
+    // input. A/B vs the registered query:  AbBench q182_corpus_build_v2
+    // v182_lazy_kept (run at soak sf1 where the recompute is visible)
+    "v182_lazy_kept" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents").select("doc_id", "text")
+      val kept = graft.text.CorpusClean.surprisalDecileFilter(
+          docs, "doc_id", "text", dropWorstDeciles = 1)
+        .filter(col("keep"))
+        .select("doc_id", "n_tokens")
+      val surv = docs.join(kept.select("doc_id"), Seq("doc_id"))
+      val pairs = graft.dedup.NearDup.prefixFilterPairs(surv,
+        "doc_id", "text", threshold = 0.9, shingleN = 3)
+        .select(col("id1"), col("id2"))
+      val comps = graft.operators.ConnectedComponents
+        .components(pairs, "id1", "id2")
+      graft.operators.ConnectedComponents.keepBestRepresentatives(
+        kept, "doc_id", comps, "n_tokens")
+    }),
     "v170_lazy_rounds" -> ((s, d) => {
       val edges = graft.operators.MarketBasket.associationRules(
           Tables.t(s, d, "lineitem"), "l_orderkey", "l_partkey", 2)

@@ -2564,6 +2564,100 @@ object SparkEntry {
          |FROM sg JOIN dup USING (text)
          |GROUP BY 1""".stripMargin)),
 
+    ("q204_sequence_pack", (s, d) => {
+      // GLOBAL concat-and-split sequence packing: q73's layout without
+      // the shard compromise — one corpus-wide token stream, globally
+      // meaningful sequence ids (resume points, epoch boundaries),
+      // plus the span count q73 doesn't expose. Affordable because the
+      // running token sum is Ranks.prefixSum (bucket-distributed), not
+      // a global window.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Pack.concatSplit(docs, "doc_id", "n_tokens", 512L)
+    }, Some("""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS pre
+       |  FROM d WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens,
+       |  pre // 512 AS seq_id,
+       |  pre % 512 AS offset_in_seq,
+       |  (pre + n_tokens - 1) // 512 - pre // 512 + 1 AS spans
+       |FROM p""".stripMargin)),
+
+    ("q205_pack_stats", (s, d) => {
+      // the packing-quality report over q204's assignment: docs
+      // starting per sequence, tokens they bring, boundary crossers —
+      // what a pipeline inspects before committing a corpus layout
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.text.TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Pack.packStats(
+        graft.operators.Pack.concatSplit(docs, "doc_id", "n_tokens", 512L),
+        "n_tokens")
+    }, Some("""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS pre
+       |  FROM d WHERE n_tokens > 0),
+       |a AS (
+       |  SELECT doc_id, n_tokens, pre // 512 AS seq_id,
+       |    (pre + n_tokens - 1) // 512 - pre // 512 + 1 AS spans
+       |  FROM p)
+       |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+       |  CAST(sum(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS boundary_docs
+       |FROM a GROUP BY 1""".stripMargin)),
+
+    ("q206_incremental_neardup", (s, d) => {
+      // daily-append near-dup delta: every Jaccard>=0.9 pair involving
+      // at least one INCOMING doc, without ever forming a base x base
+      // candidate (the standing corpus's pairs are last run's output).
+      // Incoming = every 37th doc re-identified (guaranteed planted
+      // dups) so the delta is non-trivial; oracle brute-forces the
+      // restricted pair set over the union.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val incoming = docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.dedup.NearDup.incrementalPrefixFilterPairs(
+        docs, incoming, "doc_id", "text", threshold = 0.9, shingleN = 3)
+    }, Some("""WITH u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents
+       |  WHERE doc_id % 37 = 0),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM u),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS un(i)
+       |  WHERE len(tk) >= 3),
+       |gs AS (SELECT doc_id, list(g) AS gs FROM sh GROUP BY 1)
+       |SELECT DISTINCT
+       |  least(a.doc_id, b.doc_id) AS id1,
+       |  greatest(a.doc_id, b.doc_id) AS id2,
+       |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+       |FROM gs a JOIN gs b
+       |  ON a.doc_id <> b.doc_id AND b.doc_id >= 1000000
+       |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.gs, b.gs))) >= 0.9""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production
@@ -4205,10 +4299,20 @@ object SparkEntry {
       // individually oracled (q164/q165/q161); this certifies their
       // COMPOSITION.
       val docs = t(s, d, "documents").select("doc_id", "text")
+      // kept is referenced once here and then re-evaluated through
+      // `surv` at every reference prefixFilterPairs makes to its input
+      // (shingle build, frequency join, jaccard verify). For q165 that
+      // input is a cheap parquet scan; HERE it is the whole surprisal
+      // pipeline — the lineage rule says checkpoint. Interleaved A/B
+      // at soak sf1 (AbBench q182_corpus_build_v2 v182_lazy_kept,
+      // busy box): checkpoint 3/5, medians 77.2 s vs 86.8 s — a real
+      // but modest win; the re-derivations mostly hit cached parquet,
+      // so only the surprisal aggregates themselves were being repaid.
       val kept = graft.text.CorpusClean.surprisalDecileFilter(
           docs, "doc_id", "text", dropWorstDeciles = 1)
         .filter(col("keep"))
         .select("doc_id", "n_tokens")
+        .localCheckpoint(true)
       val surv = docs.join(kept.select("doc_id"), Seq("doc_id"))
       val pairs = graft.dedup.NearDup.prefixFilterPairs(surv,
         "doc_id", "text", threshold = 0.9, shingleN = 3)

@@ -348,6 +348,82 @@ object NearDup {
     out
   }
 
+  /** INCREMENTAL [[prefixFilterPairs]]: the exact Jaccard ≥ `threshold`
+    * pairs over `base ∪ incoming` that involve AT LEAST ONE incoming
+    * doc — the delta pair set a daily corpus append needs. The
+    * standing corpus's base×base pairs are already known from the last
+    * run, and at 100 TB re-deriving them daily is the difference
+    * between an append costing O(Δ·corpus-contact) and O(corpus²):
+    * the candidate join here probes only INCOMING prefixes against the
+    * union's prefix index, so no base×base candidate is ever formed.
+    * The exact-recall counterpart of [[nearDupPairsIncremental]] (the
+    * MinHash-LSH incremental against a persisted signature index):
+    * that one re-uses precomputed signatures but inherits LSH's
+    * probabilistic recall; this one guarantees every pair at the cost
+    * of one shingle-frequency aggregate over the union.
+    *
+    * Exactness needs both sides' prefixes chosen under ONE total order
+    * (rarest-first by doc-frequency over the UNION — the theorem's
+    * shared-order requirement; mixing last run's base order with a
+    * fresh incoming order would break the guarantee). That frequency
+    * pass is one map-side-combinable aggregate over the union's
+    * shingles — in a standing pipeline it is the maintained
+    * shingle-stats table, refreshed by merging the delta's counts.
+    *
+    * Ids must be unique across `base` and `incoming` (an id in both is
+    * the caller saying "this doc replaced itself" — run [[Dedup]]
+    * first). Pairs are emitted with id1 < id2, like the full join.
+    */
+  def incrementalPrefixFilterPairs(base: DataFrame, incoming: DataFrame,
+                                   idCol: String, textCol: String,
+                                   threshold: Double = 0.9,
+                                   shingleN: Int = 3,
+                                   maxBucketSize: Int = 100000)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    def shingled(df: DataFrame) = ensureParallel(df, col(idCol))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col(idCol),
+        explode(array_distinct(TextOps.ngrams(col("toks"), shingleN)))
+          .as("g"))
+    val shBase = shingled(base)
+    val shInc = shingled(incoming)
+    val shAll = shBase.unionByName(shInc)
+    val freq = shAll.groupBy("g").agg(count(lit(1)).as("__f"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val ord = byDoc.orderBy(col("__f").asc, col("g").asc)
+    def prefixes(sh: DataFrame) = sh.join(freq, Seq("g"))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <=
+        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol), col("g"))
+    // Cap on the UNION index (the probed side): an overfull gram is
+    // dropped from BOTH sides or neither, keeping the shared-order
+    // exactness story intact for every surviving gram.
+    val preAll = capBuckets(prefixes(shAll), Seq("g"), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val preInc = preAll.join(
+      incoming.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val cand = preInc.select(col("g"), col(idCol).as("__a"))
+      .join(preAll.select(col("g"), col(idCol).as("__b"))
+        .hint("shuffle_hash"), Seq("g"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
+      .distinct()
+    val out = gramJaccardVerify(cand,
+        base.select(col(idCol), col(textCol))
+          .unionByName(incoming.select(col(idCol), col(textCol))),
+        idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    preAll.unpersist()
+    out
+  }
+
   /** One-sided n-gram containment for candidate pairs:
     * `|grams(A) ∩ grams(B)| / |grams(A)|` over distinct token n-grams.
     * Jaccard misses QUOTATION — a short doc wholly embedded in a long

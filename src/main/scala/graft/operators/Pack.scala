@@ -68,4 +68,52 @@ object Pack {
       .withColumn("batch_idx",
         floor((row_number().over(w) - lit(1)) / batchSize).cast("long"))
   }
+
+  /** GLOBAL-order concat-and-split: [[packPlan]]'s layout without the
+    * shard compromise — ONE corpus-wide token stream split every
+    * `seqLen` tokens, so sequence ids are globally meaningful (resume
+    * points, curriculum positions, exact epoch boundaries) instead of
+    * per-shard. What makes that affordable at scale is
+    * [[Ranks.prefixSum]]: the exclusive running token sum — packing's
+    * only sequential dependency — computed by the bucket scheme, never
+    * a single-task global window.
+    *
+    * Semantics (exactly SQL-replayable): rows ordered by (`orderCol`
+    * asc, `idCol` asc); `pre` = exclusive prefix sum of `tokensCol`;
+    *   - `seq_id        = pre div seqLen`   (the sequence it starts in)
+    *   - `offset_in_seq = pre mod seqLen`
+    *   - `spans         = (pre + tokens - 1) div seqLen - seq_id + 1`.
+    * Rows with `tokensCol <= 0` are excluded — nothing to pack. The
+    * arithmetic is `div`/`pmod` on LONGs: corpus token totals pass
+    * 2^53, where a double-division floor silently misplaces sequence
+    * boundaries.
+    */
+  def concatSplit(df: DataFrame, idCol: String, tokensCol: String,
+                  seqLen: Long, orderCol: Option[String] = None)
+      : DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    val oc = orderCol.getOrElse(idCol)
+    val ties = if (oc == idCol) Seq.empty[String] else Seq(idCol)
+    val pre = Ranks.prefixSum(
+      df.filter(col(tokensCol).cast("long") > 0),
+      oc, tokensCol, ascending = true, tiebreaks = ties, out = "__pre")
+    pre.withColumn("seq_id", expr(s"__pre div $seqLen"))
+      .withColumn("offset_in_seq", pmod(col("__pre"), lit(seqLen)))
+      .withColumn("spans",
+        expr(s"(__pre + `$tokensCol` - 1) div $seqLen")
+          - col("seq_id") + lit(1L))
+      .drop("__pre")
+  }
+
+  /** Per-sequence roll-up of [[concatSplit]]: how many documents START
+    * in each sequence, the tokens they carry in, and how many cross
+    * its right boundary — the packing-quality report a pipeline checks
+    * before committing a corpus layout. Pure groupBy over the
+    * assignment, no additional order dependence.
+    */
+  def packStats(assigned: DataFrame, tokensCol: String): DataFrame =
+    assigned.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("tokens_started"),
+        sum(when(col("spans") > 1, 1L).otherwise(0L)).as("boundary_docs"))
 }

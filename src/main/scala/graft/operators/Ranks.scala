@@ -136,6 +136,40 @@ object Ranks {
       .drop("__b", "__off")
   }
 
+  /** Distributed EXACT global EXCLUSIVE prefix sum of `weightCol` in
+    * the total order (`valueCol` asc/desc, `tiebreaks` asc) — appended
+    * as column `out`: for each row, the sum of weights of all rows
+    * strictly before it. The scale-safe replacement for
+    * `sum(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING)`, which single-tasks the corpus exactly like the
+    * global row_number this file exists to kill.
+    *
+    * Same two-pass bucket scheme as [[rowNumber]] — per-bucket WEIGHT
+    * totals (not row counts) prefix-summed over the B-row table, plus
+    * a within-bucket running sum windowed per bucket — and the same
+    * exactness argument: buckets are a pure function of the value, so
+    * ties never straddle and the sketch error only moves boundaries.
+    * Weights are summed as LONG (token counts, byte sizes — the
+    * integral quantities packing cares about); `weightCol` must be
+    * non-negative for the "offsets are monotone" reading but the sum
+    * itself is exact either way.
+    */
+  def prefixSum(df: DataFrame, valueCol: String, weightCol: String,
+                ascending: Boolean = true,
+                tiebreaks: Seq[String] = Seq.empty,
+                out: String = "prefix", buckets: Int = 64): DataFrame = {
+    val bucketed = withBucket(df, valueCol, ascending, buckets)
+    val sums = bucketed.groupBy(col("__b"))
+      .agg(sum(col(weightCol).cast("long")).as("__cnt"))
+    val ord = orderCol(valueCol, ascending) +: tiebreaks.map(c => col(c).asc)
+    val w = Window.partitionBy(col("__b")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets(sums)), Seq("__b"))
+      .withColumn(out, col("__off") +
+        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)))
+      .drop("__b", "__off")
+  }
+
   /** Order-preserving numeric key for a string under Spark's binary
     * UTF-8 collation: the first 7 bytes big-endian as an integer, hex
     * right-padded with zeros so that a string that is a strict prefix

@@ -209,6 +209,27 @@ class NearDupSpec extends AnyFunSuite {
     assert(inc.nonEmpty) // the fixture corpus has planted near-dups
   }
 
+  test("incrementalPrefixFilterPairs == full exact join restricted to incoming") {
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // re-identified copies guarantee planted cross-batch dups AND
+    // incoming-incoming structure (two copies of near-dup originals)
+    val incoming = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val inc = NearDup.incrementalPrefixFilterPairs(corpus, incoming,
+        "doc_id", "text", threshold = 0.9, shingleN = 3)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val incIds = incoming.select("doc_id").as[Long].collect().toSet
+    val full = NearDup.prefixFilterPairs(corpus.unionByName(incoming),
+        "doc_id", "text", threshold = 0.9, shingleN = 3)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+      .filter(p => incIds(p._1) || incIds(p._2))
+    assert(inc == full)
+    assert(inc.nonEmpty)
+    // and no base x base pair leaks through
+    assert(inc.forall(p => incIds(p._1) || incIds(p._2)))
+  }
+
   test("contrastivePairs: positives are the verified dups, negatives never overlap") {
     val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")

@@ -77,6 +77,62 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("concatSplit hand case: offsets, sequence ids, and spans") {
+    // L=10; docs 4,3,8,10,2 in id order →
+    // pre:   0,4,7,15,25
+    // seq:   0,0,0, 1, 2
+    // off:   0,4,7, 5, 5
+    // spans: 1,1,2, 2, 1   (8 crosses 10; 10 runs 15..24 crossing 20)
+    val sized = Seq((1L, 4L), (2L, 3L), (3L, 8L), (4L, 10L), (5L, 2L))
+      .toDF("id", "n")
+    val got = Pack.concatSplit(sized, "id", "n", 10L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == Seq((1L, 0L, 0L, 1L), (2L, 0L, 4L, 1L),
+      (3L, 0L, 7L, 2L), (4L, 1L, 5L, 2L), (5L, 2L, 5L, 1L)))
+  }
+
+  test("concatSplit matches sequential reference on random sizes, any layout") {
+    val rnd = new scala.util.Random(7)
+    val sizes = (1L to 500L).map(i => (i, 1L + rnd.nextInt(40).toLong))
+    val df = sizes.toDF("id", "n").repartition(13)
+    val got = Pack.concatSplit(df, "id", "n", 64L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    var pre = 0L
+    sizes.foreach { case (id, n) =>
+      val seq = pre / 64
+      val spans = (pre + n - 1) / 64 - seq + 1
+      assert(got(id) == ((seq, pre % 64, spans)), s"doc $id")
+      pre += n
+    }
+  }
+
+  test("concatSplit: zero-token rows are excluded; stats roll up") {
+    val sized = Seq((1L, 0L), (2L, 5L), (3L, 0L), (4L, 7L)).toDF("id", "n")
+    val assigned = Pack.concatSplit(sized, "id", "n", 8L)
+    assert(assigned.count() == 2)
+    val stats = Pack.packStats(assigned, "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc2 starts seq0 (pre 0), doc4 starts seq0 at off 5, crosses into 1
+    assert(stats == Set((0L, 2L, 12L, 1L)))
+  }
+
+  test("concatSplit with a custom order column and id tiebreak") {
+    val sized = Seq((1L, 4L, 9L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("id", "n", "prio")
+    // order by (prio asc, id asc): 2(3), 3(2), 1(4); pre = 0, 3, 5
+    val got = Pack.concatSplit(sized, "id", "n", 4L,
+        orderCol = Some("prio"))
+      .orderBy("id").select("id", "seq_id", "offset_in_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 0L, 3L)))
+  }
+
   test("no batch exceeds batchSize and batches pack densely") {
     val out = Pack.lengthBucketBatches(docs, "doc_id",
       size(split(col("text"), " ")).cast("long"),

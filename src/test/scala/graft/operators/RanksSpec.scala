@@ -103,6 +103,21 @@ class RanksSpec extends AnyFunSuite {
     assert(!keyed.toLowerCase.contains("percentile"))
   }
 
+  test("prefixSum == global window exclusive running sum (ties included)") {
+    val got = Ranks.prefixSum(lineitem, "l_orderkey", "l_quantity",
+        ascending = true, tiebreaks = Seq("l_linenumber"),
+        out = "pre", buckets = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("pre"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exp = lineitem.withColumn("pre",
+        coalesce(sum(col("l_quantity").cast("long")).over(
+          Window.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("pre"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+
   test("fact rows hash-distribute by bucket (no fact-scale single partition)") {
     val plan = Ranks.rowNumber(orders, "o_totalprice", ascending = true,
         tiebreaks = Seq("o_orderkey"), out = "rn")
