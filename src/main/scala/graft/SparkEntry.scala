@@ -2658,6 +2658,62 @@ object SparkEntry {
        |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
        |    len(list_distinct(list_concat(a.gs, b.gs))) >= 0.9""".stripMargin)),
 
+    ("q207_exact_neardup_stream", (s, d) => {
+      // the streaming face of q165, certified batch-equivalently: a
+      // real exactNearDupSink StreamingQuery consumes the documents
+      // table in three staged micro-batches (doc_id % 3, files landing
+      // between processAllAvailable fences), each batch exact-joining
+      // the accumulated corpus; the telescoped pairs/ table must
+      // hash-match the one-shot prefixFilterPairs oracle over the
+      // whole corpus — every pair found exactly once, at the batch its
+      // later member arrived.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q207_").toString
+      val feedDir = s"$tmp/feed"
+      new java.io.File(feedDir).mkdirs()
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+        val aside = s"$tmp/stage$n"
+        df.coalesce(1).write.mode("overwrite").parquet(aside)
+        val part = new java.io.File(aside).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
+      }
+      stage(docs.filter(col("doc_id") % 3 === 0), 1)
+      val sq = graft.streaming.Streams.exactNearDupSink(
+        s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+          .parquet(feedDir),
+        "doc_id", "text", s"$tmp/nd", s"$tmp/ckpt", threshold = 0.9,
+        shingleN = 3)
+      try {
+        sq.processAllAvailable()
+        stage(docs.filter(col("doc_id") % 3 === 1), 2)
+        sq.processAllAvailable()
+        stage(docs.filter(col("doc_id") % 3 === 2), 3)
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val res = s.read.parquet(s"$tmp/nd/pairs")
+        .select("id1", "id2", "jaccard")
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      res
+    }, Some("""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3),
+       |gs AS (SELECT doc_id, list(g) AS gs FROM sh GROUP BY 1)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+       |FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.gs, b.gs))) >= 0.9""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

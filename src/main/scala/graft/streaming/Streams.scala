@@ -191,6 +191,61 @@ object Streams {
       }
       .start()
 
+  /** EXACT continuous near-dup: [[nearDupSink]] with deterministic
+    * recall — each micro-batch joins the accumulated corpus through
+    * [[graft.dedup.NearDup.incrementalPrefixFilterPairs]], so every
+    * Jaccard ≥ `threshold` pair is GUARANTEED found (no LSH recall
+    * bound), and the union of `pairs/` is provably the full-corpus
+    * [[graft.dedup.NearDup.prefixFilterPairs]] pair set: each pair is
+    * emitted exactly once, at the batch its LATER member arrived.
+    * That telescoping makes the sink hash-oracle-able batch-
+    * equivalently (q207) where the MinHash sink can only be
+    * unit-tested. The trade: no signature index to reuse — each batch
+    * re-aggregates shingle frequencies over base ∪ incoming (the
+    * shared-order requirement of the prefix theorem), one
+    * map-side-combinable pass over the corpus per batch, vs the LSH
+    * sink's tokenize-once index. Daily-append cadence absorbs that;
+    * per-minute micro-batches should take the LSH sink.
+    *
+    * Same exactly-once discipline as [[nearDupSink]]: per-batch
+    * `batch=<id>` partition overwrites, replays excluded from the
+    * base by a partition-pruned filter (a replayed first batch sees
+    * an EMPTY base and degenerates to the within-batch join, exactly
+    * what the original run computed).
+    */
+  def exactNearDupSink(docs: DataFrame, idCol: String, textCol: String,
+                       root: String, checkpoint: String,
+                       threshold: Double = 0.9, shingleN: Int = 3,
+                       maxBucketSize: Int = 100000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val nd = graft.dedup.NearDup
+        val b = batch.select(col(idCol), col(textCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (corpusDir, pairsDir) = (s"$root/corpus", s"$root/pairs")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+        val pairs =
+          if (fs.exists(new org.apache.hadoop.fs.Path(corpusDir))) {
+            val base = spark.read.parquet(corpusDir)
+              .filter(col("batch") =!= batchId).drop("batch")
+              .select(col(idCol), col(textCol))
+            nd.incrementalPrefixFilterPairs(base, b, idCol, textCol,
+              threshold, shingleN, maxBucketSize)
+          } else
+            nd.prefixFilterPairs(b, idCol, textCol, threshold, shingleN,
+              maxBucketSize)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        b.unpersist()
+        ()
+      }
+      .start()
+
   /** Continuous SCD Type-2 maintenance: each micro-batch of history
     * rows folds into the versioned dimension via
     * [[graft.operators.Upsert.scd2Apply]] — only batch-touched keys

@@ -125,6 +125,36 @@ class StreamsSpec extends AnyFunSuite {
       spark.read.parquet(s"$root/state/pairs").count())
   }
 
+  test("exactNearDupSink: telescopes to the full exact join, pairs disjoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("endsink").toString
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.exactNearDupSink(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/state", s"$root/ckpt", threshold = 0.9)
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/state/pairs")
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // the EXACT contract: equality against the one-shot exact join —
+    // not an LSH pair set but the deterministic-recall truth
+    val full = graft.dedup.NearDup.prefixFilterPairs(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.9, shingleN = 3)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(streamed == full)
+    assert(streamed.nonEmpty)
+    // each pair exactly once, at the batch its later member arrived
+    assert(spark.read.parquet(s"$root/state/pairs")
+      .select("id1", "id2").distinct().count() ==
+      spark.read.parquet(s"$root/state/pairs").count())
+  }
+
   test("hllSink: streamed registers merge to the whole-corpus sketch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("hllsink").toString
