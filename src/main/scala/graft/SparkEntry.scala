@@ -2714,6 +2714,136 @@ object SparkEntry {
        |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
        |    len(list_distinct(list_concat(a.gs, b.gs))) >= 0.9""".stripMargin)),
 
+    ("q208_ntile", (s, d) =>
+      // exact equi-depth binning with SQL NTILE semantics (first
+      // n mod k tiles take the extra row) on the distributed Ranks
+      // bucket scheme — the built-in ntile window compiles to the
+      // single-task global sort this registry bans; tiebreaks make
+      // the order total so tie placement is engine-identical
+      graft.operators.Ranks.ntile(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        16, "l_extendedprice", ascending = true,
+        tiebreaks = Seq("l_orderkey", "l_linenumber"), out = "tile")
+        .select("l_orderkey", "l_linenumber", "tile"),
+      Some("""SELECT l_orderkey, l_linenumber,
+         |  CAST(ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey,
+         |    l_linenumber) AS BIGINT) AS tile
+         |FROM lineitem""".stripMargin)),
+
+    ("q209_epoch_order", (s, d) =>
+      // deterministic training-order shuffle for epoch 7: position =
+      // global row number over the multiplier-seeded portable hash —
+      // a pure function of (doc_id, epoch), identical on any layout
+      // or engine, resumable mid-epoch; the oracle recomputes the
+      // same permutation from the hash formula itself
+      graft.operators.Sample.epochOrder(
+        t(s, d, "documents").select("doc_id"), "doc_id", epoch = 7),
+      Some("""SELECT doc_id,
+         |  row_number() OVER (ORDER BY
+         |    ((((doc_id % 100000007) * (2654435761 + 7)) % 99999989)
+         |      * 2246822519) % 1000000000,
+         |    doc_id) AS train_pos
+         |FROM documents""".stripMargin)),
+
+    ("q210_epoch_pack", (s, d) =>
+      // one training epoch's full sequence layout: documents in the
+      // epoch-3 deterministic shuffle order (multiplier-seeded portable
+      // hash), concatenated and split every 512 tokens — the
+      // pretraining data-prep shape, reproducible on any cluster or
+      // file layout and resumable mid-epoch from seq_id; the running
+      // token sum is Ranks.prefixSum, never a single-task window
+      graft.operators.Pack.epochPack(
+        t(s, d, "documents").select(col("doc_id"),
+          graft.text.TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", 512L, epoch = 3),
+      Some("""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    ((((doc_id % 100000007) * (2654435761 + 3)) % 99999989)
+         |      * 2246822519) % 1000000000 AS ek
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY ek ASC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS pre
+         |  FROM d WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens,
+         |  pre // 512 AS seq_id,
+         |  pre % 512 AS offset_in_seq,
+         |  (pre + n_tokens - 1) // 512 - pre // 512 + 1 AS spans
+         |FROM p""".stripMargin)),
+
+    ("q211_rag_chunks", (s, d) =>
+      // retrieval-index preparation: 64-token sliding windows every 48
+      // tokens (16-token overlap carries context across boundaries);
+      // closed-form LONG chunk count, pure projection + explode — no
+      // shuffle, linear at any corpus size
+      graft.text.TextOps.chunkRows(
+        t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 64, stride = 48),
+      Some("""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk,
+         |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT doc_id, tk, n,
+         |  (greatest(n - 64, 0) + 47) // 48 + 1 AS nc FROM d)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  array_to_string(tk[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)],
+         |    ' ') AS chunk_text,
+         |  least(64, n - i*48) AS chunk_tokens
+         |FROM c, UNNEST(range(0, nc)) AS u(i)""".stripMargin)),
+
+    ("q212_source_leakage_matrix", (s, d) => {
+      // which sources duplicate which: the exact near-dup pair set
+      // (q165's oracled prefix-filter primitive) rolled up to a
+      // source x source leakage matrix — the cross-corpus
+      // contamination signal behind source-level dedup priorities and
+      // license audits. Canonical (least, greatest) source keys fold
+      // both directions; max (not avg) keeps the double aggregation
+      // order-insensitive for the hash compare.
+      val docs = t(s, d, "documents").select("doc_id", "text", "source")
+      val pairs = graft.dedup.NearDup.prefixFilterPairs(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        threshold = 0.9, shingleN = 3)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id1"), col("source").as("s1")),
+          Seq("id1"))
+        .join(src.select(col("doc_id").as("id2"), col("source").as("s2")),
+          Seq("id2"))
+        .select(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"), col("jaccard"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+    }, Some("""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+       |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3),
+       |gs AS (SELECT doc_id, list(g) AS gs FROM sh GROUP BY 1),
+       |pr AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+       |  FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.gs, b.gs))) >= 0.9),
+       |m AS (
+       |  SELECT least(d1.source, d2.source) AS source_a,
+       |    greatest(d1.source, d2.source) AS source_b, jaccard
+       |  FROM pr
+       |  JOIN documents d1 ON d1.doc_id = pr.id1
+       |  JOIN documents d2 ON d2.doc_id = pr.id2)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  max(jaccard) AS max_jaccard
+       |FROM m GROUP BY 1, 2""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

@@ -105,6 +105,27 @@ object Pack {
       .drop("__pre")
   }
 
+  /** Epoch-shuffled [[concatSplit]]: the pretraining layout for one
+    * training epoch in a single declarative plan — documents take the
+    * deterministic epoch-`epoch` order ([[Sample.epochOrder]]'s
+    * multiplier-seeded portable hash of the id, id tiebreak) and the
+    * concatenated token stream splits every `seqLen` tokens. Same
+    * output contract as [[concatSplit]]; each epoch yields a different
+    * but fully reproducible packing (pure function of (id, epoch) and
+    * the token counts — any cluster size, any file layout, any rerun,
+    * and resumable mid-epoch from `seq_id`). The shuffle key is the
+    * RAW hash, not a materialized row number: ordering by the key
+    * directly saves [[Ranks.rowNumber]]'s three input passes — the
+    * prefix sum only needs the ORDER, not the position.
+    */
+  def epochPack(df: DataFrame, idCol: String, tokensCol: String,
+                seqLen: Long, epoch: Long): DataFrame =
+    concatSplit(
+      df.withColumn("__ek",
+        Sample.hashMod2(col(idCol), 1000000000L, epoch)),
+      idCol, tokensCol, seqLen, orderCol = Some("__ek"))
+      .drop("__ek")
+
   /** Per-sequence roll-up of [[concatSplit]]: how many documents START
     * in each sequence, the tokens they carry in, and how many cross
     * its right boundary — the packing-quality report a pipeline checks

@@ -170,6 +170,44 @@ object Ranks {
       .drop("__b", "__off")
   }
 
+  /** Exact SQL `NTILE(k)` in the total order (`valueCol` asc/desc,
+    * `tiebreaks` asc) — appended as column `out` — on [[rowNumber]]'s
+    * bucket scheme instead of the single-task global window the
+    * built-in `ntile` compiles to (the same funnel this file exists to
+    * kill; `Gold.rfmSegments` and q90 both dodged NTILE for that
+    * reason — this is the direct replacement when tile SEMANTICS, not
+    * just quantile cuts, are required). Standard tile placement: with
+    * n rows, the first `n mod k` tiles take `ceil(n/k)` rows, the rest
+    * `floor(n/k)` — derived from the exact global row number and the
+    * total count with LONG integer arithmetic only, so the result is
+    * bit-identical to `ntile(k) OVER (ORDER BY ...)` whenever the
+    * order is total (append tiebreaks to make it so; NTILE over a
+    * non-total order is engine-defined tie placement). The count rides
+    * a 1-row broadcast aggregate — no driver collect, one extra narrow
+    * pass over the input beyond [[rowNumber]]'s three (callers with an
+    * expensive input persist it first, per the class contract).
+    */
+  def ntile(df: DataFrame, k: Int, valueCol: String,
+            ascending: Boolean = true, tiebreaks: Seq[String] = Seq.empty,
+            out: String = "tile", buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranked = rowNumber(df, valueCol, ascending, tiebreaks, "__rn", buckets)
+    val n = df.groupBy().agg(count(lit(1)).as("__n"))
+    // r = 0-based rank; big tiles (size q+1) cover the first rem*(q+1)
+    // rows. greatest(q, 1) keeps the never-taken ELSE branch safe from
+    // ANSI div-by-zero when n < k (codegen evaluates both arms).
+    val tile = s"""CASE
+      | WHEN (__rn - 1) < (__n % $k) * ((__n div $k) + 1)
+      |  THEN (__rn - 1) div ((__n div $k) + 1)
+      | ELSE (__n % $k) +
+      |  ((__rn - 1) - (__n % $k) * ((__n div $k) + 1))
+      |    div greatest(__n div $k, 1)
+      | END + 1""".stripMargin
+    ranked.crossJoin(broadcast(n))
+      .withColumn(out, expr(tile).cast("long"))
+      .drop("__rn", "__n")
+  }
+
   /** Order-preserving numeric key for a string under Spark's binary
     * UTF-8 collation: the first 7 bytes big-endian as an integer, hex
     * right-padded with zeros so that a string that is a strict prefix

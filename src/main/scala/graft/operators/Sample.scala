@@ -89,6 +89,29 @@ object Sample {
     */
   def bucketPpm(id: Column, seed: Long): Column = hashMod2(id, 1000000L, seed)
 
+  /** Deterministic epoch shuffle: every row's TRAINING-ORDER position
+    * for epoch `epoch` — `row_number` over the seeded portable hash of
+    * the id ([[hashMod2]] with the epoch as seed, id as tiebreak for
+    * the ≤ n/1e9 colliding buckets), appended as `out` (1-based). Each
+    * epoch is an independent pseudo-random permutation that is a pure
+    * function of (id, epoch): identical on any cluster size, file
+    * split, or rerun; resumable mid-epoch (the position is DATA, not
+    * iterator state); and decorrelated across epochs the same measured
+    * way composed samplers are (multiplier-seeded, not input-shifted —
+    * see [[hashMod2]]). The global row number rides
+    * [[Ranks.rowNumber]]'s bucket scheme, never a single-task window —
+    * the reason this beats `orderBy(rand(seed))`, which is BOTH
+    * nondeterministic under retries (rand is partition-index-seeded)
+    * and a global sort. Compose with [[Pack.concatSplit]] ordered by
+    * the position to turn the permutation into packed sequences.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Long,
+                 out: String = "train_pos"): DataFrame =
+    Ranks.rowNumber(
+      df.withColumn("__ek", hashMod2(col(idCol), 1000000000L, epoch)),
+      "__ek", ascending = true, tiebreaks = Seq(idCol), out = out)
+      .drop("__ek")
+
   /** Keep ~`permille`/1000 of rows, uniformly and deterministically.
     * Distinct default seed: see [[hashMod2]] — composing with any other
     * sampler in this file multiplies rates instead of intersecting

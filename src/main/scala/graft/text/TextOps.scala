@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis expressions for large-scale training-data pipelines:
@@ -170,4 +170,38 @@ object TextOps {
         transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Sliding-window retrieval chunking: each document becomes rows
+    * `(id, chunk_idx, chunk_text, chunk_tokens)` of `chunkTokens`-token
+    * windows starting every `stride` tokens — the RAG/embedding-index
+    * preparation step (overlap = chunkTokens - stride carries context
+    * across boundaries). Chunk count is closed-form LONG arithmetic —
+    * `1 + ceil(max(n - chunkTokens, 0) / stride)` — so the last chunk
+    * is the first one reaching the document's end (no trailing
+    * sub-stride fragments, every token covered). A pure
+    * projection + posexplode: no shuffle, output ~n/stride rows per
+    * doc, linear at any corpus size; the token array is projected ONCE
+    * per row (the [[dupTokenFrac]] hoisting rule) and sliced per
+    * chunk inside codegen.
+    */
+  def chunkRows(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    val nChunks = expr(
+      s"(greatest(__n - $chunkTokens, 0L) + ${stride - 1}) div $stride") +
+      lit(1L)
+    toks
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("chunk_tokens"))
+  }
 }

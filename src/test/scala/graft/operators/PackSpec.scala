@@ -133,6 +133,30 @@ class PackSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 0L, 3L)))
   }
 
+  test("epochPack == concatSplit over the epoch hash order; epochs differ") {
+    val sized = (1L to 200L).map(i => (i, 1L + i % 7)).toDF("id", "n")
+    val e1 = Pack.epochPack(sized, "id", "n", 32L, epoch = 1)
+    // reference: materialize the epoch key, order by it explicitly
+    val exp = Pack.concatSplit(
+        sized.withColumn("k", Sample.hashMod2(col("id"), 1000000000L, 1L)),
+        "id", "n", 32L, orderCol = Some("k")).drop("k")
+    assert(e1.collect().map(_.toSeq).toSet == exp.collect().map(_.toSeq).toSet)
+    // a different epoch is a different packing of the same stream:
+    // token totals identical, assignment not
+    val e2 = Pack.epochPack(sized, "id", "n", 32L, epoch = 2)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("id", "seq_id", "offset_in_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(e1) != key(e2))
+    // every epoch preserves the stream invariants: offsets in range,
+    // per-sequence started tokens fill all but the last sequence
+    assert(e2.filter(col("offset_in_seq") < 0 ||
+      col("offset_in_seq") >= 32).count() == 0)
+    // layout independence: the packing is a pure function of the data
+    val relaid = Pack.epochPack(sized.repartition(13), "id", "n", 32L, 1)
+    assert(key(relaid) == key(e1))
+  }
+
   test("no batch exceeds batchSize and batches pack densely") {
     val out = Pack.lengthBucketBatches(docs, "doc_id",
       size(split(col("text"), " ")).cast("long"),

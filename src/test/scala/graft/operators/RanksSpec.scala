@@ -125,4 +125,47 @@ class RanksSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(__b"),
       s"expected the window input partitioned by __b:\n${plan.take(3000)}")
   }
+
+  test("ntile == global window ntile on a total order, k dividing n or not") {
+    // orders at sf0.001 has 1500 rows: k=5 divides, k=7 and k=32 leave
+    // remainders exercising the big-tile/small-tile boundary arithmetic
+    for (k <- Seq(1, 5, 7, 32)) {
+      val got = Ranks.ntile(orders, k, "o_totalprice",
+          ascending = true, tiebreaks = Seq("o_orderkey"), out = "tile",
+          buckets = 8)
+        .select("o_orderkey", "tile").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = orders.withColumn("tile",
+          ntile(k).over(Window.orderBy(col("o_totalprice").asc,
+            col("o_orderkey").asc)).cast("long"))
+        .select("o_orderkey", "tile").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"k=$k")
+    }
+  }
+
+  test("ntile desc == global window ntile desc") {
+    val got = Ranks.ntile(orders, 4, "o_totalprice",
+        ascending = false, tiebreaks = Seq("o_orderkey"), buckets = 8)
+      .select("o_orderkey", "tile").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = orders.withColumn("tile",
+        ntile(4).over(Window.orderBy(col("o_totalprice").desc,
+          col("o_orderkey").asc)).cast("long"))
+      .select("o_orderkey", "tile").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp)
+  }
+
+  test("ntile with n < k gives each row its own tile (div-by-zero ELSE arm)") {
+    // q = n div k = 0: every row sits in a big tile and the ELSE arm's
+    // divisor would be 0 — greatest(q, 1) must keep ANSI codegen safe
+    // even though that branch is never TAKEN
+    val tiny = spark.createDataFrame(Seq(
+      (1L, 7.0), (2L, 3.0), (3L, 9.0))).toDF("k", "v")
+    val got = Ranks.ntile(tiny, 7, "v", tiebreaks = Seq("k"))
+      .select("k", "tile").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (1L, 2L), (3L, 3L)))
+  }
 }

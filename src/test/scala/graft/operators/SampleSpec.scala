@@ -221,4 +221,29 @@ class SampleSpec extends AnyFunSuite {
     assert(got("en") == ((2000000000000L, 500000L, 50000000000000L, 25000000L)))  // 25 epochs
     assert(got("fr") == ((1000000000000L, 500000L, 50000000000000L, 50000000L)))  // 50 epochs
   }
+
+  test("epochOrder is an exact 1..n permutation, stable across layouts") {
+    val n = 10000L
+    val e1 = Sample.epochOrder(ids, "id", epoch = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(e1.values.toSet == (1L to n).toSet, "positions must be 1..n exactly")
+    val again = Sample.epochOrder(ids.repartition(17), "id", epoch = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(again == e1, "same epoch must give the identical order on any layout")
+  }
+
+  test("epochOrder epochs are decorrelated permutations, not rotations") {
+    val e1 = Sample.epochOrder(ids, "id", epoch = 1).as[(Long, Long)].collect().toMap
+    val e2 = Sample.epochOrder(ids, "id", epoch = 2).as[(Long, Long)].collect().toMap
+    // fixed points of the relative permutation: ~n/n expected for a
+    // random pair; a rotation/affine relative would align in runs
+    val same = e1.count { case (id, p) => e2(id) == p }
+    assert(same < 20, s"epochs 1 and 2 share $same positions of 10000")
+    // the relative shift e2-e1 must not be (near-)constant: count the
+    // most common shift value — an input-shifted hash family would put
+    // almost all mass on one or two shifts (the measured hashMod2 trap)
+    val topShift = e1.toSeq.groupBy { case (id, p) => e2(id) - p }
+      .values.map(_.size).max
+    assert(topShift < 100, s"dominant relative shift covers $topShift rows")
+  }
 }

@@ -80,4 +80,37 @@ class TextOpsSpec extends AnyFunSuite {
     val toks = one(TextOps.roughTokens(col("t")), "hi, there!").getSeq[String](0)
     assert(toks == Seq("hi", ",", "there", "!"))
   }
+
+  test("chunkRows: sliding windows cover every token, no trailing fragment") {
+    // 10 tokens, chunk 4, stride 3 -> starts 0,3,6 (1 + ceil(6/3) = 3
+    // chunks); the last chunk reaches the end and is the only short one
+    val df = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val got = TextOps.chunkRows(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (7L, 0L, "t0 t1 t2 t3", 4L),
+      (7L, 1L, "t3 t4 t5 t6", 4L),
+      (7L, 2L, "t6 t7 t8 t9", 4L)))
+    // 11 tokens: starts 0,3,6,9 — last chunk is the 2-token tail
+    val df2 = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val tail2 = TextOps.chunkRows(df2, "doc_id", "text", 4, 3)
+      .orderBy(col("chunk_idx").desc).limit(1)
+      .select("chunk_text", "chunk_tokens").collect().head
+    assert(tail2.getString(0) == "t9 t10" && tail2.getLong(1) == 2L)
+  }
+
+  test("chunkRows: short docs are one whole-doc chunk; stride == chunk tiles") {
+    val df = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextOps.chunkRows(df, "doc_id", "text", 8, 8)
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 0L, "a b", 2L), (2L, 0L, "x", 1L)))
+    // stride == chunkTokens: disjoint tiling, 9 tokens / 4 -> 3 chunks
+    val df3 = Seq((3L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val tiles = TextOps.chunkRows(df3, "doc_id", "text", 4, 4)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(tiles.toSeq == Seq("a b c d", "e f g h", "i"))
+  }
 }
