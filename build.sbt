@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thrash GC and spill (measured 4-10× per-query blowups). The box has
   // 128 GiB; give the worker JVM a heap sized like a real executor.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // A 200-query suite JIT-compiles thousands of unique whole-stage-
+  // codegen classes (each query × each retime generates fresh ones);
+  // at the JVM's default ~240 MB code cache the sweeper starts
+  // evicting hot methods and late queries re-run interpreted-to-
+  // rewarmed — part of the measured in-suite slowdown (q145: 28.7 s
+  // at suite position ~140 vs 15.9 s in a fresh JVM, same box/load).
+  "-XX:ReservedCodeCacheSize=1g",
 )

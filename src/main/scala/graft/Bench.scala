@@ -57,6 +57,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Even with the UI off, AppStatusListener/SQLAppStatusListener
+      // retain per-execution state in the driver: the defaults keep
+      // 1000 SQL executions (each holding the full physical-plan tree
+      // and metric maps — this registry's plans are large) plus jobs/
+      // stages/tasks. Across 200+ queries × retimes that store grows
+      // monotonically, bloating the old gen and listener-bus work for
+      // every late query. Nothing reads it in a bench run — keep a
+      // diagnostic handful only.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // External-contention gate input: must be read BEFORE this bench

@@ -2844,6 +2844,80 @@ object SparkEntry {
        |  max(jaccard) AS max_jaccard
        |FROM m GROUP BY 1, 2""".stripMargin)),
 
+    ("q213_budget_fill", (s, d) => {
+      // quality-first token-budget selection: fill a 10k-token corpus
+      // with the least-repetitive documents (lowest duplicate-token
+      // fraction first, doc_id tiebreak); the crossing doc is
+      // included. The running total is Ranks.prefixSum — the kept set
+      // is an exact prefix of the quality order with no single-task
+      // global window anywhere.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          graft.text.TextOps.dupTokenFrac(col("toks")).as("dup_frac"))
+      graft.operators.Sample.budgetFill(docs, "doc_id", "n_tokens",
+        "dup_frac", budgetTokens = 10000L, bestFirst = false)
+    }, Some("""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk)
+       |      AS dup_frac
+       |  FROM d),
+       |p AS (
+       |  SELECT doc_id, n_tokens, dup_frac,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY dup_frac ASC,
+       |      doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+       |      PRECEDING), 0) AS BIGINT) AS cum_tokens_before
+       |  FROM sc)
+       |SELECT doc_id, n_tokens, dup_frac, cum_tokens_before
+       |FROM p WHERE cum_tokens_before < 10000""".stripMargin)),
+
+    ("q214_domain_quota", (s, d) =>
+      // domain-cap curation: no source contributes more than 25 docs,
+      // keeping its LONGEST ones (n_chars desc, doc_id tiebreak) — the
+      // deterministic complement of hash-random weightedSample. Plans
+      // as WindowGroupLimit: map-side top-k per source before the
+      // exchange, so a corpus-scale source never funnels whole.
+      graft.operators.Sample.quotaPerStratum(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", k = 25, bestFirst = true,
+        tiebreaks = Seq("doc_id")),
+      Some("""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM documents) WHERE rn <= 25""".stripMargin)),
+
+    ("q215_oov_rate", (s, d) =>
+      // lexical novelty / garbage signal: per-doc fraction of tokens
+      // outside the corpus's own top-16 head vocabulary (count desc,
+      // token asc cutoff) — a doc mostly missing the head vocabulary
+      // is boilerplate, another language, or noise. Vocabulary is a
+      // distributed partial top-k; the membership join broadcasts it.
+      graft.text.Vocab.oovRate(
+        t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", vocabSize = 16),
+      Some("""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+'))
+         |    AS token
+         |  FROM documents),
+         |voc AS (
+         |  SELECT token, 1 AS hit FROM (
+         |    SELECT token, count(*) AS c FROM tok GROUP BY 1
+         |    ORDER BY c DESC, token ASC LIMIT 16)),
+         |j AS (SELECT tok.doc_id, voc.hit
+         |      FROM tok LEFT JOIN voc USING (token))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS oov_tokens,
+         |  CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS oov_frac
+         |FROM j GROUP BY doc_id""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

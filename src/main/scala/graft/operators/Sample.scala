@@ -112,6 +112,54 @@ object Sample {
       "__ek", ascending = true, tiebreaks = Seq(idCol), out = out)
       .drop("__ek")
 
+  /** Token-budget corpus fill: keep the best-scored rows until
+    * `budgetTokens` is reached — "the highest-quality N-token corpus
+    * this data can give", the selection step after scoring. A row is
+    * kept iff the total tokens of STRICTLY better rows (score, then
+    * `idCol` asc; `bestFirst` picks the score direction) is below the
+    * budget — so the row that crosses the line is included and the
+    * kept set is a prefix of the quality order, never a mid-tie
+    * subset. The running total is [[Ranks.prefixSum]] — bucket-
+    * distributed, no single-task global window — and rides out as
+    * `cum_tokens_before` (the row's start position in the filled
+    * corpus, useful for curriculum ordering). Scores must be non-null
+    * ([[Ranks]] contract); token counts must be non-negative for the
+    * prefix to be monotone.
+    */
+  def budgetFill(df: DataFrame, idCol: String, tokensCol: String,
+                 scoreCol: String, budgetTokens: Long,
+                 bestFirst: Boolean = true): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    Ranks.prefixSum(df, scoreCol, tokensCol, ascending = !bestFirst,
+        tiebreaks = Seq(idCol), out = "cum_tokens_before")
+      .filter(col("cum_tokens_before") < budgetTokens)
+  }
+
+  /** Score-ranked quota cap: at most `k` rows per stratum, best
+    * `orderCol` first (ties broken by `tiebreaks` asc — append enough
+    * to make the order total, or the cut inside a tie group is
+    * engine-defined). The domain-cap curation step ("no domain
+    * contributes more than k documents"), and the deterministic
+    * complement of [[weightedSample]] (hash-random per stratum) —
+    * here the KEPT rows are the best ones, not a random draw. The
+    * `row_number <= k` filter plans as `WindowGroupLimit`: each map
+    * task pre-trims to its local top-k per stratum before the
+    * exchange, so a corpus-scale stratum ships at most k rows per
+    * input partition instead of funneling whole.
+    */
+  def quotaPerStratum(df: DataFrame, stratumCol: String, orderCol: String,
+                      k: Int, bestFirst: Boolean = true,
+                      tiebreaks: Seq[String] = Seq.empty): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ord = (if (bestFirst) col(orderCol).desc else col(orderCol).asc) +:
+      tiebreaks.map(col(_).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(ord: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
+
   /** Keep ~`permille`/1000 of rows, uniformly and deterministically.
     * Distinct default seed: see [[hashMod2]] — composing with any other
     * sampler in this file multiplies rates instead of intersecting

@@ -24,6 +24,32 @@ object Vocab {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` tokens (by occurrence count, ties broken token
+    * asc so the cutoff is a total order) — the lexical-novelty /
+    * garbage signal: a doc whose tokens mostly miss the head
+    * vocabulary is boilerplate, another language, or noise. The
+    * vocabulary is a `TakeOrderedAndProject` top-k (per-partition
+    * partial top-k, vocab-sized merge — never a full sort) and joins
+    * back as a broadcast; per-doc counts are one doc-keyed aggregate.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val v = vocab(df, idCol, textCol)
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1L).as("__in"))
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    toks.join(broadcast(v), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_frac",
+        col("oov_tokens").cast("double") / col("n_tokens"))
+  }
+
   /** The highest-TF-IDF term of each document (deterministic: ties
     * break on token order). Four shuffles — (id,token) term counts,
     * token document frequencies, the join back, the per-doc top-1 — and

@@ -222,6 +222,36 @@ class SampleSpec extends AnyFunSuite {
     assert(got("fr") == ((1000000000000L, 500000L, 50000000000000L, 50000000L)))  // 50 epochs
   }
 
+  test("budgetFill keeps a best-first prefix; the crossing row is included") {
+    val docs = Seq((1L, 10L, 0.9), (2L, 10L, 0.5), (3L, 10L, 0.7),
+      (4L, 10L, 0.2)).toDF("id", "n", "score")
+    // score desc: 1(pre 0), 3(pre 10), 2(pre 20), 4(pre 30); budget 25
+    // keeps 1,3 outright and 2 as the crossing row
+    val got = Sample.budgetFill(docs, "id", "n", "score", 25L)
+      .select("id", "cum_tokens_before")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 3L -> 10L, 2L -> 20L))
+    // worst-first direction + id tiebreak on equal scores
+    val tied = Seq((5L, 3L, 0.5), (6L, 3L, 0.5), (7L, 3L, 0.9))
+      .toDF("id", "n", "score")
+    val worst = Sample.budgetFill(tied, "id", "n", "score", 4L,
+        bestFirst = false)
+      .select("id").as[Long].collect().toSet
+    assert(worst == Set(5L, 6L)) // 5 (pre 0), 6 (pre 3 crosses), 7 excluded
+  }
+
+  test("quotaPerStratum keeps the best k per stratum, WindowGroupLimit plan") {
+    val rows = Seq(("a", 1L, 5L), ("a", 2L, 9L), ("a", 3L, 9L),
+      ("b", 4L, 1L)).toDF("s", "id", "v")
+    val out = Sample.quotaPerStratum(rows, "s", "v", 2,
+      bestFirst = true, tiebreaks = Seq("id"))
+    assert(out.select("id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    // the rank filter must plan as a group-limit: map-side top-k per
+    // stratum before the exchange, so a huge stratum never funnels
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("epochOrder is an exact 1..n permutation, stable across layouts") {
     val n = 10000L
     val e1 = Sample.epochOrder(ids, "id", epoch = 1)

@@ -162,4 +162,20 @@ class VocabSpec extends AnyFunSuite {
       Seq("d"), k = 5).as[(Long, Double)].collect()
     assert(top.toSeq == again.toSeq)
   }
+
+  test("oovRate against the corpus head vocabulary; cutoff ties on token asc") {
+    // counts: a=3, d=2, b=1, c=1
+    val docs = Seq((1L, "a a b c"), (2L, "a d d")).toDF("doc_id", "text")
+    val v2 = Vocab.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .select("doc_id", "n_tokens", "oov_tokens", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // vocab {a, d}: doc1 misses b,c (2 of 4); doc2 fully covered
+    assert(v2(1L) == ((1L, 4L, 2L, 0.5)))
+    assert(v2(2L) == ((2L, 3L, 0L, 0.0)))
+    // vocabSize=3: b and c tie at 1 — token asc admits b, so doc1
+    // misses only c
+    val v3 = Vocab.oovRate(docs, "doc_id", "text", vocabSize = 3)
+      .select("doc_id", "oov_tokens").as[(Long, Long)].collect().toMap
+    assert(v3 == Map(1L -> 1L, 2L -> 0L))
+  }
 }
