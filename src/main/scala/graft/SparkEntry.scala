@@ -2918,6 +2918,66 @@ object SparkEntry {
          |    / count(*) AS oov_frac
          |FROM j GROUP BY doc_id""".stripMargin)),
 
+    ("q216_stream_sessions", (s, d) => {
+      // the mapGroupsWithState face, gated batch-equivalently: a real
+      // StreamingQuery folds the events table through userSessions'
+      // typed per-user state across 3 staged micro-batches, each
+      // batch's emitted updates land under batch=<id>; the LAST update
+      // per user (keep-latest by batch) must equal the from-scratch
+      // GROUP BY — running totals fold in DECIMAL so the telescoped
+      // state is bit-exact regardless of iterator order.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q216_").toString
+      val feedDir = s"$tmp/feed"
+      new java.io.File(feedDir).mkdirs()
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(18,6)").as("value"))
+      def stage(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+        val aside = s"$tmp/stage$n"
+        df.coalesce(1).write.mode("overwrite").parquet(aside)
+        val part = new java.io.File(aside).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
+      }
+      stage(ev.filter(col("event_id") % 3 === 0), 1)
+      import s.implicits._
+      val typed = s.readStream
+        .schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+        .parquet(feedDir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.Streams.UserEvent]
+      val sq = graft.streaming.Streams.userSessions(typed)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            graft.streaming.Streams.UserSession], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$tmp/updates/batch=$id")
+          ()
+        }
+        .start()
+      try {
+        sq.processAllAvailable()
+        stage(ev.filter(col("event_id") % 3 === 1), 2)
+        sq.processAllAvailable()
+        stage(ev.filter(col("event_id") % 3 === 2), 3)
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val res = graft.operators.Dedup.keepLatest(
+          s.read.parquet(s"$tmp/updates"), Seq("user_id"), "batch")
+        .select(col("user_id"), col("events"),
+          col("total").cast("double").as("total"),
+          col("lastSeen").as("last_seen"))
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      res
+    }, Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       |  max(ts) AS last_seen
+       |FROM events GROUP BY user_id""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

@@ -142,10 +142,11 @@ object Sample {
     * contributes more than k documents"), and the deterministic
     * complement of [[weightedSample]] (hash-random per stratum) —
     * here the KEPT rows are the best ones, not a random draw. The
-    * `row_number <= k` filter plans as `WindowGroupLimit`: each map
-    * task pre-trims to its local top-k per stratum before the
-    * exchange, so a corpus-scale stratum ships at most k rows per
-    * input partition instead of funneling whole.
+    * ONE implementation of per-group top-k is [[Dedup.topKPerKey]]
+    * (which plans as `WindowGroupLimit`: map tasks pre-trim to their
+    * local top-k per stratum before the exchange, so a corpus-scale
+    * stratum never funnels whole); this is its sampler-facing
+    * direction/tiebreak convention, not a second window.
     */
   def quotaPerStratum(df: DataFrame, stratumCol: String, orderCol: String,
                       k: Int, bestFirst: Boolean = true,
@@ -153,11 +154,7 @@ object Sample {
     require(k >= 1, s"k must be >= 1, got $k")
     val ord = (if (bestFirst) col(orderCol).desc else col(orderCol).asc) +:
       tiebreaks.map(col(_).asc)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(ord: _*)
-    df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= k)
-      .drop("__graft_rn")
+    Dedup.topKPerKey(df, Seq(stratumCol), ord, k)
   }
 
   /** Keep ~`permille`/1000 of rows, uniformly and deterministically.

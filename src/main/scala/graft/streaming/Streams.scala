@@ -517,12 +517,21 @@ object Streams {
     graft.operators.Sketches.hllEstimateFromRegisters(
       spark.read.parquet(s"$root/registers").drop("batch"), bucketBits)
 
-  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
-  final case class UserSession(user_id: Long, events: Long, total: Double,
+  final case class UserEvent(user_id: Long, ts: Timestamp,
+                             value: java.math.BigDecimal)
+  final case class UserSession(user_id: Long, events: Long,
+                               total: java.math.BigDecimal,
                                lastSeen: Timestamp)
 
   /** Typed running per-user state (custom stateful op the built-in aggs
-    * can't express: running totals emitted on every update).
+    * can't express: running totals emitted on every update). The total
+    * folds in DECIMAL, not double: the iterator's within-batch order is
+    * whatever the shuffle delivered, so a double fold would carry
+    * order-dependent low bits and the streamed state could never
+    * hash-telescope to the batch GROUP BY (the q188/q192 discipline —
+    * every maintained table must equal its from-scratch twin
+    * bit-for-bit). Callers quantize inputs once (cast to
+    * DECIMAL(18,6)) and the fold is exact and associative from there.
     */
   def userSessions(events: Dataset[UserEvent]): Dataset[UserSession] = {
     import events.sparkSession.implicits._
@@ -531,10 +540,11 @@ object Streams {
         GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserSession]) =>
           val prev = state.getOption.getOrElse(
-            UserSession(userId, 0L, 0.0, new Timestamp(0L)))
+            UserSession(userId, 0L, java.math.BigDecimal.ZERO,
+              new Timestamp(0L)))
           val next = batch.foldLeft(prev) { (s, e) =>
             UserSession(userId, s.events + 1,
-              s.total + e.value,
+              s.total.add(e.value),
               if (e.ts.after(s.lastSeen)) e.ts else s.lastSeen)
           }
           state.update(next)

@@ -86,13 +86,16 @@ class StreamsSpec extends AnyFunSuite {
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode("update").start()
     try {
-      input.addData(Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 10.0))
+      input.addData(Streams.UserEvent(1L, ts("2024-01-01 10:00:00"),
+        new java.math.BigDecimal("10.0")))
       q.processAllAvailable()
-      input.addData(Streams.UserEvent(1L, ts("2024-01-01 11:00:00"), 5.0))
+      input.addData(Streams.UserEvent(1L, ts("2024-01-01 11:00:00"),
+        new java.math.BigDecimal("5.0")))
       q.processAllAvailable()
       val last = spark.table("sessions")
         .orderBy($"events".desc).as[Streams.UserSession].collect().head
-      assert(last.events == 2 && last.total == 15.0)
+      assert(last.events == 2 && last.total.compareTo(
+        new java.math.BigDecimal("15.0")) == 0)
       assert(last.lastSeen == ts("2024-01-01 11:00:00"))
     } finally q.stop()
   }
