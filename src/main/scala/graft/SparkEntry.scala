@@ -2851,11 +2851,16 @@ object SparkEntry {
       // included. The running total is Ranks.prefixSum — the kept set
       // is an exact prefix of the quality order with no single-task
       // global window anywhere.
+      // scoring tokenizes + distincts every doc — checkpoint before the
+      // rank per the Ranks caller contract (prefixSum reads its input
+      // three times; re-deriving the scorer measured 16.1 s at the sf1
+      // soak vs 3.0 s checkpointed, decade ratio 6.9x -> 3.7x)
       val docs = t(s, d, "documents")
         .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           graft.text.TextOps.dupTokenFrac(col("toks")).as("dup_frac"))
+        .localCheckpoint(true)
       graft.operators.Sample.budgetFill(docs, "doc_id", "n_tokens",
         "dup_frac", budgetTokens = 10000L, bestFirst = false)
     }, Some("""WITH d AS (
