@@ -2983,6 +2983,53 @@ object SparkEntry {
        |  max(ts) AS last_seen
        |FROM events GROUP BY user_id""".stripMargin)),
 
+    ("q217_grouped_quantiles", (s, d) =>
+      // exact per-event-type value percentiles (PERCENTILE_DISC at
+      // ceil(q*n), event_id tiebreak) via the GROUPED bucket scheme:
+      // `OVER (PARTITION BY event_type)` funnels each of the ~5 types
+      // through ONE task at fact scale — here per-group cuts
+      // distribute every group across (group × bucket) tasks and the
+      // target-rank pick is a broadcast equi-join
+      graft.operators.Ranks.groupedQuantiles(
+        t(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "value", Seq(0.5, 0.95, 0.99),
+        tiebreaks = Seq("event_id")),
+      Some("""WITH r AS (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value ASC, event_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |p AS (SELECT CAST(prob AS DOUBLE) AS prob, prob AS pd
+         |      FROM (VALUES (0.5), (0.95), (0.99)) AS t(prob))
+         |SELECT event_type, prob, value
+         |FROM r JOIN p ON rn = CAST(ceil(pd * n) AS BIGINT)""".stripMargin)),
+
+    ("q218_group_decile_floor", (s, d) => {
+      // per-language quality floor: drop each language's shortest
+      // decile (bottom floor(n/10) docs by n_chars, doc_id tiebreak) —
+      // the per-stratum curation cut a multilingual corpus needs
+      // (a GLOBAL decile cut would gut whichever language runs short).
+      // Ranks.rowNumberGrouped keeps every language distributed; the
+      // cut itself is pure integer arithmetic on exact counts.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val ranked = graft.operators.Ranks.rowNumberGrouped(
+        docs, "lang", "n_chars", ascending = true,
+        tiebreaks = Seq("doc_id"), out = "__rn")
+      val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+      ranked.join(broadcast(n), Seq("lang"))
+        .filter(col("__rn") > expr("__n div 10"))
+        .select("doc_id", "lang", "n_chars")
+    }, Some("""WITH r AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars ASC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars FROM r WHERE rn > n // 10""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

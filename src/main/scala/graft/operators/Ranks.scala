@@ -208,6 +208,97 @@ object Ranks {
       .drop("__rn", "__n")
   }
 
+  /** [[rowNumber]] PER GROUP, for LOW-CARDINALITY group columns over
+    * fact-scale rows — the shape `row_number() OVER (PARTITION BY
+    * group ORDER BY value)` funnels through #groups tasks when groups
+    * are few and huge (5 event types over 10^12 rows = 5 tasks doing
+    * everything; the partitioned window only distributes when groups
+    * are MANY). Scheme: per-group approx_percentile cuts (ONE grouped
+    * aggregate, collected eagerly — the [[rowNumber]] cut-consistency
+    * rule — and re-broadcast as a #groups-row join table), bucket =
+    * count of own-group cuts below the value (pure projection, pure
+    * function of (group, value) so ties never straddle), exact
+    * per-(group, bucket) counts prefix-summed per group over the
+    * (#groups × B)-row table, local window per (group, bucket).
+    *
+    * CONTRACT: `groupCol` must be low-cardinality (the cut collect is
+    * #groups × (B-1) doubles — thousands of groups are fine, a
+    * fact-scale key column is not: there the plain partitioned window
+    * already distributes and this scheme buys nothing). Group and
+    * value must be non-null (null groups drop in the cuts equi-join;
+    * null values in the bucket lambda — callers filter).
+    */
+  def rowNumberGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                       ascending: Boolean = true,
+                       tiebreaks: Seq[String] = Seq.empty,
+                       out: String = "rn", buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val cutRows = df.groupBy(col(groupCol))
+      .agg(approx_percentile(v, typedLit(qs), lit(10000)).as("__cuts"))
+      .collect()
+    val cutSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol),
+      org.apache.spark.sql.types.StructField("__cuts",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val cutsDf = spark.createDataFrame(
+      java.util.Arrays.asList(cutRows: _*), cutSchema)
+    val bucketed = df.join(broadcast(cutsDf), Seq(groupCol))
+      .withColumn("__b", size(filter(
+        coalesce(col("__cuts"), array().cast("array<double>")),
+        c => if (ascending) v > c else v < c)))
+      .drop("__cuts")
+    val counts = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    // per-group exclusive prefix over ≤ #groups × B rows — tiny
+    val offs = counts.withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    val ord = orderCol(valueCol, ascending) +: tiebreaks.map(c => col(c).asc)
+    bucketed.join(broadcast(offs), Seq(groupCol, "__b"))
+      .withColumn(out, col("__off") +
+        row_number().over(
+          Window.partitionBy(col(groupCol), col("__b")).orderBy(ord: _*)))
+      .drop("__b", "__off")
+  }
+
+  /** Exact per-group PERCENTILE_DISC for every prob in `probs`: the
+    * smallest value whose cumulative row count reaches `ceil(q·n_g)`
+    * in the (value asc, tiebreaks asc) total order — one tiny
+    * `(group, prob, value)` row per pair. Built on
+    * [[rowNumberGrouped]] (same low-cardinality-group contract):
+    * target ranks are computed per group from exact counts in DECIMAL
+    * (a double `q·n` can land an ulp above an exact integer and ceil
+    * off by one), then a broadcast equi-join on `(group, rank)` picks
+    * the winners — no fact-scale row is amplified or re-sorted.
+    * Probs must lie in (0, 1] with at most 10 decimal digits.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       probs: Seq[Double],
+                       tiebreaks: Seq[String] = Seq.empty,
+                       buckets: Int = 64): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    val ranked = rowNumberGrouped(df, groupCol, valueCol,
+      ascending = true, tiebreaks = tiebreaks, out = "__rn",
+      buckets = buckets)
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val probsDf = spark.createDataFrame(probs.map(Tuple1(_))).toDF("prob")
+      .withColumn("__pd", col("prob").cast("decimal(20,10)"))
+    val targets = n.crossJoin(probsDf)
+      .select(col(groupCol).as("__g"), col("prob"),
+        ceil(col("__pd") * col("__n")).cast("long").as("__t"))
+    ranked.join(broadcast(targets),
+        col(groupCol) === col("__g") && col("__rn") === col("__t"))
+      .select(col(groupCol), col("prob"), col(valueCol))
+  }
+
   /** Order-preserving numeric key for a string under Spark's binary
     * UTF-8 collation: the first 7 bytes big-endian as an integer, hex
     * right-padded with zeros so that a string that is a strict prefix

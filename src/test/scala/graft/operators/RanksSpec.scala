@@ -157,6 +157,76 @@ class RanksSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("rowNumberGrouped == per-group window row_number, heavy ties included") {
+    // lineitem quantity: ~50 distinct values per group — bucket cuts
+    // land inside tie runs constantly; per-group exactness must hold
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("v"),
+        col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+    val got = Ranks.rowNumberGrouped(li, "g", "v",
+        ascending = true, tiebreaks = Seq("k1", "k2"), out = "rn",
+        buckets = 8)
+      .select("g", "k1", "k2", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val exp = li.withColumn("rn",
+        row_number().over(Window.partitionBy(col("g"))
+          .orderBy(col("v").asc, col("k1").asc, col("k2").asc))
+          .cast("long"))
+      .select("g", "k1", "k2", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == exp)
+  }
+
+  test("rowNumberGrouped distributes each group across buckets (plan pin)") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("v"),
+        col("l_orderkey").as("k1"))
+    val plan = Ranks.rowNumberGrouped(li, "g", "v",
+        tiebreaks = Seq("k1"), out = "rn")
+      .queryExecution.executedPlan.toString
+    // the window exchange must be on (group, bucket), never group
+    // alone — a 5-type fact table would otherwise run in 5 tasks
+    assert(plan.contains("hashpartitioning(g") && plan.contains("__b"),
+      plan.take(3000))
+  }
+
+  test("rowNumberGrouped desc and single-row groups") {
+    val df = spark.createDataFrame(Seq(
+      ("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 9.0, 3L), ("b", 1.0, 4L)))
+      .toDF("g", "v", "id")
+    val got = Ranks.rowNumberGrouped(df, "g", "v", ascending = false,
+        tiebreaks = Seq("id"), out = "rn")
+      .select("id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (3L, 2L), (1L, 3L), (4L, 1L)))
+  }
+
+  test("groupedQuantiles == per-group PERCENTILE_DISC at exact target ranks") {
+    val li = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+    val got = Ranks.groupedQuantiles(li, "g", "v", Seq(0.5, 0.95, 0.99),
+        tiebreaks = Seq("k1", "k2"), buckets = 8)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    // reference: window rank + exact decimal target per group
+    val ref = li.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").asc,
+            col("k1").asc, col("k2").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .collect()
+    for (q <- Seq(0.5, 0.95, 0.99)) {
+      val qd = new java.math.BigDecimal(q.toString)
+      val byG = ref.groupBy(_.getString(0))
+      byG.foreach { case (g, rows) =>
+        val n = rows.head.getLong(5)
+        val target = qd.multiply(new java.math.BigDecimal(n))
+          .setScale(0, java.math.RoundingMode.CEILING).longValueExact()
+        val expected = rows.find(_.getLong(4) == target).get.getDouble(1)
+        assert(got((g, q)) == expected, s"g=$g q=$q")
+      }
+    }
+  }
+
   test("ntile with n < k gives each row its own tile (div-by-zero ELSE arm)") {
     // q = n div k = 0: every row sits in a big tile and the ELSE arm's
     // divisor would be 0 — greatest(q, 1) must keep ANSI codegen safe
