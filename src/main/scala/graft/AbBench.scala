@@ -317,6 +317,35 @@ object AbBench {
         col("mean_surprisal"), col("decile"),
         (col("decile") <= lit(9L)).as("keep"))
     }),
+    // The single-task shapes the r12 rank adds replace — one command
+    // reproduces each claim:
+    //   AbBench q208_ntile v208_window_ntile
+    //   AbBench q217_grouped_quantiles v217_window_quantiles
+    "v208_window_ntile" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("tile", ntile(16).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+              col("l_linenumber").asc)).cast("long"))
+        .select("l_orderkey", "l_linenumber", "tile")),
+    "v217_window_quantiles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      val r = Tables.t(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))))
+      val probs = s.createDataFrame(Seq(0.5, 0.95, 0.99).map(Tuple1(_)))
+        .toDF("prob")
+        .withColumn("__pd", col("prob").cast("decimal(20,10)"))
+      r.crossJoin(broadcast(probs))
+        .filter(col("rn") === ceil(col("__pd") * col("n")).cast("long"))
+        .select(col("event_type"), col("prob"), col("value"))
+    }),
     "v174_window_positions" -> ((s, d) => {
       val words = Tables.t(s, d, "documents")
         .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
