@@ -3030,6 +3030,128 @@ object SparkEntry {
        |  FROM documents)
        |SELECT doc_id, lang, n_chars FROM r WHERE rn > n // 10""".stripMargin)),
 
+    ("q219_nb_token_model", (s, d) =>
+      // model-based quality filtering, train step (the GPT-3/CCNet
+      // recipe): Laplace-smoothed NB token log-odds separating the
+      // "trusted" class (here: lang='en') from the rest. One token
+      // groupBy + a broadcast 1-row totals frame; the model stays a
+      // vocab-sized DataFrame. ln rounded to 9 dp per the q114 rule.
+      graft.text.QualityClassifier.nbTrain(
+        t(s, d, "documents"), "text", col("lang") === "en"),
+      Some("""WITH tok AS (
+       |  SELECT (lang = 'en') AS pos,
+       |    unnest(regexp_split_to_array(text, '\s+')) AS token
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT token,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+       |  FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(c_neg) AS BIGINT) AS n_neg, count(*) AS v FROM cnt)
+       |SELECT token, c_pos, c_neg,
+       |  round(ln(((CAST(c_pos AS DOUBLE) + 1) / (n_pos + v)) /
+       |           ((CAST(c_neg AS DOUBLE) + 1) / (n_neg + v))), 9) AS w
+       |FROM cnt CROSS JOIN tot""".stripMargin)),
+
+    ("q220_nb_doc_scores", (s, d) => {
+      // score step: every document's tf-weighted NB evidence under the
+      // q219 model — the keep/drop signal a quality-filtered corpus
+      // thresholds on. The (doc,token) tf equi-joins the model ON THE
+      // TOKEN (both sides hashed by it — a 10M-term vocab never
+      // broadcasts); the per-doc sum rides DECIMAL(18,6).
+      val docs = t(s, d, "documents")
+      val model = graft.text.QualityClassifier.nbTrain(
+        docs, "text", col("lang") === "en")
+      graft.text.QualityClassifier.nbScore(docs, "doc_id", "text", model)
+        .withColumn("keep", col("score") > 0)
+    }, Some("""WITH tok AS (
+       |  SELECT doc_id, (lang = 'en') AS pos,
+       |    unnest(regexp_split_to_array(text, '\s+')) AS token
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT token,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+       |  FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(c_neg) AS BIGINT) AS n_neg, count(*) AS v FROM cnt),
+       |m AS (SELECT token,
+       |  round(ln(((CAST(c_pos AS DOUBLE) + 1) / (n_pos + v)) /
+       |           ((CAST(c_neg AS DOUBLE) + 1) / (n_neg + v))), 9) AS w
+       |  FROM cnt CROSS JOIN tot),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST(tf * w AS DECIMAL(18,6))) AS DOUBLE) AS score,
+       |  CAST(sum(CAST(tf * w AS DECIMAL(18,6))) AS DOUBLE) > 0 AS keep
+       |FROM tf JOIN m USING (token)
+       |GROUP BY doc_id""".stripMargin)),
+
+    ("q221_perceptron_quality", (s, d) => {
+      // the ITERATIVE quality classifier, exact to the bit: a batch
+      // perceptron (integer features, labels ±1, lr=1) over doc
+      // length / lexical diversity / an anchor-stopword count. Each
+      // epoch is ONE map-side-combinable aggregate pulling d+1 longs
+      // to the driver (the codebook-sized-pull exception); the
+      // feature frame is checkpointed because the loop reads it once
+      // per epoch (the q213 contract). No floating point anywhere.
+      val cols = Seq("f_bias", "f_tokens", "f_distinct", "f_marker")
+      val feats = graft.text.QualityClassifier
+        .tokenFeatures(t(s, d, "documents"), "doc_id", "text",
+          marker = "the")
+        .join(t(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(-1L).as("y")),
+          Seq("doc_id"))
+        .localCheckpoint(true)
+      val w = graft.text.QualityClassifier
+        .perceptronTrain(feats, "y", cols, epochs = 3)
+      graft.text.QualityClassifier.perceptronScore(feats, cols, w)
+        .select(col("doc_id"), col("f_tokens"), col("f_distinct"),
+          col("f_marker"), col("margin"), col("pred"))
+    }, Some("""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(1 AS BIGINT) AS x0,
+       |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS x1,
+       |    CAST(len(list_distinct(regexp_split_to_array(text, '\s+')))
+       |      AS BIGINT) AS x2,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+       |      t -> t = 'the')) AS BIGINT) AS x3,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM documents),
+       |w1 AS (
+       |  SELECT CAST(sum(y * x0) AS BIGINT) AS a0,
+       |    CAST(sum(y * x1) AS BIGINT) AS a1,
+       |    CAST(sum(y * x2) AS BIGINT) AS a2,
+       |    CAST(sum(y * x3) AS BIGINT) AS a3
+       |  FROM f),
+       |w2 AS (
+       |  SELECT
+       |    w1.a0 + CAST(sum(CASE WHEN y * (w1.a0*x0 + w1.a1*x1 + w1.a2*x2
+       |      + w1.a3*x3) <= 0 THEN y * x0 ELSE 0 END) AS BIGINT) AS a0,
+       |    w1.a1 + CAST(sum(CASE WHEN y * (w1.a0*x0 + w1.a1*x1 + w1.a2*x2
+       |      + w1.a3*x3) <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS a1,
+       |    w1.a2 + CAST(sum(CASE WHEN y * (w1.a0*x0 + w1.a1*x1 + w1.a2*x2
+       |      + w1.a3*x3) <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS a2,
+       |    w1.a3 + CAST(sum(CASE WHEN y * (w1.a0*x0 + w1.a1*x1 + w1.a2*x2
+       |      + w1.a3*x3) <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS a3
+       |  FROM f CROSS JOIN w1 GROUP BY w1.a0, w1.a1, w1.a2, w1.a3),
+       |w3 AS (
+       |  SELECT
+       |    w2.a0 + CAST(sum(CASE WHEN y * (w2.a0*x0 + w2.a1*x1 + w2.a2*x2
+       |      + w2.a3*x3) <= 0 THEN y * x0 ELSE 0 END) AS BIGINT) AS a0,
+       |    w2.a1 + CAST(sum(CASE WHEN y * (w2.a0*x0 + w2.a1*x1 + w2.a2*x2
+       |      + w2.a3*x3) <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS a1,
+       |    w2.a2 + CAST(sum(CASE WHEN y * (w2.a0*x0 + w2.a1*x1 + w2.a2*x2
+       |      + w2.a3*x3) <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS a2,
+       |    w2.a3 + CAST(sum(CASE WHEN y * (w2.a0*x0 + w2.a1*x1 + w2.a2*x2
+       |      + w2.a3*x3) <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS a3
+       |  FROM f CROSS JOIN w2 GROUP BY w2.a0, w2.a1, w2.a2, w2.a3)
+       |SELECT doc_id, x1 AS f_tokens, x2 AS f_distinct, x3 AS f_marker,
+       |  a0*x0 + a1*x1 + a2*x2 + a3*x3 AS margin,
+       |  (a0*x0 + a1*x1 + a2*x2 + a3*x3) > 0 AS pred
+       |FROM f CROSS JOIN w3""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production
