@@ -3152,6 +3152,144 @@ object SparkEntry {
        |  (a0*x0 + a1*x1 + a2*x2 + a3*x3) > 0 AS pred
        |FROM f CROSS JOIN w3""".stripMargin)),
 
+    ("q222_bitext_mining", (s, d) => {
+      // cross-lingual bitext mining (CCMatrix/LASER): for every
+      // English document vector, the margin-criterion best match on
+      // the German side — cosine over the mean of both endpoints'
+      // k-NN neighborhoods, which demotes hub vectors that absolute
+      // cosine would pick for everything. Brute bipartite (the
+      // recall yardstick; Bitext.mineLsh is the bucketed scale path,
+      // recall-tested in BitextSpec). The oracle replays ArrayDot's
+      // sequential fold ORDER BY dimension, so cosines, decimal
+      // neighborhood means, and rounded margins are one hash compare.
+      val emb = t(s, d, "embeddings")
+      val lang = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val labeled = emb.join(lang, emb("vec_id") === lang("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("lang"))
+      graft.sim.Bitext.mine(
+        labeled.filter(col("lang") === "en").select("vec_id", "embedding"),
+        labeled.filter(col("lang") === "de").select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 4)
+    }, Some("""WITH lab AS (SELECT doc_id, lang FROM documents),
+       |sv AS (SELECT vec_id, embedding FROM embeddings e
+       |  JOIN lab ON lab.doc_id = e.vec_id WHERE lang = 'en'),
+       |tv AS (SELECT vec_id, embedding FROM embeddings e
+       |  JOIN lab ON lab.doc_id = e.vec_id WHERE lang = 'de'),
+       |se AS (SELECT vec_id, t.i - 1 AS j, CAST(embedding[t.i] AS DOUBLE) AS v
+       |  FROM sv CROSS JOIN range(1, 65) t(i)),
+       |te AS (SELECT vec_id, t.i - 1 AS j, CAST(embedding[t.i] AS DOUBLE) AS v
+       |  FROM tv CROSS JOIN range(1, 65) t(i)),
+       |sn AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(v * v ORDER BY j)), (a, b) -> a + b)) AS nrm
+       |  FROM se GROUP BY vec_id),
+       |tn AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(v * v ORDER BY j)), (a, b) -> a + b)) AS nrm
+       |  FROM te GROUP BY vec_id),
+       |p AS (SELECT x.vec_id AS src_id, y.vec_id AS tgt_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(x.v * y.v ORDER BY x.j)), (a, b) -> a + b)
+       |      / (sn.nrm * tn.nrm), 9) AS c
+       |  FROM se x JOIN te y ON x.j = y.j
+       |  JOIN sn ON sn.vec_id = x.vec_id
+       |  JOIN tn ON tn.vec_id = y.vec_id
+       |  GROUP BY x.vec_id, y.vec_id, sn.nrm, tn.nrm),
+       |ms AS (SELECT src_id,
+       |    CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT src_id, c, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY c DESC, tgt_id) AS rn FROM p)
+       |  WHERE rn <= 4 GROUP BY src_id),
+       |mt AS (SELECT tgt_id,
+       |    CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT tgt_id, c, row_number() OVER (PARTITION BY tgt_id
+       |      ORDER BY c DESC, src_id) AS rn FROM p)
+       |  WHERE rn <= 4 GROUP BY tgt_id)
+       |SELECT src_id, tgt_id,
+       |  round(p.c / ((ms.m + mt.m) / 2), 6) AS margin
+       |FROM p JOIN ms USING (src_id) JOIN mt USING (tgt_id)
+       |QUALIFY row_number() OVER (PARTITION BY src_id
+       |  ORDER BY margin DESC, tgt_id) = 1""".stripMargin)),
+
+    ("q223_bitext_lsh_portable", (s, d) => {
+      // q222's SCALE shape, CORRECTNESS-gated: candidates confined to
+      // multi-table SRP bucket collisions with the portable-hash
+      // planes (the q136 discipline), neighborhood means over the
+      // surviving candidates only — the pair table is Σ per-bucket
+      // products, never the |en|×|de| bipartite product. The oracle
+      // re-derives planes, signatures, the collision set, and the
+      // margin machinery, so the whole path is one hash compare.
+      val emb = t(s, d, "embeddings")
+      val lang = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val labeled = emb.join(lang, emb("vec_id") === lang("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("lang"))
+      graft.sim.Bitext.mineLsh(
+        labeled.filter(col("lang") === "en").select("vec_id", "embedding"),
+        labeled.filter(col("lang") === "de").select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 4, bits = 8, dim = 64, tables = 8,
+        portableSeed = 7L)
+    }, Some("""WITH planes AS (
+       |  SELECT tt.t, bb.b, jj.j,
+       |    CASE WHEN (((tt.t*8 + bb.b)*64 + jj.j) % 100000007)
+       |        * 2654435768 % 99999989 * 2246822519 % 1000000 < 500000
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(8) tt(t), range(8) bb(b), range(64) jj(j)),
+       |lab AS (SELECT doc_id, lang FROM documents),
+       |sv AS (SELECT vec_id, embedding FROM embeddings e
+       |  JOIN lab ON lab.doc_id = e.vec_id WHERE lang = 'en'),
+       |tv AS (SELECT vec_id, embedding FROM embeddings e
+       |  JOIN lab ON lab.doc_id = e.vec_id WHERE lang = 'de'),
+       |proj AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w ORDER BY p.j)),
+       |      (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.t, p.b),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM proj GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src_id, c.vec_id AS tgt_id
+       |  FROM sig a JOIN sig c ON a.t = c.t AND a.bucket = c.bucket
+       |  WHERE a.vec_id IN (SELECT vec_id FROM sv)
+       |    AND c.vec_id IN (SELECT vec_id FROM tv)),
+       |se AS (SELECT vec_id, t.i - 1 AS j, CAST(embedding[t.i] AS DOUBLE) AS v
+       |  FROM sv CROSS JOIN range(1, 65) t(i)),
+       |te AS (SELECT vec_id, t.i - 1 AS j, CAST(embedding[t.i] AS DOUBLE) AS v
+       |  FROM tv CROSS JOIN range(1, 65) t(i)),
+       |sn AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(v * v ORDER BY j)), (a, b) -> a + b)) AS nrm
+       |  FROM se GROUP BY vec_id),
+       |tn AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(v * v ORDER BY j)), (a, b) -> a + b)) AS nrm
+       |  FROM te GROUP BY vec_id),
+       |p AS (SELECT cd.src_id, cd.tgt_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(x.v * y.v ORDER BY x.j)), (a, b) -> a + b)
+       |      / (sn.nrm * tn.nrm), 9) AS c
+       |  FROM cand cd
+       |  JOIN se x ON x.vec_id = cd.src_id
+       |  JOIN te y ON y.vec_id = cd.tgt_id AND y.j = x.j
+       |  JOIN sn ON sn.vec_id = cd.src_id
+       |  JOIN tn ON tn.vec_id = cd.tgt_id
+       |  GROUP BY cd.src_id, cd.tgt_id, sn.nrm, tn.nrm),
+       |ms AS (SELECT src_id,
+       |    CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT src_id, c, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY c DESC, tgt_id) AS rn FROM p)
+       |  WHERE rn <= 4 GROUP BY src_id),
+       |mt AS (SELECT tgt_id,
+       |    CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT tgt_id, c, row_number() OVER (PARTITION BY tgt_id
+       |      ORDER BY c DESC, src_id) AS rn FROM p)
+       |  WHERE rn <= 4 GROUP BY tgt_id)
+       |SELECT src_id, tgt_id,
+       |  round(p.c / ((ms.m + mt.m) / 2), 6) AS margin
+       |FROM p JOIN ms USING (src_id) JOIN mt USING (tgt_id)
+       |QUALIFY row_number() OVER (PARTITION BY src_id
+       |  ORDER BY margin DESC, tgt_id) = 1""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

@@ -83,8 +83,8 @@ object Similarity {
     * [[graft.functions.SrpSignatures]] expression — one fused pass over
     * the vector instead of tables×bits interpreted folds.
     */
-  private def lshKeys(vec: Column, bits: Int, dim: Int, tables: Int,
-                      portableSeed: Long = -1L): Column = {
+  private[sim] def lshKeys(vec: Column, bits: Int, dim: Int, tables: Int,
+                           portableSeed: Long = -1L): Column = {
     val buckets =
       if (portableSeed >= 0L)
         graft.functions.SrpSignatures.portableBuckets(vec, bits, dim, tables,
