@@ -3290,6 +3290,59 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY src_id
        |  ORDER BY margin DESC, tgt_id) = 1""".stripMargin)),
 
+    ("q224_preference_pairs", (s, d) => {
+      // DPO/RLHF data prep: within each (source, lang) slice, pair
+      // the best-scoring document (chosen) with the worst (rejected)
+      // under the q220 NB quality score, keeping pairs whose gap
+      // clears 0.5 — uniform slices carry no preference signal and
+      // emit nothing. Rank-1 windows compile to WindowGroupLimit
+      // (map-side top-1), so only one row per slice is exchanged.
+      val docs = t(s, d, "documents")
+      val model = graft.text.QualityClassifier.nbTrain(
+        docs, "text", col("lang") === "en")
+      val scored = graft.text.QualityClassifier
+        .nbScore(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "source", "lang"), Seq("doc_id"))
+      graft.text.QualityClassifier.preferencePairs(
+          scored, Seq("source", "lang"), "doc_id", "score", minGap = 0.5)
+        .select("source", "lang", "chosen_id", "rejected_id",
+          "chosen_score", "rejected_score", "gap")
+    }, Some("""WITH tok AS (
+       |  SELECT doc_id, (lang = 'en') AS pos,
+       |    unnest(regexp_split_to_array(text, '\s+')) AS token
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT token,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+       |  FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(c_neg) AS BIGINT) AS n_neg, count(*) AS v FROM cnt),
+       |m AS (SELECT token,
+       |  round(ln(((CAST(c_pos AS DOUBLE) + 1) / (n_pos + v)) /
+       |           ((CAST(c_neg AS DOUBLE) + 1) / (n_neg + v))), 9) AS w
+       |  FROM cnt CROSS JOIN tot),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |sc AS (SELECT doc_id,
+       |    CAST(sum(CAST(tf * w AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM tf JOIN m USING (token) GROUP BY doc_id),
+       |j AS (SELECT d.doc_id, sc.score, d.source, d.lang
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |ch AS (SELECT source, lang, doc_id AS chosen_id,
+       |    score AS chosen_score FROM j
+       |  QUALIFY row_number() OVER (PARTITION BY source, lang
+       |    ORDER BY score DESC, doc_id ASC) = 1),
+       |rj AS (SELECT source, lang, doc_id AS rejected_id,
+       |    score AS rejected_score FROM j
+       |  QUALIFY row_number() OVER (PARTITION BY source, lang
+       |    ORDER BY score ASC, doc_id ASC) = 1)
+       |SELECT source, lang, chosen_id, rejected_id,
+       |  chosen_score, rejected_score,
+       |  chosen_score - rejected_score AS gap
+       |FROM ch JOIN rj USING (source, lang)
+       |WHERE chosen_id <> rejected_id
+       |  AND chosen_score - rejected_score >= 0.5""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

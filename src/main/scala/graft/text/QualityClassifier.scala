@@ -151,4 +151,38 @@ object QualityClassifier {
                       w: Array[Long]): DataFrame =
     feats.withColumn("margin", margin(featureCols, w))
       .withColumn("pred", col("margin") > 0)
+
+  /** Preference-pair mining — the DPO/RLHF data-prep step: within
+    * each group (same prompt cluster / source / language), pair the
+    * highest-scoring document (`chosen`) with the lowest (`rejected`)
+    * when the score gap clears `minGap`; groups too uniform to carry
+    * a preference signal emit nothing, and a single-doc group can
+    * never pair with itself. Scale shape: two top-1 windows per
+    * group key — rank-1 `row_number` filters compile to
+    * WindowGroupLimit, so the top/bottom row is found map-side and
+    * only one row per group reaches the exchange (the q214 read);
+    * the final join carries one row per group on each side.
+    */
+  def preferencePairs(scored: DataFrame, groupCols: Seq[String],
+                      idCol: String, scoreCol: String,
+                      minGap: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val best = Window.partitionBy(gc: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val worst = Window.partitionBy(gc: _*)
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val chosen = scored
+      .withColumn("__rn", row_number().over(best)).filter(col("__rn") === 1)
+      .select(gc :+ col(idCol).as("chosen_id")
+        :+ col(scoreCol).as("chosen_score"): _*)
+    val rejected = scored
+      .withColumn("__rn", row_number().over(worst)).filter(col("__rn") === 1)
+      .select(gc :+ col(idCol).as("rejected_id")
+        :+ col(scoreCol).as("rejected_score"): _*)
+    chosen.join(rejected, groupCols)
+      .withColumn("gap", col("chosen_score") - col("rejected_score"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("gap") >= minGap)
+  }
 }

@@ -95,4 +95,30 @@ class QualityClassifierSpec extends AnyFunSuite {
       .select(col("id"), col("pred"), col("y") === 1).collect()
     preds.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2)))
   }
+
+  test("preferencePairs: best/worst per group, gap + self-pair filters") {
+    val scored = Seq(
+      // group A: clear spread -> (1 chosen, 3 rejected), gap 4.0
+      ("A", 1L, 5.0), ("A", 2L, 3.0), ("A", 3L, 1.0),
+      // group B: uniform (gap 0 < minGap) -> nothing
+      ("B", 4L, 2.0), ("B", 5L, 2.0),
+      // group C: single doc -> self-pair suppressed
+      ("C", 6L, 9.0)
+    ).toDF("g", "id", "score")
+    val got = QualityClassifier
+      .preferencePairs(scored, Seq("g"), "id", "score", minGap = 0.5)
+      .select("g", "chosen_id", "rejected_id", "gap")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(("A", 1L, 3L, 4.0)))
+  }
+
+  test("preferencePairs: score ties break by ascending id on both ends") {
+    val scored = Seq(
+      ("A", 2L, 5.0), ("A", 1L, 5.0), ("A", 9L, 1.0), ("A", 8L, 1.0)
+    ).toDF("g", "id", "score")
+    val got = QualityClassifier
+      .preferencePairs(scored, Seq("g"), "id", "score", minGap = 0.5)
+      .select("chosen_id", "rejected_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 8L)))
+  }
 }
