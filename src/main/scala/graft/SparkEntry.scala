@@ -144,7 +144,7 @@ object SparkEntry {
        |      unnest([syms[i + 1] FOR i IN range(1, len(syms))]) AS r
        |    FROM $src) GROUP BY 1, 2""".stripMargin
   private def bpeApplySql(src: String, m: String): String =
-    s"""SELECT $src.cnt, list_reduce(
+    s"""SELECT $src.word, $src.cnt, list_reduce(
        |    list_prepend(CAST([] AS VARCHAR[]), list_transform($src.syms, s -> [s])),
        |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $m.l AND x[1] = $m.r
        |      THEN list_append(acc[1:len(acc)-1], $m.l || $m.r)
@@ -181,7 +181,7 @@ object SparkEntry {
        |  FROM documents),
        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM tok WHERE word <> '' GROUP BY 1),
-       |s0 AS (SELECT cnt,
+       |s0 AS (SELECT word, cnt,
        |  [substr(word, i, 1) FOR i IN range(1, len(word) + 1)] AS syms FROM w)""".stripMargin
     val steps = (0 until nMerges).map { i =>
       s"""p$i AS (${bpePairsSql(s"s$i")}),
@@ -3342,6 +3342,37 @@ object SparkEntry {
        |FROM ch JOIN rj USING (source, lang)
        |WHERE chosen_id <> rejected_id
        |  AND chosen_score - rejected_score >= 0.5""".stripMargin)),
+
+    ("q225_bpe_fertility", (s, d) => {
+      // tokenizer-equity report: per-language fertility (subword
+      // pieces per word) and chars-per-piece under the corpus's own
+      // 3-merge BPE — the table that shows which languages the
+      // vocabulary underserves. The merge fold runs once per DISTINCT
+      // word; language instance counts ride a (lang, word) aggregate
+      // joined on the word. Oracle re-derives the merges (q143's
+      // chain, word carried through) and the same exact-integer sums.
+      val docs = t(s, d, "documents")
+      val merges = graft.text.Vocab.bpeTrain(docs, "doc_id", "text", 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Vocab.bpeFertilityByGroup(docs, "lang", "text", merges)
+    }, Some(s"""${bpeChainSql(3)},
+       |wl AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' GROUP BY 1, 2),
+       |wp AS (SELECT word, CAST(len(syms) AS BIGINT) AS np,
+       |    CAST(len(word) AS BIGINT) AS wlen FROM s3)
+       |SELECT lang,
+       |  CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(cnt * wlen) AS BIGINT) AS n_chars,
+       |  CAST(CAST(sum(cnt * np) AS BIGINT) AS DOUBLE)
+       |    / CAST(sum(cnt) AS BIGINT) AS fertility,
+       |  CAST(CAST(sum(cnt * wlen) AS BIGINT) AS DOUBLE)
+       |    / CAST(sum(cnt * np) AS BIGINT) AS chars_per_piece
+       |FROM wl JOIN wp USING (word)
+       |GROUP BY lang""".stripMargin)),
 
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL

@@ -296,6 +296,46 @@ object Vocab {
       .groupBy("token").agg(sum(col("__cnt")).as("n"))
   }
 
+  /** Per-group tokenizer fertility — the standard multilingual
+    * tokenizer-equity report (how many subword pieces a language pays
+    * per word, and how many characters each piece carries; languages
+    * the vocabulary underserves show high fertility and get
+    * over-tokenized, wasting context budget). For each group value:
+    * `(n_words, n_pieces, n_chars, fertility = pieces/word,
+    * chars_per_piece)` under the given merge table.
+    *
+    * Scale shape (the [[bpeSegmentCounts]] collapse, taken one step
+    * further): piece count is a pure function of the WORD, so the
+    * merge fold runs once per distinct word — never per instance —
+    * and instances ride a `(group, word)` count aggregate that joins
+    * the per-word piece table on the word. The checkpoint pins the
+    * (vocabulary × groups)-sized aggregate against double lineage
+    * (it feeds both the distinct-word table and the final join).
+    */
+  def bpeFertilityByGroup(df: DataFrame, groupCol: String, textCol: String,
+                          merges: Seq[(String, String)]): DataFrame = {
+    val syms0 = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    val symsN = merges.foldLeft(syms0) { case (s, (a, b)) => applyMerge(s, a, b) }
+    val wl = df
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wp = wl.select("word").distinct()
+      .select(col("word"), size(symsN).cast("long").as("np"),
+        length(col("word")).cast("long").as("len"))
+    wl.join(wp, Seq("word"))
+      .groupBy(col(groupCol)).agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("np")).as("n_pieces"),
+        sum(col("cnt") * col("len")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_pieces"))
+          .as("chars_per_piece"))
+  }
+
   /** Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995;
     * Chen & Goodman 1998) — the small-LM artifact n-gram pipelines ship
     * (the KenLM prep shape, one smoothing step further than q103's raw

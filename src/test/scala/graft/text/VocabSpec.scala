@@ -178,4 +178,18 @@ class VocabSpec extends AnyFunSuite {
       .select("doc_id", "oov_tokens").as[(Long, Long)].collect().toMap
     assert(v3 == Map(1L -> 1L, 2L -> 0L))
   }
+
+  test("bpeFertilityByGroup: exact per-group piece and char sums") {
+    // merge ("a","b"): "ab"->1 piece, "aba"->2 ("ab","a"), "cc"->2
+    val df = Seq(
+      ("en", "ab ab aba"), // words: ab×2 (1 piece, 2 chars), aba (2, 3)
+      ("de", "cc ab")      // cc (2 pieces, 2 chars), ab (1, 2)
+    ).toDF("lang", "text")
+    val got = Vocab.bpeFertilityByGroup(df, "lang", "text",
+        Seq(("a", "b")))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("en") == ((3L, 4L, 7L, 4.0 / 3, 7.0 / 4)))
+    assert(got("de") == ((2L, 3L, 4L, 3.0 / 2, 4.0 / 3)))
+  }
 }
