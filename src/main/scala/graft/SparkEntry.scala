@@ -3374,6 +3374,54 @@ object SparkEntry {
        |FROM wl JOIN wp USING (word)
        |GROUP BY lang""".stripMargin)),
 
+    ("q226_top_direction", (s, d) => {
+      // spectral embedding preprocessing (All-but-the-Top): the
+      // corpus's dominant Gram direction by 3 power-iteration steps
+      // and every vector's projection onto it — the common-component
+      // score whose multiple gets subtracted before similarity
+      // search. Gram is a dim²-cell aggregate (upper triangle only —
+      // the corpus-sized half of the work — mirrored after the
+      // aggregate; map-side combinable; checkpointed against its
+      // per-iteration re-reads); iterations run on 64-row frames;
+      // every sum rides DECIMAL(18,6) so the oracle replays each
+      // step exactly (the oracle computes the full square — IEEE
+      // multiplication commutes, so mirrored cells are identical).
+      val emb = t(s, d, "embeddings")
+      val g = graft.sim.Spectral.gram(emb, "embedding")
+        .localCheckpoint(true)
+      val v = graft.sim.Spectral.powerTopVec(g, dim = 64, iters = 3)
+      graft.sim.Spectral.project(emb, "vec_id", "embedding", v)
+    }, Some("""WITH x AS (
+       |  SELECT vec_id, t.i - 1 AS j, CAST(embedding[t.i] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+       |g AS (SELECT a.j AS i, b.j AS j,
+       |    CAST(sum(CAST(a.v * b.v AS DECIMAL(18,6))) AS DOUBLE) AS c
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT t.i AS j, CAST(1 AS DOUBLE) AS v FROM range(0, 64) t(i)),
+       |u1 AS (SELECT g.i,
+       |    CAST(sum(CAST(g.c * v0.v AS DECIMAL(18,6))) AS DOUBLE) AS u
+       |  FROM g JOIN v0 ON v0.j = g.j GROUP BY 1),
+       |n1 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(18,6)))
+       |    AS DOUBLE)) AS n FROM u1),
+       |v1 AS (SELECT i AS j, u / n AS v FROM u1 CROSS JOIN n1),
+       |u2 AS (SELECT g.i,
+       |    CAST(sum(CAST(g.c * v1.v AS DECIMAL(18,6))) AS DOUBLE) AS u
+       |  FROM g JOIN v1 ON v1.j = g.j GROUP BY 1),
+       |n2 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(18,6)))
+       |    AS DOUBLE)) AS n FROM u2),
+       |v2 AS (SELECT i AS j, u / n AS v FROM u2 CROSS JOIN n2),
+       |u3 AS (SELECT g.i,
+       |    CAST(sum(CAST(g.c * v2.v AS DECIMAL(18,6))) AS DOUBLE) AS u
+       |  FROM g JOIN v2 ON v2.j = g.j GROUP BY 1),
+       |n3 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(18,6)))
+       |    AS DOUBLE)) AS n FROM u3),
+       |v3 AS (SELECT i AS j, u / n AS v FROM u3 CROSS JOIN n3)
+       |SELECT x.vec_id,
+       |  round(CAST(sum(CAST(x.v * v3.v AS DECIMAL(18,6)))
+       |    AS DOUBLE), 6) AS pc1
+       |FROM x JOIN v3 USING (j)
+       |GROUP BY x.vec_id""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production
