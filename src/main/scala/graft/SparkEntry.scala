@@ -34,6 +34,35 @@ object SparkEntry {
   private def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** Shared NB quality-score oracle prefix (q220/q224/q227/q228):
+    * Laplace-smoothed token log-odds for the lang='en' split, tf
+    * table, and the per-doc decimal-summed evidence — ends after the
+    * `sc(doc_id, n_tokens, score)` CTE's close paren; callers append
+    * `,\n<more CTEs>` or `\nSELECT ...`. Mirrors
+    * QualityClassifier.nbTrain/nbScore exactly (9 dp ln at the term
+    * level, DECIMAL(18,6) sums).
+    */
+  private val nbScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, (lang = 'en') AS pos,
+      |    unnest(regexp_split_to_array(text, '\s+')) AS token
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+      |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+      |  CAST(sum(c_neg) AS BIGINT) AS n_neg, count(*) AS v FROM cnt),
+      |m AS (SELECT token,
+      |  round(ln(((CAST(c_pos AS DOUBLE) + 1) / (n_pos + v)) /
+      |           ((CAST(c_neg AS DOUBLE) + 1) / (n_neg + v))), 9) AS w
+      |  FROM cnt CROSS JOIN tot),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CAST(tf * w AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |  FROM tf JOIN m USING (token) GROUP BY doc_id)""".stripMargin
+
   /** Shared q189/q190 oracle prefix: token rolling hash → two
     * universal expansions → 60 per-bit ±1 vote sums (the
     * PortableSimHash formula; constants interpolated from the
@@ -3065,27 +3094,9 @@ object SparkEntry {
         docs, "text", col("lang") === "en")
       graft.text.QualityClassifier.nbScore(docs, "doc_id", "text", model)
         .withColumn("keep", col("score") > 0)
-    }, Some("""WITH tok AS (
-       |  SELECT doc_id, (lang = 'en') AS pos,
-       |    unnest(regexp_split_to_array(text, '\s+')) AS token
-       |  FROM documents),
-       |cnt AS (
-       |  SELECT token,
-       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-       |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
-       |  FROM tok GROUP BY 1),
-       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
-       |  CAST(sum(c_neg) AS BIGINT) AS n_neg, count(*) AS v FROM cnt),
-       |m AS (SELECT token,
-       |  round(ln(((CAST(c_pos AS DOUBLE) + 1) / (n_pos + v)) /
-       |           ((CAST(c_neg AS DOUBLE) + 1) / (n_neg + v))), 9) AS w
-       |  FROM cnt CROSS JOIN tot),
-       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
-       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       |  CAST(sum(CAST(tf * w AS DECIMAL(18,6))) AS DOUBLE) AS score,
-       |  CAST(sum(CAST(tf * w AS DECIMAL(18,6))) AS DOUBLE) > 0 AS keep
-       |FROM tf JOIN m USING (token)
-       |GROUP BY doc_id""".stripMargin)),
+    }, Some(s"""$nbScoreSql
+       |SELECT doc_id, n_tokens, score, score > 0 AS keep
+       |FROM sc""".stripMargin)),
 
     ("q221_perceptron_quality", (s, d) => {
       // the ITERATIVE quality classifier, exact to the bit: a batch
@@ -3307,25 +3318,7 @@ object SparkEntry {
           scored, Seq("source", "lang"), "doc_id", "score", minGap = 0.5)
         .select("source", "lang", "chosen_id", "rejected_id",
           "chosen_score", "rejected_score", "gap")
-    }, Some("""WITH tok AS (
-       |  SELECT doc_id, (lang = 'en') AS pos,
-       |    unnest(regexp_split_to_array(text, '\s+')) AS token
-       |  FROM documents),
-       |cnt AS (
-       |  SELECT token,
-       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-       |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
-       |  FROM tok GROUP BY 1),
-       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
-       |  CAST(sum(c_neg) AS BIGINT) AS n_neg, count(*) AS v FROM cnt),
-       |m AS (SELECT token,
-       |  round(ln(((CAST(c_pos AS DOUBLE) + 1) / (n_pos + v)) /
-       |           ((CAST(c_neg AS DOUBLE) + 1) / (n_neg + v))), 9) AS w
-       |  FROM cnt CROSS JOIN tot),
-       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |sc AS (SELECT doc_id,
-       |    CAST(sum(CAST(tf * w AS DECIMAL(18,6))) AS DOUBLE) AS score
-       |  FROM tf JOIN m USING (token) GROUP BY doc_id),
+    }, Some(s"""$nbScoreSql,
        |j AS (SELECT d.doc_id, sc.score, d.source, d.lang
        |  FROM sc JOIN documents d USING (doc_id)),
        |ch AS (SELECT source, lang, doc_id AS chosen_id,
@@ -3421,6 +3414,67 @@ object SparkEntry {
        |    AS DOUBLE), 6) AS pc1
        |FROM x JOIN v3 USING (j)
        |GROUP BY x.vec_id""".stripMargin)),
+
+    ("q227_calibration_bins", (s, d) => {
+      // classifier QA, face 1: the reliability diagram of the q220 NB
+      // score against the actual label — 10 equal-count score bins
+      // (distributed Ranks.ntile, never the global-window NTILE) with
+      // per-bin positive rate and decimal-mean score. A calibrated
+      // score's pos_rate rises with the bin.
+      val docs = t(s, d, "documents")
+      val model = graft.text.QualityClassifier.nbTrain(
+        docs, "text", col("lang") === "en")
+      val scored = graft.text.QualityClassifier
+        .nbScore(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          Seq("doc_id"))
+        .localCheckpoint(true) // ntile reads it several times
+      graft.text.QualityClassifier
+        .calibrationBins(scored, "doc_id", "score", "y", bins = 10)
+        .select("bin", "n", "n_pos", "pos_rate", "mean_score")
+    }, Some(s"""${nbScoreSql},
+       |l AS (SELECT sc.doc_id, sc.score, (d.lang = 'en') AS pos
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |tb AS (SELECT score, pos,
+       |    ntile(10) OVER (ORDER BY score ASC, doc_id ASC) AS bin
+       |  FROM l)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS pos_rate,
+       |  ${dsumSql("score")} / count(*) AS mean_score
+       |FROM tb GROUP BY bin""".stripMargin)),
+
+    ("q228_auc", (s, d) => {
+      // classifier QA, face 2: exact ROC AUC of the q220 score by the
+      // tie-corrected Mann-Whitney rank-sum — one row, all-integer
+      // until the final division. Scores collapse to a distinct-score
+      // table; the prefix sum rides Ranks' bucket scheme, so nothing
+      // funnels through one task at corpus scale.
+      val docs = t(s, d, "documents")
+      val model = graft.text.QualityClassifier.nbTrain(
+        docs, "text", col("lang") === "en")
+      val scored = graft.text.QualityClassifier
+        .nbScore(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          Seq("doc_id"))
+      graft.text.QualityClassifier.aucExact(scored, "score", "y")
+    }, Some(s"""${nbScoreSql},
+       |l AS (SELECT sc.doc_id, sc.score, (d.lang = 'en') AS pos
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |r AS (SELECT pos,
+       |    2 * rank() OVER (ORDER BY score ASC)
+       |      + count(*) OVER (PARTITION BY score) - 1 AS tm
+       |  FROM l),
+       |a AS (SELECT
+       |    CAST(sum(CASE WHEN pos THEN tm ELSE 0 END) AS BIGINT) AS u2,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM r)
+       |SELECT p AS n_pos, nn AS n_neg,
+       |  CAST(u2 - p * (p + 1) AS DOUBLE)
+       |    / CAST(2 * p * nn AS DOUBLE) AS auc
+       |FROM a""".stripMargin)),
 
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL

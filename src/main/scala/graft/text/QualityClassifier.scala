@@ -185,4 +185,51 @@ object QualityClassifier {
       .filter(col("chosen_id") =!= col("rejected_id") &&
         col("gap") >= minGap)
   }
+
+  /** Reliability diagram for a scored corpus: equal-count score bins
+    * (exact NTILE semantics via the distributed
+    * [[graft.operators.Ranks.ntile]] — never the single-task global
+    * window) with per-bin count, positive count, positive rate and
+    * decimal-mean score. A calibrated classifier's `pos_rate` rises
+    * with the bin; a flat diagram means the score carries no signal.
+    * `scored` is read by ntile's multiple passes — callers persist.
+    */
+  def calibrationBins(scored: DataFrame, idCol: String, scoreCol: String,
+                      labelCol: String, bins: Int): DataFrame =
+    graft.operators.Ranks.ntile(scored, bins, scoreCol,
+        ascending = true, tiebreaks = Seq(idCol), out = "bin")
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        graft.Exprs.davg(col(scoreCol)).as("mean_score"))
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n"))
+
+  /** Exact ROC AUC by the Mann–Whitney rank-sum, tie-corrected with
+    * midranks — `(n_pos, n_neg, auc)` in ONE row. All arithmetic is
+    * exact integers until the final division: scores collapse to a
+    * distinct-score count table (the aggregate carries distinct
+    * scores, never rows), the exclusive prefix sum rides
+    * [[graft.operators.Ranks.prefixSum]]'s bucket scheme (no global
+    * window), and TWICE the midrank of a score group —
+    * `2·cum_before + n + 1` — keeps ties in integers. The rank-sum
+    * accumulates in DECIMAL(38,0): at 10^10 rows the Long rank-sum
+    * would overflow, the decimal never does.
+    */
+  def aucExact(scored: DataFrame, scoreCol: String,
+               labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("s")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))
+    val pre = graft.operators.Ranks.prefixSum(g, "s", "n",
+      ascending = true, out = "cum")
+    pre.agg(
+        sum((col("np") * (lit(2L) * col("cum") + col("n") + lit(1L)))
+          .cast("decimal(38,0)")).as("u2"),
+        sum(col("np")).as("p"),
+        sum(col("n") - col("np")).as("nn"))
+      .select(col("p").as("n_pos"), col("nn").as("n_neg"),
+        ((col("u2") - col("p") * (col("p") + lit(1L))).cast("double") /
+          (lit(2L).cast("decimal(38,0)") * col("p") * col("nn"))
+            .cast("double")).as("auc"))
+  }
 }

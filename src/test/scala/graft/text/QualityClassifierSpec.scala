@@ -121,4 +121,34 @@ class QualityClassifierSpec extends AnyFunSuite {
       .select("chosen_id", "rejected_id").as[(Long, Long)].collect()
     assert(got.toSeq == Seq((1L, 8L)))
   }
+
+  test("calibrationBins: equal-count bins, exact rates and decimal means") {
+    val scored = (1 to 10).map(i => (i.toLong, i.toDouble, i > 5))
+      .toDF("id", "score", "y").localCheckpoint(true)
+    val got = QualityClassifier
+      .calibrationBins(scored, "id", "score", "y", bins = 2)
+      .select("bin", "n", "n_pos", "mean_score", "pos_rate")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 5L, 0L, 3.0, 0.0), (2L, 5L, 5L, 8.0, 1.0)))
+  }
+
+  test("aucExact: midrank tie correction matches the pairwise definition") {
+    // pos {0.9, 0.5}, neg {0.5, 0.1}: wins 3, ties 1 -> (3+0.5)/4 = 0.875
+    val scored = Seq((0.9, true), (0.5, true), (0.5, false), (0.1, false))
+      .toDF("score", "y")
+    val r = QualityClassifier.aucExact(scored, "score", "y")
+      .as[(Long, Long, Double)].collect().head
+    assert(r == ((2L, 2L, 0.875)))
+  }
+
+  test("aucExact: perfect separation 1.0, all-ties 0.5") {
+    val perfect = Seq((2.0, true), (1.9, true), (0.2, false), (0.1, false))
+      .toDF("score", "y")
+    assert(QualityClassifier.aucExact(perfect, "score", "y")
+      .select("auc").as[Double].collect().head == 1.0)
+    val ties = Seq((1.0, true), (1.0, true), (1.0, false))
+      .toDF("score", "y")
+    assert(QualityClassifier.aucExact(ties, "score", "y")
+      .select("auc").as[Double].collect().head == 0.5)
+  }
 }
