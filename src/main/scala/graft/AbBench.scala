@@ -329,6 +329,29 @@ object AbBench {
             .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
               col("l_linenumber").asc)).cast("long"))
         .select("l_orderkey", "l_linenumber", "tile")),
+    //   AbBench q228_auc v228_window_auc
+    "v228_window_auc" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val model = graft.text.QualityClassifier.nbTrain(
+        docs, "text", col("lang") === "en")
+      val scored = graft.text.QualityClassifier
+        .nbScore(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+          Seq("doc_id"))
+      // the banned shape: tie-corrected midranks from a GLOBAL rank
+      // window (one task sorts every row) + a same-score count window
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("score"))
+      scored
+        .withColumn("tm", lit(2L) * rank().over(w) + count(lit(1)).over(ws) - 1L)
+        .agg(
+          sum(when(col("y"), col("tm")).otherwise(0L)).as("u2"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
+        .select(col("p").as("n_pos"), col("nn").as("n_neg"),
+          ((col("u2") - col("p") * (col("p") + 1)).cast("double") /
+            (lit(2L) * col("p") * col("nn")).cast("double")).as("auc"))
+    }),
     "v217_window_quantiles" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type"))
