@@ -51,9 +51,15 @@ object QualityClassifier {
   def nbTrain(df: DataFrame, textCol: String, positive: Column): DataFrame = {
     val tok = df.select(positive.cast("boolean").as("__pos"),
       explode(TextOps.tokens(col(textCol))).as("token"))
+    // the vocab-sized count table is eagerly checkpointed (the
+    // knBigramLm artifact contract): its lineage feeds both the model
+    // rows and the totals here, and every nbScore reuse of the model
+    // (the weight join AND its own totals) — without the pin each of
+    // those is another full corpus scan.
     val counts = tok.groupBy("token").agg(
-      sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
-      sum(when(!col("__pos"), 1L).otherwise(0L)).as("c_neg"))
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("c_neg"))
+      .localCheckpoint(true)
     counts.crossJoin(broadcast(nbTotals(counts)))
       .select(col("token"), col("c_pos"), col("c_neg"),
         nbWeight(col("c_pos"), col("c_neg")).as("w"))
