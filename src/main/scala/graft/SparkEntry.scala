@@ -3476,6 +3476,37 @@ object SparkEntry {
        |    / CAST(2 * p * nn AS DOUBLE) AS auc
        |FROM a""".stripMargin)),
 
+    ("q229_jsonl_quarantine", (s, d) => {
+      // the ingest family's CORRECTNESS row (the q203 move): stage the
+      // documents table as JSON-lines with every 50th line corrupted
+      // in place, run the production PERMISSIVE quarantine scan, and
+      // hash-compare the clean side + quarantine count against the
+      // source table itself — parsing must be lossless on good lines
+      // and must divert exactly the broken ones.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q229_").toString
+      val docs = t(s, d, "documents").select("doc_id", "text", "lang")
+      docs.select(
+          when(col("doc_id") % 50 === 0,
+            concat(lit("{\"doc_id\":"), col("doc_id"), lit(",#corrupt")))
+            .otherwise(to_json(struct(col("doc_id"), col("text"),
+              col("lang")))).as("value"))
+        .coalesce(1).write.text(s"$tmp/in")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("lang", "string")
+      val (clean, quarantine) = graft.ingest.Ingest
+        .jsonlWithQuarantine(s, s"$tmp/in", schema)
+      val res = clean
+        .crossJoin(broadcast(
+          quarantine.agg(count(lit(1)).as("n_quarantined"))))
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      res
+    }, Some("""SELECT doc_id, text, lang,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+       |   WHERE doc_id % 50 = 0) AS n_quarantined
+       |FROM documents WHERE doc_id % 50 <> 0""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

@@ -30,6 +30,44 @@ object Ingest {
     spark.read.json(jsonRecords.toDS())
   }
 
+  /** JSON-lines scan with corrupt-record quarantine: PERMISSIVE parse
+    * against an explicit schema, malformed lines split off with their
+    * raw text instead of failing the batch (real feeds always carry
+    * some broken lines; FAILFAST loses the batch, DROPMALFORMED loses
+    * the evidence). Returns `(clean, quarantine)` — clean rows carry
+    * the schema's columns; quarantine rows carry the single `raw`
+    * line for replay/debugging. Both are lazy over the same scan; a
+    * caller writing both sides should persist the parsed frame.
+    *
+    * PERMISSIVE subtlety: a half-valid line (some fields parse, one
+    * is type-broken) also lands in quarantine — the corrupt column is
+    * non-null whenever ANY field failed, which is the conservative
+    * side a pipeline wants.
+    */
+  def jsonlWithQuarantine(spark: SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    require(!schema.fieldNames.contains("__corrupt"),
+      "schema must not already contain __corrupt")
+    // text scan + from_json, NOT a raw .json() scan: Spark refuses a
+    // query that references only the corrupt-record column of a JSON
+    // scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — exactly what the
+    // quarantine side is), and the documented cache() workaround pins
+    // corpus-sized data. The text route has no such restriction and
+    // keeps the raw line around for free.
+    val parsed = spark.read.text(path).select(col("value"),
+      from_json(col("value"), schema.add("__corrupt", "string"),
+        java.util.Map.of("mode", "PERMISSIVE",
+          "columnNameOfCorruptRecord", "__corrupt")).as("__r"))
+    val clean = parsed.filter(col("__r.__corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"__r.`$f`").as(f))
+        .toIndexedSeq: _*)
+    val quarantine = parsed.filter(col("__r.__corrupt").isNotNull)
+      .select(col("value").as("raw"))
+    (clean, quarantine)
+  }
+
   /** S2: paginated fetch loop — `fetchPage(offset, limit)` until a short
     * page (reference fetch_paginated stop condition,
     * ingestion_util.py:257-318). The page fetcher is any driver-side

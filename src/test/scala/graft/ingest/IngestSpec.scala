@@ -70,4 +70,29 @@ class IngestSpec extends AnyFunSuite {
     assert(files == 4)
     assert(spark.read.parquet(dir).count() == 100)
   }
+
+  test("jsonlWithQuarantine: clean/quarantine split, half-valid lines quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      """{"id":1,"name":"ok"}
+        |{"id":2,#broken
+        |{"id":"not-a-number","name":"half"}
+        |{"id":4,"name":"fine"}""".stripMargin)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string")
+    val (clean, q) = Ingest.jsonlWithQuarantine(spark, dir, schema)
+    val got = clean.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "ok"), (4L, "fine")))
+    val raws = q.collect().map(_.getString(0)).toSet
+    assert(raws == Set("{\"id\":2,#broken",
+      "{\"id\":\"not-a-number\",\"name\":\"half\"}"))
+  }
+
+  test("jsonlWithQuarantine: rejects a schema that claims __corrupt") {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("__corrupt", "string")
+    intercept[IllegalArgumentException] {
+      Ingest.jsonlWithQuarantine(spark, "/nonexistent", schema)
+    }
+  }
 }
