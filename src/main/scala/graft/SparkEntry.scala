@@ -3507,6 +3507,49 @@ object SparkEntry {
        |   WHERE doc_id % 50 = 0) AS n_quarantined
        |FROM documents WHERE doc_id % 50 <> 0""".stripMargin)),
 
+    ("q230_stream_quality_filter", (s, d) => {
+      // the quality classifier's STREAMING face, batch-equivalently
+      // certified (the q192/q207 discipline): a frozen NB model
+      // trained on the static corpus filters two staged micro-batches
+      // through a real scoreFilterSink StreamingQuery; the per-batch
+      // dirs telescoped together must hash-match the one-shot q220
+      // scoring of the whole corpus — per-doc scores carry no
+      // cross-batch state, so streaming and batch MUST agree exactly.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q230_").toString
+      val feedDir = s"$tmp/feed"
+      new java.io.File(feedDir).mkdirs()
+      val docs = t(s, d, "documents")
+      val model = graft.text.QualityClassifier.nbTrain(
+        docs, "text", col("lang") === "en")
+      def stage(df: DataFrame, n: Int): Unit = {
+        val aside = s"$tmp/stage$n"
+        df.coalesce(1).write.mode("overwrite").parquet(aside)
+        val part = new java.io.File(aside).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
+      }
+      val slim = docs.select("doc_id", "text")
+      stage(slim.filter(col("doc_id") % 2 === 0), 1)
+      val sq = graft.streaming.Streams.scoreFilterSink(
+        s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+          .parquet(feedDir),
+        model, "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+      try {
+        sq.processAllAvailable()
+        stage(slim.filter(col("doc_id") % 2 === 1), 2)
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val res = s.read.parquet(s"$tmp/out/b=*")
+        .select("doc_id", "n_tokens", "score", "keep")
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      res
+    }, Some(s"""$nbScoreSql
+       |SELECT doc_id, n_tokens, score, score > 0 AS keep
+       |FROM sc""".stripMargin)),
+
     ("q203_compacted_readback", (s, d) => {
       // the maintenance family's CORRECTNESS row: fragment a REAL
       // table into 40 part files on disk, run the production

@@ -406,6 +406,32 @@ object Streams {
       }
       .start()
 
+  /** Streaming face of the model-based quality filter: score each
+    * arriving micro-batch against a FROZEN token log-odds model (the
+    * production deployment mode — train offline on a trusted corpus,
+    * filter the crawl firehose online) and land the scored rows under
+    * a per-batch dir. Replay-idempotent by construction: a restarted
+    * batch overwrites its OWN `b=<id>` dir (rename-aside swap), never
+    * double-appends — per-doc scoring carries no cross-batch state,
+    * so no version guard is needed. `model` is nbTrain's output (its
+    * count table is already checkpointed, so per-batch reuse never
+    * re-scans the training corpus).
+    */
+  def scoreFilterSink(docs: DataFrame, model: DataFrame, idCol: String,
+                      textCol: String, root: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = graft.text.QualityClassifier
+          .nbScore(batch, idCol, textCol, model)
+          .withColumn("keep", col("score") > 0)
+        graft.pipeline.Runner.overwriteSwapped(scored, s"$root/b=$batchId")
+        ()
+      }
+      .start()
+
   /** Committed snapshot versions under a [[cdcSink]] root, ascending.
     * `v=N.tmp` in-flight dirs parse to no Long and are excluded.
     */
