@@ -3472,8 +3472,9 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn
        |  FROM r)
        |SELECT p AS n_pos, nn AS n_neg,
-       |  CAST(u2 - p * (p + 1) AS DOUBLE)
-       |    / CAST(2 * p * nn AS DOUBLE) AS auc
+       |  CASE WHEN p > 0 AND nn > 0 THEN
+       |    CAST(u2 - p * (p + 1) AS DOUBLE)
+       |      / CAST(2 * p * nn AS DOUBLE) END AS auc
        |FROM a""".stripMargin)),
 
     ("q229_jsonl_quarantine", (s, d) => {

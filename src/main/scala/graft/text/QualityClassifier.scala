@@ -139,8 +139,11 @@ object QualityClassifier {
     var w = Array.fill(featureCols.size)(0L)
     for (_ <- 1 to epochs) {
       val mis = col(labelCol) * margin(featureCols, w) <= 0
+      // coalesce: an EMPTY feature frame aggregates to NULL sums, and
+      // getLong on a null would throw — an empty epoch is a no-op
       val upd = featureCols.map(c =>
-        sum(when(mis, col(labelCol) * col(c)).otherwise(0L)))
+        coalesce(sum(when(mis, col(labelCol) * col(c)).otherwise(0L)),
+          lit(0L)))
       val row = feats.agg(upd.head, upd.tail: _*).head()
       w = w.indices.map(i => w(i) + row.getLong(i)).toArray
     }
@@ -234,8 +237,11 @@ object QualityClassifier {
         sum(col("np")).as("p"),
         sum(col("n") - col("np")).as("nn"))
       .select(col("p").as("n_pos"), col("nn").as("n_neg"),
-        ((col("u2") - col("p") * (col("p") + lit(1L))).cast("double") /
-          (lit(2L).cast("decimal(38,0)") * col("p") * col("nn"))
-            .cast("double")).as("auc"))
+        // single-class input has no ranking to measure: NULL, not the
+        // ±Infinity a bare zero division would silently emit
+        when(col("p") > 0 && col("nn") > 0,
+          (col("u2") - col("p") * (col("p") + lit(1L))).cast("double") /
+            (lit(2L).cast("decimal(38,0)") * col("p") * col("nn"))
+              .cast("double")).as("auc"))
   }
 }

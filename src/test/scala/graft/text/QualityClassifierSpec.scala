@@ -151,4 +151,17 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(QualityClassifier.aucExact(ties, "score", "y")
       .select("auc").as[Double].collect().head == 0.5)
   }
+
+  test("aucExact: single-class input yields NULL auc, not Infinity") {
+    val onlyPos = Seq((1.0, true), (2.0, true)).toDF("score", "y")
+    val r = QualityClassifier.aucExact(onlyPos, "score", "y").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
+  test("perceptronTrain: an empty feature frame is a no-op, not an NPE") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("x0", "x1", "y")
+    assert(QualityClassifier
+      .perceptronTrain(empty, "y", Seq("x0", "x1"), 2).toSeq
+      == Seq(0L, 0L))
+  }
 }
