@@ -3314,6 +3314,7 @@ object SparkEntry {
       val scored = graft.text.QualityClassifier
         .nbScore(docs, "doc_id", "text", model)
         .join(docs.select("doc_id", "source", "lang"), Seq("doc_id"))
+        .localCheckpoint(true) // both top-1 windows read it (q213 rule)
       graft.text.QualityClassifier.preferencePairs(
           scored, Seq("source", "lang"), "doc_id", "score", minGap = 0.5)
         .select("source", "lang", "chosen_id", "rejected_id",
