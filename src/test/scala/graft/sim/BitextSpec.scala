@@ -71,4 +71,17 @@ class BitextSpec extends AnyFunSuite {
     assert(lsh.keySet == brute.keySet)
     lsh.foreach { case (s, t) => assert(brute(s) == t) }
   }
+
+  test("mineLsh plan pin: candidates come from an equi-join, never a cross product") {
+    val dim = 64
+    def vec(seedBase: Int) = Seq.tabulate(dim)(j =>
+      (math.sin(seedBase * 31 + j) * 10).toFloat)
+    val srcBig = Seq.tabulate(4)(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val tgtBig = Seq.tabulate(4)(i => (100L + i, vec(i))).toDF("vec_id", "embedding")
+    val plan = Bitext.mineLsh(srcBig, tgtBig, "vec_id", "embedding",
+        k = 2, bits = 8, dim = dim, tables = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the LSH path must never cross-product:\n${plan.take(2000)}")
+  }
 }

@@ -164,4 +164,16 @@ class QualityClassifierSpec extends AnyFunSuite {
       .perceptronTrain(empty, "y", Seq("x0", "x1"), 2).toSeq
       == Seq(0L, 0L))
   }
+
+  test("preferencePairs plan pin: rank-1 windows compile to WindowGroupLimit") {
+    // the scale claim: each top-1 window is found map-side (one row
+    // per group reaches the exchange), not by sorting whole groups
+    val scored = Seq(("A", 1L, 5.0), ("A", 2L, 3.0), ("B", 3L, 1.0))
+      .toDF("g", "id", "score")
+    val plan = QualityClassifier
+      .preferencePairs(scored, Seq("g"), "id", "score", minGap = 0.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-1 windows must compile to WindowGroupLimit:\n${plan.take(2000)}")
+  }
 }
