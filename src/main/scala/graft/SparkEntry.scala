@@ -251,6 +251,47 @@ object SparkEntry {
        |SELECT id, round(r, 9) AS rank FROM r$iters""".stripMargin
   }
 
+  /** Oracle twin of [[graft.operators.BradleyTerry.fit]]: unrolled MM
+    * rounds (the pageRankChainSql discipline — exact DECIMAL(30,15)
+    * sums for every order-dependent accumulation, IEEE steps in the
+    * Spark side's operand order, 9 dp round only at the end).
+    */
+  private def btChainSql(iters: Int, winsSql: String): String = {
+    // u/p MATERIALIZED: each is referenced twice (normalizer + division;
+    // both endpoint joins of the next round) — inlined CTEs would
+    // re-evaluate every inner round once per reference, exponentially
+    // (the exact blowup the Spark side's per-round checkpoint cuts)
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT c.a AS id,
+         |    CAST(sum(CAST(c.n / (pa.p + pb.p) AS DECIMAL(30,15))) AS DOUBLE) AS dv
+         |  FROM comp c JOIN p${i - 1} pa ON pa.id = c.a
+         |    JOIN p${i - 1} pb ON pb.id = c.b
+         |  GROUP BY 1),
+         |u$i AS MATERIALIZED (
+         |  SELECT d.id, coalesce(w.wi, 0) / d.dv AS up
+         |  FROM d$i d LEFT JOIN wtot w ON w.id = d.id),
+         |s$i AS (SELECT CAST(sum(CAST(up AS DECIMAL(30,15))) AS DOUBLE) AS sv
+         |  FROM u$i),
+         |p$i AS MATERIALIZED (SELECT id, up / sv AS p FROM u$i CROSS JOIN s$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH wins0 AS MATERIALIZED ($winsSql),
+       |wins AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS w
+       |  FROM wins0 WHERE winner <> loser GROUP BY 1, 2),
+       |comp AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS n FROM (
+       |    SELECT winner AS a, loser AS b, w FROM wins
+       |    UNION ALL SELECT loser AS a, winner AS b, w FROM wins)
+       |  GROUP BY 1, 2),
+       |items AS (SELECT DISTINCT a AS id FROM comp),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM items),
+       |wtot AS (SELECT winner AS id, CAST(sum(w) AS BIGINT) AS wi
+       |  FROM wins GROUP BY 1),
+       |p0 AS (SELECT id, 1.0 / nn AS p FROM items CROSS JOIN n),
+       |$rounds
+       |SELECT id, round(p, 9) AS strength FROM p$iters""".stripMargin
+  }
+
   /** Best-effort recursive delete of a streaming query's temp root —
     * called AFTER the result is eagerly checkpointed off the files,
     * so the suite never accumulates per-run orders-table copies.
@@ -6333,7 +6374,118 @@ object SparkEntry {
          |tot AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS t
          |  FROM pc GROUP BY 1)
          |SELECT src_type, dst_type, n, n * 1000000 // t AS prob_ppm
-         |FROM pc JOIN tot USING (src_type)""".stripMargin))
+         |FROM pc JOIN tot USING (src_type)""".stripMargin)),
+
+    ("q231_bradley_terry", (s, d) => {
+      // preference-strength fitting over mined pairwise outcomes: every
+      // same-order part pair is a "comparison" won by the larger
+      // quantity (a deterministic preference proxy with real repeats
+      // and intransitivity), 3 MM rounds from uniform. The oracle
+      // replays all 3 rounds with exact decimal accumulation — see
+      // BradleyTerry.scala for the convergence + determinism contract.
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val a = li.select(col("l_orderkey").as("k"),
+        col("l_partkey").as("wp"), col("l_quantity").as("wq"))
+      val b = li.select(col("l_orderkey").as("k"),
+        col("l_partkey").as("lp"), col("l_quantity").as("lq"))
+      val comps = a.join(b, Seq("k"))
+        .filter(col("wp") =!= col("lp") && col("wq") > col("lq"))
+        .select(col("wp").as("winner"), col("lp").as("loser"))
+      graft.operators.BradleyTerry.fit(comps, "winner", "loser", iters = 3)
+    }, Some(btChainSql(3,
+      """SELECT a.l_partkey AS winner, b.l_partkey AS loser
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey
+        |   AND a.l_quantity > b.l_quantity""".stripMargin))),
+
+    ("q232_cohen_kappa", (s, d) => {
+      // annotation QA: do two independent quality raters (char-length
+      // vote vs token-count vote — correlated but not identical rules)
+      // agree beyond chance? One contingency-grid pass; everything
+      // after is category-grid-sized. Exact-integer marginal products
+      // through DECIMAL(19,0) pairs. (A langId-vs-label pairing was
+      // measured degenerate here: the synthetic corpus is all-English
+      // vocabulary, making the predictor constant and kappa exactly 0.)
+      val base = t(s, d, "documents").select(
+        when(col("n_chars") >= 300, "keep").otherwise("drop").as("ra"),
+        when(TextOps.tokenCount(col("text")) >= 60, "keep")
+          .otherwise("drop").as("rb"))
+      graft.operators.Agreement.cohenKappa(base, "ra", "rb")
+    }, Some(
+      s"""WITH pairs AS (
+         |  SELECT CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS ca,
+         |    CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 60
+         |      THEN 'keep' ELSE 'drop' END AS cb
+         |  FROM documents),
+         |grid AS (
+         |  SELECT ca, cb, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pairs GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN ca = cb THEN cnt ELSE 0 END) AS BIGINT) AS agree
+         |  FROM grid),
+         |ma AS (SELECT ca, CAST(sum(cnt) AS BIGINT) AS na FROM grid GROUP BY 1),
+         |mb AS (SELECT cb, CAST(sum(cnt) AS BIGINT) AS nb FROM grid GROUP BY 1),
+         |prod AS (SELECT sum(CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))) AS sp
+         |  FROM ma JOIN mb ON ma.ca = mb.cb)
+         |SELECT n,
+         |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 9) AS po,
+         |  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pe,
+         |  round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / (1.0 - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS kappa
+         |FROM tot CROSS JOIN prod""".stripMargin)),
+
+    ("q233_fleiss_kappa", (s, d) => {
+      // a 3-rule rater panel (length / token-count / stopword-presence
+      // quality votes) scored for panel-level agreement: the Fleiss
+      // generalization q232's two-rater kappa can't express.
+      val docs = t(s, d, "documents").select("doc_id", "text", "n_chars")
+      val r1 = docs.select(col("doc_id").as("item"),
+        when(col("n_chars") >= 300, "keep").otherwise("drop").as("cat"))
+      val r2 = docs.select(col("doc_id").as("item"),
+        when(TextOps.tokenCount(col("text")) >= 60, "keep")
+          .otherwise("drop").as("cat"))
+      val r3 = docs.select(col("doc_id").as("item"),
+        when(col("text").contains("the"), "keep").otherwise("drop").as("cat"))
+      graft.operators.Agreement.fleissKappa(
+        r1.union(r2).union(r3), "item", "cat", m = 3)
+    }, Some(
+      """WITH ratings AS (
+        |  SELECT doc_id AS item,
+        |    CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS cat
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_split_to_array(text, '\s+')) >= 60
+        |      THEN 'keep' ELSE 'drop' END
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN text LIKE '%the%' THEN 'keep' ELSE 'drop' END
+        |  FROM documents),
+        |ic AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS nik
+        |  FROM ratings GROUP BY 1, 2),
+        |per_item AS (SELECT item, CAST(sum(nik) AS BIGINT) AS mi,
+        |    CAST(sum(nik * nik) AS BIGINT) AS sq
+        |  FROM ic GROUP BY 1),
+        |complete AS (SELECT * FROM per_item WHERE mi = 3),
+        |ia AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(sq) AS BIGINT) AS ssq FROM complete),
+        |pe AS (SELECT CAST(sum(CAST(
+        |      (CAST(nk AS DOUBLE) / CAST(ni2 * 3 AS DOUBLE))
+        |      * (CAST(nk AS DOUBLE) / CAST(ni2 * 3 AS DOUBLE))
+        |    AS DECIMAL(30,15))) AS DOUBLE) AS pe
+        |  FROM (SELECT ic.cat, CAST(sum(ic.nik) AS BIGINT) AS nk
+        |    FROM ic JOIN complete c ON c.item = ic.item GROUP BY 1)
+        |  CROSS JOIN (SELECT n_items AS ni2 FROM ia))
+        |SELECT n_items,
+        |  round(CAST(ssq - n_items * 3 AS DOUBLE)
+        |    / CAST(n_items * 3 * 2 AS DOUBLE), 9) AS p_bar,
+        |  round(pe, 9) AS pe_bar,
+        |  round((CAST(ssq - n_items * 3 AS DOUBLE)
+        |      / CAST(n_items * 3 * 2 AS DOUBLE) - pe) / (1.0 - pe), 9) AS kappa
+        |FROM ia CROSS JOIN pe""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Inter-annotator agreement — the labeled-data QA step of an
+  * RLHF/eval-set pipeline: before preference labels or quality
+  * annotations train anything, measure whether the raters (human or
+  * model-as-judge) agree beyond chance. Cohen's kappa for two raters,
+  * Fleiss' kappa for a fixed-size rater panel.
+  *
+  * Scale shape: both statistics collapse the corpus in ONE map-side-
+  * combinable aggregation pass (a (catA, catB) contingency grid for
+  * Cohen; an (item, category) count grid for Fleiss whose second pass
+  * groups the |items|-sized grid, never raw ratings twice); everything
+  * after the first aggregate is category-vocabulary-sized. No windows,
+  * no driver collects — the result is a one-row frame.
+  *
+  * Determinism: all tallies are exact integers; chance-agreement
+  * products go through DECIMAL(38,0)/DECIMAL(30,15) exact sums
+  * (category-order-independent), and the handful of closing IEEE
+  * divisions is written in the same operand order as the SQL twin.
+  *
+  * Beyond-reference LLM-pipeline operator (the q224/q227 family):
+  * annotation QA has no analogue in the reference's order pipeline.
+  */
+object Agreement {
+  private val Acc = DecimalType(30, 15)
+
+  /** Cohen's kappa between two categorical rater columns over the same
+    * rows. Output: one row (n, po, pe, kappa), ratios rounded to 9 dp.
+    * Rows where either rating is NULL are excluded (an unrated item
+    * carries no agreement signal).
+    *
+    * kappa = (po - pe) / (1 - pe) with po = observed agreement rate and
+    * pe = Σ_k marginalA_k · marginalB_k / n² the chance rate. Marginal
+    * products are summed in DECIMAL(38,0) — exact at any corpus size
+    * (two 10^12-row marginals overflow a BIGINT product).
+    */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val grid = df
+      .filter(col(raterA).isNotNull && col(raterB).isNotNull)
+      .groupBy(col(raterA).as("ca"), col(raterB).as("cb"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = grid.agg(
+      sum("cnt").as("n"),
+      sum(when(col("ca") === col("cb"), col("cnt")).otherwise(0L))
+        .as("agree"))
+    val ma = grid.groupBy("ca").agg(sum("cnt").as("na"))
+    val mb = grid.groupBy("cb").agg(sum("cnt").as("nb"))
+    val prod = ma.join(mb, col("ca") === col("cb"))
+      .agg(sum(col("na").cast(DecimalType(19, 0)) *
+        col("nb").cast(DecimalType(19, 0))).as("sp"))
+    tot.crossJoin(prod).select(
+      col("n"),
+      round(col("agree").cast("double") / col("n").cast("double"), 9)
+        .as("po"),
+      round(col("sp").cast("double") / col("n").cast("double")
+        / col("n").cast("double"), 9).as("pe"),
+      round(((col("agree").cast("double") / col("n").cast("double"))
+        - (col("sp").cast("double") / col("n").cast("double")
+          / col("n").cast("double")))
+        / (lit(1.0) - (col("sp").cast("double") / col("n").cast("double")
+          / col("n").cast("double"))), 9).as("kappa"))
+  }
+
+  /** Fleiss' kappa over long-form ratings (itemCol, categoryCol), a
+    * panel of exactly `m` ratings per item — items with a different
+    * rating count are excluded (Fleiss is undefined for ragged panels;
+    * the filter makes partial coverage usable instead of fatal).
+    * Output: one row (n_items, p_bar, pe_bar, kappa), 9 dp.
+    *
+    * P_i = (Σ_k n_ik² − m) / (m(m−1)) per item; P̄ = mean; the chance
+    * rate P̄e = Σ_k p_k² with p_k the pooled category share. Σ n_ik²
+    * stays integer-exact; the p_k² terms are squared in decimal and
+    * exact-summed (category-order-independent).
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String, categoryCol: String,
+                  m: Int): DataFrame = {
+    require(m >= 2, s"a rater panel needs m >= 2, got $m")
+    val ic = ratings.filter(col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("nik"))
+    // keep only complete panels; the grid is |items|·|cats|-sized,
+    // grouped once more on item — ratings are never re-scanned
+    val perItem = ic.groupBy("item").agg(
+      sum("nik").as("mi"),
+      sum(col("nik") * col("nik")).as("sq"))
+      .filter(col("mi") === m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val itemsAgg = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum("sq").as("ssq"))
+    val pooled = ic.join(perItem.select("item"), Seq("item"))
+      .groupBy("cat").agg(sum("nik").as("nk"))
+    val tot = itemsAgg.crossJoin(
+      pooled.crossJoin(itemsAgg.select(col("n_items").as("ni2")))
+        .agg(sum(((col("nk").cast("double")
+          / (col("ni2") * m).cast("double"))
+          * (col("nk").cast("double") / (col("ni2") * m).cast("double")))
+          .cast(Acc)).cast("double").as("pe")))
+    tot.select(
+      col("n_items"),
+      round((col("ssq") - col("n_items") * m).cast("double")
+        / (col("n_items") * m * (m - 1)).cast("double"), 9).as("p_bar"),
+      round(col("pe"), 9).as("pe_bar"),
+      round(((col("ssq") - col("n_items") * m).cast("double")
+        / (col("n_items") * m * (m - 1)).cast("double") - col("pe"))
+        / (lit(1.0) - col("pe")), 9).as("kappa"))
+  }
+}
