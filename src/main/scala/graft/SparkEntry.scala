@@ -6485,7 +6485,68 @@ object SparkEntry {
         |  round(pe, 9) AS pe_bar,
         |  round((CAST(ssq - n_items * 3 AS DOUBLE)
         |      / CAST(n_items * 3 * 2 AS DOUBLE) - pe) / (1.0 - pe), 9) AS kappa
-        |FROM ia CROSS JOIN pe""".stripMargin))
+        |FROM ia CROSS JOIN pe""".stripMargin)),
+
+    ("q234_hard_negatives", (s, d) => {
+      // contrastive-training data prep: per anchor (a batch sample,
+      // every 17th vector), the 5 nearest vectors with a DIFFERENT
+      // label — brute yardstick, q45's ranking discipline.
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 17 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    }, Some("""SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       | row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+       |     e.vec_id) AS rnk
+       |FROM embeddings e
+       |JOIN (SELECT * FROM embeddings WHERE vec_id % 17 = 0) q
+       |  ON e.vec_id <> q.vec_id AND e.label <> q.label
+       |QUALIFY rnk <= 5""".stripMargin)),
+
+    ("q235_hard_negatives_lsh", (s, d) => {
+      // q234's scale shape: SRP-LSH bucket candidates (portable seed,
+      // q136's replayable-plane discipline), exact cosine rank over
+      // different-label candidates only.
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegativesLshPortable(emb,
+        emb.filter(col("vec_id") % 17 === 0),
+        "vec_id", "embedding", "label", k = 5,
+        bits = 8, dim = 64, tables = 8, seed = 7L)
+    }, Some("""WITH planes AS (
+       |  SELECT tt.t, bb.b, jj.j,
+       |    CASE WHEN (((tt.t*8 + bb.b)*64 + jj.j) % 100000007)
+       |        * 2654435768 % 99999989 * 2246822519 % 1000000 < 500000
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(8) tt(t), range(8) bb(b), range(64) jj(j)),
+       |proj AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w ORDER BY p.j)),
+       |      (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.t, p.b),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sig c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id % 17 = 0 AND c.vec_id <> q.vec_id),
+       |lab AS (
+       |  SELECT cand.query_id, cand.neighbor_id
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  WHERE e.label <> qe.label)
+       |SELECT lab.query_id, lab.neighbor_id,
+       |  row_number() OVER (PARTITION BY lab.query_id
+       |    ORDER BY list_cosine_similarity(e.embedding, qe.embedding) DESC,
+       |      lab.neighbor_id) AS rnk
+       |FROM lab
+       |JOIN embeddings e ON e.vec_id = lab.neighbor_id
+       |JOIN embeddings qe ON qe.vec_id = lab.query_id
+       |QUALIFY rnk <= 5""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -52,6 +52,70 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * anchor, the k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that actually move an InfoNCE/triplet loss (easy
+    * negatives contribute ~zero gradient). Brute variant — exact, the
+    * yardstick: corpus × broadcast(anchor batch) — anchors are a
+    * training batch, never the whole corpus, so the full cross product
+    * stays off the table — cosine-ranked per anchor with the
+    * [[bruteTopK]] determinism discipline (id tiebreak). The scale path
+    * is [[hardNegativesLshPortable]].
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"), toDouble(col(vecCol)).as("cv"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("ql"), toDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") && col("nl") =!= col("ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** [[hardNegatives]]' scale shape: candidates from SRP-LSH bucket
+    * equi-joins (any of `tables` tables; never a cross product), then
+    * the exact cosine rank over candidates with a different label.
+    * Portable-seed signatures so the whole path — buckets, candidate
+    * set, ranking — replays in SQL (the q136 discipline). Hard
+    * negatives are exactly the high-cosine region LSH buckets are
+    * dense in, so candidate recall concentrates where the miner needs
+    * it; misses only soften the negatives, never corrupt a label
+    * (the different-label predicate is exact).
+    */
+  def hardNegativesLshPortable(corpus: DataFrame, anchors: DataFrame,
+                               idCol: String, vecCol: String,
+                               labelCol: String, k: Int, bits: Int = 8,
+                               dim: Int = 64, tables: Int = 8,
+                               seed: Long = 7L): DataFrame = {
+    require(seed >= 0L, s"portable seed must be >= 0, got $seed")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nl"), toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"), col("nl"), col("cv"),
+        explode(lshKeys(col("cv"), bits, dim, tables, seed)).as("key"))
+    val q = anchors.select(col(idCol).as("query_id"),
+        col(labelCol).as("ql"), toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("ql"), col("qv"),
+        explode(lshKeys(col("qv"), bits, dim, tables, seed)).as("key"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("key"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("nl") =!= col("ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Deterministic signed-random-projection hyperplanes: `bits` vectors
     * of ±1 over `dim` dimensions, derived from a fixed-seed generator
     * (seeded per hash table so tables are independent).

@@ -41,6 +41,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq(1, 2, 3))
   }
 
+  test("hardNegatives: only different-label vectors, ranked by cosine") {
+    // labels: {1,2} class 0, {3,4} class 1. Anchor 1's hard negatives
+    // exclude 2 (same label) even though it is the NEAREST vector —
+    // the whole point of the label predicate.
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.7f, 0.7f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled,
+        labeled.filter($"vec_id" === 1), "vec_id", "embedding", "label", 2)
+      .orderBy("rnk").as[(Long, Long, Int)].collect()
+    assert(out.map(_._2).toSeq == Seq(4L, 3L)) // cos ~0.707 then 0.0
+    assert(!out.map(_._2).contains(2L), "same-label neighbor must be out")
+
+    // LSH variant obeys the same contract on its candidate set: vector
+    // 2 shares every bucket with anchor 1 (identical direction) yet is
+    // filtered by label; 4 is the nearest cross-label candidate.
+    val lsh = Similarity.hardNegativesLshPortable(labeled,
+      labeled.filter($"vec_id" === 1), "vec_id", "embedding", "label",
+      k = 2, bits = 8, dim = 4, tables = 4, seed = 7L)
+      .orderBy("rnk").as[(Long, Long, Int)].collect()
+    assert(!lsh.map(_._2).contains(2L))
+    assert(lsh.forall(r => Set(3L, 4L)(r._2)))
+    if (lsh.nonEmpty) assert(lsh.head._2 == 4L,
+      "when found, the diagonal vector outranks the orthogonal one")
+  }
+
   test("lshTopK finds the identical-direction vector") {
     val out = Similarity.lshTopK(emb, emb.filter($"vec_id" === 1), "vec_id",
         "embedding", k = 3, bits = 8, dim = 4)
