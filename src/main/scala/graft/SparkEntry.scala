@@ -6546,7 +6546,73 @@ object SparkEntry {
        |FROM lab
        |JOIN embeddings e ON e.vec_id = lab.neighbor_id
        |JOIN embeddings qe ON qe.vec_id = lab.query_id
-       |QUALIFY rnk <= 5""".stripMargin))
+       |QUALIFY rnk <= 5""".stripMargin)),
+
+    ("q236_html_extract", (s, d) => {
+      // web-text extraction: wrap each document in a deterministic HTML
+      // shell (title, style, script, link-dense nav, footer, an inline
+      // entity) and run the production extractor — title out of head,
+      // boilerplate blocks dropped, tags stripped, entities decoded,
+      // link-density signal computed on the raw page. Clean text =
+      // the original body plus the inline content-anchor's text
+      // ("read more" is body content; nav/footer links are not).
+      val h = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { color: red; }</style></head><body>" +
+          "<script>var x = 1;</script><nav><a href=\"/\">home</a> " +
+          "<a href=\"/t\">tags &amp; topics</a></nav><p>"),
+        col("text"),
+        lit("</p><a href=\"/more\">read more</a>" +
+          "<footer>site footer</footer></body></html>"))
+      t(s, d, "documents").select(col("doc_id"), h.as("html"))
+        .select(col("doc_id"),
+          graft.text.Html.extractTitle(col("html")).as("title"),
+          graft.text.Html.extractText(col("html")).as("clean_text"),
+          graft.text.Html.linkCount(col("html")).as("n_links"),
+          round(graft.text.Html.linkDensity(col("html")), 9)
+            .as("link_density"))
+        .withColumn("keep", col("link_density") <= 0.3)
+    }, Some {
+      // SQL twins of the Html.scala chain, built with the same fold
+      def drop(e: String, tags: Seq[String]): String =
+        tags.foldLeft(e)((acc, t) =>
+          s"regexp_replace($acc, '(?s)<$t(>|\\s[^>]*>).*?</$t>', ' ', 'g')")
+      def strip(e: String) = s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
+      def ent(e: String) = Seq("&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&#39;" -> "''", "&nbsp;" -> " ",
+          "&amp;" -> "&")
+        .foldLeft(e)((acc, p) =>
+          s"regexp_replace($acc, '${p._1}', '${p._2}', 'g')")
+      def ws(e: String) = s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+      val boiler = Seq("script", "style", "head", "nav", "footer",
+        "header", "aside")
+      val clean = ws(ent(strip(drop("html", boiler))))
+      val page = ws(ent(strip(drop("html", Seq("script", "style", "head")))))
+      s"""WITH h0 AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         |  || '</title><style>p { color: red; }</style></head><body>'
+         |  || '<script>var x = 1;</script><nav><a href="/">home</a> '
+         |  || '<a href="/t">tags &amp; topics</a></nav><p>' || text
+         |  || '</p><a href="/more">read more</a>'
+         |  || '<footer>site footer</footer></body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         |  $clean AS clean_text,
+         |  CAST(len(regexp_extract_all(html, '<a[\\s>]')) AS BIGINT)
+         |    AS n_links,
+         |  round(CAST(length(array_to_string(
+         |      regexp_extract_all(html, '(?s)<a[^>]*>([^<]*)</a>', 1), ' '))
+         |      AS DOUBLE)
+         |    / CAST(greatest(length($page), 1) AS DOUBLE), 9)
+         |    AS link_density,
+         |  round(CAST(length(array_to_string(
+         |      regexp_extract_all(html, '(?s)<a[^>]*>([^<]*)</a>', 1), ' '))
+         |      AS DOUBLE)
+         |    / CAST(greatest(length($page), 1) AS DOUBLE), 9) <= 0.3
+         |    AS keep
+         |FROM h0""".stripMargin
+    })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
