@@ -6612,6 +6612,59 @@ object SparkEntry {
          |    / CAST(greatest(length($page), 1) AS DOUBLE), 9) <= 0.3
          |    AS keep
          |FROM h0""".stripMargin
+    }),
+
+    ("q237_url_canonicalize", (s, d) => {
+      // crawl-dedup key extraction: three raw spellings per document
+      // family (tracking params + fragment, reordered params + click
+      // id, bare trailing slash) must collapse onto one canonical URL;
+      // host/domain come along for the q202 domain rollups.
+      val raw = concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.COM:80/Articles/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, "/?utm_source=feed&b=2&a=1#frag")
+          .when(col("doc_id") % 3 === 1, "?a=1&ref=x&b=2")
+          .otherwise("/"))
+      t(s, d, "documents").select(col("doc_id"), raw.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.text.Urls.canonicalize(col("url")).as("canonical"),
+          graft.text.Urls.host(col("url")).as("host"),
+          graft.text.Urls.registrableDomain(col("url")).as("domain"))
+    }, Some {
+      val p = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)" +
+        "(?:\\?([^#]*))?(?:#.*)?$"
+      s"""WITH u AS (SELECT doc_id,
+         |  'HTTP://WWW.' || source || '.Example.COM:80/Articles/'
+         |  || CAST(doc_id AS VARCHAR) ||
+         |  CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+         |       WHEN doc_id % 3 = 1 THEN '?a=1&ref=x&b=2'
+         |       ELSE '/' END AS url
+         |  FROM documents),
+         |g AS (SELECT doc_id, url,
+         |  lower(regexp_extract(url, '$p', 1)) AS sch,
+         |  lower(regexp_extract(url, '$p', 2)) AS rawhost,
+         |  regexp_extract(url, '$p', 3) AS rawpath,
+         |  regexp_extract(url, '$p', 4) AS rawq
+         |  FROM u),
+         |h AS (SELECT *, regexp_replace(
+         |    CASE WHEN sch = 'http' THEN regexp_replace(rawhost, ':80$$', '')
+         |         WHEN sch = 'https' THEN regexp_replace(rawhost, ':443$$', '')
+         |         ELSE rawhost END, '^www\\.', '') AS hst
+         |  FROM g),
+         |q AS (SELECT *,
+         |  CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+         |       ELSE regexp_replace(rawpath, '/+$$', '') END AS pth,
+         |  list_sort(list_filter(string_split(rawq, '&'), x ->
+         |    x <> '' AND NOT starts_with(x, 'utm_')
+         |    AND split_part(x, '=', 1)
+         |      NOT IN ('gclid', 'fbclid', 'msclkid', 'ref'))) AS prm
+         |  FROM h)
+         |SELECT doc_id, url,
+         |  sch || '://' || hst || pth ||
+         |    CASE WHEN len(prm) > 0 THEN '?' || array_to_string(prm, '&')
+         |         ELSE '' END AS canonical,
+         |  hst AS host,
+         |  regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |FROM q""".stripMargin
     })
   )
 
