@@ -6665,7 +6665,26 @@ object SparkEntry {
          |  hst AS host,
          |  regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1) AS domain
          |FROM q""".stripMargin
-    })
+    }),
+
+    ("q238_decayed_value", (s, d) =>
+      // recency-weighted user activity: value halves every 7 days from
+      // the corpus' max event date. Weights are exact reciprocal powers
+      // of two (integer shift, never libm pow), products exact-summed
+      // in decimal — see Decay.scala for the determinism contract.
+      graft.operators.Decay.halfLifeAgg(t(s, d, "events"),
+        "user_id", "ts", "value", halfLifeDays = 7),
+      Some("""WITH anchor AS (
+         |  SELECT max(CAST(ts AS DATE)) AS as_of FROM events),
+         |w AS (SELECT user_id, value,
+         |    greatest(date_diff('day', CAST(ts AS DATE), as_of), 0) // 7 AS k
+         |  FROM events CROSS JOIN anchor)
+         |SELECT user_id,
+         |  CAST(sum(CAST(value * (1.0 / CAST((CAST(1 AS BIGINT)
+         |      << least(k, 62)) AS DOUBLE)) AS DECIMAL(30,15)))
+         |    AS DOUBLE) AS decayed_value,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM w GROUP BY 1""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
