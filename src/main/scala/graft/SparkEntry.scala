@@ -6684,7 +6684,28 @@ object SparkEntry {
          |      << least(k, 62)) AS DOUBLE)) AS DECIMAL(30,15)))
          |    AS DOUBLE) AS decayed_value,
          |  CAST(count(*) AS BIGINT) AS n_events
-         |FROM w GROUP BY 1""".stripMargin))
+         |FROM w GROUP BY 1""".stripMargin)),
+
+    ("q239_trimmed_mean", (s, d) =>
+      // outlier-robust per-event-type center: 10% trimmed off each end
+      // (exact integer ppm trim counts, distributed grouped ranks —
+      // never an n*0.1 double ceil or a per-type global window)
+      graft.operators.Quality.trimmedMeanGrouped(
+        t(s, d, "events").select("event_type", "event_id", "value"),
+        "event_type", "value", trimPpm = 100000L,
+        tiebreaks = Seq("event_id")),
+      Some(s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value ASC, event_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         |  ${dsumSql("value")} / count(*) AS trimmed_mean
+         |FROM r
+         |WHERE rn > n * 100000 // 1000000
+         |  AND rn <= n - n * 100000 // 1000000
+         |GROUP BY 1""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

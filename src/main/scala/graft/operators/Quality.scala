@@ -211,4 +211,33 @@ object Quality {
       .agg(count(lit(1)).as("n_rhs_values"), sum(col("__n")).as("n_rows"))
       .filter(col("n_rhs_values") > 1)
   }
+
+  /** Per-group α-trimmed mean — the outlier-robust center profiling
+    * dashboards want where a plain mean is dragged by a fat tail:
+    * drop exactly `floor(n·trimPpm/1e6)` rows off EACH end of the
+    * (value asc, tiebreaks asc) total order, then average the rest.
+    *
+    * Exactness: the trim count is integer ppm arithmetic (never a
+    * double `n·α` that can ceil across an ulp), ranks come from the
+    * distributed [[Ranks.rowNumberGrouped]] (no per-group global
+    * window funneling a fact-scale group through one task), and the
+    * mean is an exact decimal sum with one closing division
+    * ([[graft.Exprs.davg]]). Output: (groupCol, n_kept, trimmed_mean).
+    */
+  def trimmedMeanGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                         trimPpm: Long,
+                         tiebreaks: Seq[String] = Seq.empty): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000,
+      s"trimPpm must be in [0, 500000) so something survives, got $trimPpm")
+    val ranked = Ranks.rowNumberGrouped(df, groupCol, valueCol,
+      ascending = true, tiebreaks = tiebreaks, out = "__rn")
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(n), Seq(groupCol))
+      .withColumn("__trim", expr(s"__n * ${trimPpm}L div 1000000"))
+      .filter(col("__rn") > col("__trim") &&
+        col("__rn") <= col("__n") - col("__trim"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"),
+        graft.Exprs.davg(col(valueCol)).as("trimmed_mean"))
+  }
 }

@@ -125,4 +125,35 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set(("x", 2L, 3L)))
   }
+
+  test("trimmedMeanGrouped drops exactly floor(n*ppm/1e6) per end") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // group g: 10 values 1..9 plus a 1000 outlier. 10% trim -> drop
+    // exactly one row per end (the 1 and the 1000): mean(2..9) = 5.5.
+    // group h: 5 values -> floor(5*0.1)=0 trimmed, plain mean.
+    val df = ((1 to 9).map(v => ("g", v.toLong, v.toDouble)) :+
+      ("g", 10L, 1000.0)) ++ (1 to 5).map(v => ("h", v.toLong, v * 2.0))
+    val out = Quality.trimmedMeanGrouped(df.toDF("k", "id", "value"),
+        "k", "value", trimPpm = 100000L, tiebreaks = Seq("id"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out("g") == ((8L, 5.5)))
+    assert(out("h") == ((5L, 6.0)))
+  }
+
+  test("trimmedMeanGrouped: trim 0 is the plain mean; ties trim deterministically") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val df = Seq(("g", 1L, 4.0), ("g", 2L, 4.0), ("g", 3L, 4.0),
+      ("g", 4L, 8.0)).toDF("k", "id", "value")
+    val plain = Quality.trimmedMeanGrouped(df, "k", "value", 0L, Seq("id"))
+      .as[(String, Long, Double)].collect().head
+    assert(plain == (("g", 4L, 5.0)))
+    // 25% trim on 4 rows -> one off each end; the id tiebreak decides
+    // WHICH tied 4.0 goes (id=1), keeping (4.0@2, 4.0@3) and dropping 8.0
+    val t = Quality.trimmedMeanGrouped(df, "k", "value", 250000L, Seq("id"))
+      .as[(String, Long, Double)].collect().head
+    assert(t == (("g", 2L, 4.0)))
+  }
 }
