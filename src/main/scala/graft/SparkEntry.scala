@@ -6705,7 +6705,29 @@ object SparkEntry {
          |FROM r
          |WHERE rn > n * 100000 // 1000000
          |  AND rn <= n - n * 100000 // 1000000
-         |GROUP BY 1""".stripMargin))
+         |GROUP BY 1""".stripMargin)),
+
+    ("q240_lexical_stats", (s, d) =>
+      // gibberish/template detection signals: word-entropy (nats,
+      // per-term 9dp-rounded ln, decimal-summed) and exact-ppm
+      // type/token ratio per document
+      TextOps.lexicalStats(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+         |  FROM documents),
+         |cw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types
+         |  FROM cw GROUP BY 1)
+         |SELECT cw.doc_id, n_tokens, n_types,
+         |  n_types * 1000000 // n_tokens AS ttr_ppm,
+         |  round(CAST(sum(CAST(
+         |      (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |      * round(ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+         |    AS DECIMAL(30,15))) AS DOUBLE), 9) AS entropy
+         |FROM cw JOIN tot USING (doc_id)
+         |GROUP BY 1, 2, 3, 4""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -204,4 +204,37 @@ object TextOps {
         least(lit(chunkTokens.toLong), col("__n") - col("chunk_idx") * stride)
           .as("chunk_tokens"))
   }
+
+  /** Per-document lexical-diversity signals — the gibberish/template
+    * detectors a length rule can't see: word-distribution Shannon
+    * entropy in nats (a 40-copies-of-one-word page scores ~0, natural
+    * prose ~4-6) and the type/token ratio in exact integer ppm.
+    * Output: (idCol, n_tokens, n_types, ttr_ppm, entropy).
+    *
+    * Shape: explode to (doc, word), ONE (doc, word) count aggregate,
+    * one doc-keyed rollup — the [[Vocab]] shuffle discipline; both
+    * aggregates partial-combine, nothing is windowed.
+    *
+    * Determinism: the transcendental `ln` is rounded to 9 dp PER TERM
+    * before any accumulation (the unigramSurprisal rule), per-word
+    * contributions are exact-decimal-summed, and the closing round is
+    * a compare convenience.
+    */
+  def lexicalStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val acc = org.apache.spark.sql.types.DecimalType(30, 15)
+    val cw = df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val tot = cw.groupBy(col(idCol)).agg(
+      sum("__c").as("n_tokens"), count(lit(1)).as("n_types"))
+    cw.join(tot, Seq(idCol))
+      .withColumn("__t",
+        (col("__c").cast("double") / col("n_tokens").cast("double")) *
+          round(log(col("n_tokens").cast("double") /
+            col("__c").cast("double")), 9))
+      .groupBy(col(idCol), col("n_tokens"), col("n_types"))
+      .agg(round(sum(col("__t").cast(acc)).cast("double"), 9).as("entropy"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+        col("entropy"))
+  }
 }

@@ -113,4 +113,31 @@ class TextOpsSpec extends AnyFunSuite {
       .orderBy("chunk_idx").select("chunk_text").as[String].collect()
     assert(tiles.toSeq == Seq("a b c d", "e f g h", "i"))
   }
+
+  test("lexicalStats: entropy 0 for one-word spam, ln 2 for a fair pair") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),       // 1 type / 4 tokens, H = 0
+      (2L, "alpha beta"),                // H = ln 2 exactly
+      (3L, "a a b")                      // H = 2/3 ln(3/2) + 1/3 ln 3
+    ).toDF("doc_id", "text")
+    val got = TextOps.lexicalStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, 1L, 250000L, 0.0)))
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L)._1 == 2L && got(2L)._2 == 2L && got(2L)._3 == 1000000L)
+    assert(got(2L)._4 == ln2)
+    // replay the operator's own arithmetic: per-term 9dp-rounded ln
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h3 = r9((2.0 / 3) * r9(math.log(3.0 / 2)) +
+      (1.0 / 3) * r9(math.log(3.0)))
+    assert(math.abs(got(3L)._4 - h3) < 2e-9)
+    assert(got(3L)._3 == 666666L, "exact floor ppm, not a rounded double")
+    // the ordering that makes it a quality signal
+    assert(got(1L)._4 < got(3L)._4 && got(3L)._4 < got(2L)._4 * 2)
+  }
 }
