@@ -6727,7 +6727,30 @@ object SparkEntry {
          |      * round(ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)), 9)
          |    AS DECIMAL(30,15))) AS DOUBLE), 9) AS entropy
          |FROM cw JOIN tot USING (doc_id)
-         |GROUP BY 1, 2, 3, 4""".stripMargin))
+         |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    ("q241_activity_gini", (s, d) =>
+      // corpus-balance diagnostic: inequality of event mass across
+      // users. Exact-integer rank formula through decimal products;
+      // the only double op is the closing division.
+      graft.operators.Quality.gini(
+        t(s, d, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("v")),
+        "v", tiebreaks = Seq("user_id")),
+      Some("""WITH c AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS v
+         |  FROM events GROUP BY 1),
+         |r AS (SELECT user_id, v,
+         |    row_number() OVER (ORDER BY v ASC, user_id ASC) AS rn
+         |  FROM c),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS total FROM c)
+         |SELECT n, total,
+         |  round(CAST(sum(CAST(2 * rn - n - 1 AS DECIMAL(19,0))
+         |      * CAST(v AS DECIMAL(19,0))) AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 9) AS gini
+         |FROM r CROSS JOIN t
+         |GROUP BY 1, 2""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -240,4 +240,33 @@ object Quality {
       .agg(count(lit(1)).as("n_kept"),
         graft.Exprs.davg(col(valueCol)).as("trimmed_mean"))
   }
+
+  /** Gini coefficient of a non-negative `valueCol` over entities — the
+    * corpus-balance diagnostic (how concentrated is token mass across
+    * domains? user activity across users?): 0 = perfectly even,
+    * →1 = one entity holds everything. Standard rank formula
+    * `G = Σᵢ (2i − n − 1)·vᵢ / (n·Σv)` over the ascending total order.
+    *
+    * Determinism + scale: ranks come from the distributed
+    * [[Ranks.rowNumber]] (never a global window), every product stays
+    * EXACT in DECIMAL(19,0) pairs until the single closing division
+    * (a BIGINT Σ rank·value overflows at ~10⁹ entities × 10⁹ values;
+    * decimal doesn't). Output: one row (n, total, gini).
+    */
+  def gini(df: DataFrame, valueCol: String,
+           tiebreaks: Seq[String]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val ranked = Ranks.rowNumber(df.filter(col(valueCol).isNotNull),
+      valueCol, ascending = true, tiebreaks = tiebreaks, out = "__rn")
+    val tot = df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("total"))
+      .agg(sum((lit(2) * col("__rn") - col("n") - lit(1)).cast(dec) *
+          col(valueCol).cast(dec)).as("__num"))
+      .select(col("n"), col("total"),
+        round(col("__num").cast("double") /
+          (col("n").cast("double") * col("total").cast("double")), 9)
+          .as("gini"))
+  }
 }

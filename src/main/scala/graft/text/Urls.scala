@@ -59,11 +59,16 @@ object Urls {
         !substring_index(p, "=", 1).isin(TrackingKeys.map(lit): _*)))
   }
 
-  /** The canonical form — the dedup/frontier key. */
+  /** The canonical form — the dedup/frontier key. NULL for a string
+    * that is not an absolute URL: crawl garbage must NOT collapse onto
+    * one shared `'://'` key, where a URL-keyed dedup would silently
+    * merge unrelated documents.
+    */
   def canonicalize(url: Column): Column = {
     val params = canonParams(url)
-    concat(scheme(url), lit("://"), host(url), canonPath(url),
-      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
-        .otherwise(lit("")))
+    when(url.rlike(P),
+      concat(scheme(url), lit("://"), host(url), canonPath(url),
+        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+          .otherwise(lit(""))))
   }
 }

@@ -156,4 +156,17 @@ class QualitySpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().head
     assert(t == (("g", 2L, 4.0)))
   }
+
+  test("gini: 0 at perfect equality, (n-1)/n at full concentration, hand case") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    def g(vals: Seq[Long]): (Long, Long, Double) =
+      Quality.gini(vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v"), "v", Seq("id"))
+        .as[(Long, Long, Double)].collect().head
+    assert(g(Seq(5L, 5L, 5L, 5L)) == ((4L, 20L, 0.0)))
+    assert(g(Seq(0L, 0L, 0L, 12L)) == ((4L, 12L, 0.75))) // (n-1)/n
+    // v=(1,2,3,4): sum (2i-5)v = -3-2+3+12 = 10; / (4*10) = 0.25
+    assert(g(Seq(1L, 2L, 3L, 4L)) == ((4L, 10L, 0.25)))
+  }
 }

@@ -44,6 +44,14 @@ class UrlsSpec extends AnyFunSuite {
       "a valueless tracking key still identifies the request")
   }
 
+  test("crawl garbage canonicalizes to NULL, never a shared key") {
+    val got = Seq("not a url", "ftp//broken", "http://ok.com/x")
+      .toDF("u").select(Urls.canonicalize(col("u")))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(None, None, Some("http://ok.com/x")),
+      "two garbage strings must not dedup-collide on '://'")
+  }
+
   test("host and registrable domain") {
     val df = Seq("https://www.a.b.example.co:443/x").toDF("u")
     val (h, d) = df.select(Urls.host(col("u")), Urls.registrableDomain(col("u")))
