@@ -292,6 +292,26 @@ object SparkEntry {
        |SELECT id, round(p, 9) AS strength FROM p$iters""".stripMargin
   }
 
+  /** SQL twins of the [[graft.text.Html]] chain, built with the same
+    * fold order (shared by q236 and the q242 E2E build).
+    */
+  private def htmlDropSql(e: String, tags: Seq[String]): String =
+    tags.foldLeft(e)((acc, t) =>
+      s"regexp_replace($acc, '(?s)<$t(>|\\s[^>]*>).*?</$t>', ' ', 'g')")
+  private def htmlEntWsSql(e: String): String = {
+    val stripped = s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(stripped)((acc, p) =>
+        s"regexp_replace($acc, '${p._1}', '${p._2}', 'g')")
+    s"trim(regexp_replace($ent, '\\s+', ' ', 'g'))"
+  }
+  private def htmlCleanSql(e: String): String =
+    htmlEntWsSql(htmlDropSql(e, Seq("script", "style", "head", "nav",
+      "footer", "header", "aside")))
+  private def htmlPageSql(e: String): String =
+    htmlEntWsSql(htmlDropSql(e, Seq("script", "style", "head")))
+
   /** Best-effort recursive delete of a streaming query's temp root —
     * called AFTER the result is eagerly checkpointed off the files,
     * so the suite never accumulates per-run orders-table copies.
@@ -6573,21 +6593,8 @@ object SparkEntry {
             .as("link_density"))
         .withColumn("keep", col("link_density") <= 0.3)
     }, Some {
-      // SQL twins of the Html.scala chain, built with the same fold
-      def drop(e: String, tags: Seq[String]): String =
-        tags.foldLeft(e)((acc, t) =>
-          s"regexp_replace($acc, '(?s)<$t(>|\\s[^>]*>).*?</$t>', ' ', 'g')")
-      def strip(e: String) = s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
-      def ent(e: String) = Seq("&lt;" -> "<", "&gt;" -> ">",
-          "&quot;" -> "\"", "&#39;" -> "''", "&nbsp;" -> " ",
-          "&amp;" -> "&")
-        .foldLeft(e)((acc, p) =>
-          s"regexp_replace($acc, '${p._1}', '${p._2}', 'g')")
-      def ws(e: String) = s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
-      val boiler = Seq("script", "style", "head", "nav", "footer",
-        "header", "aside")
-      val clean = ws(ent(strip(drop("html", boiler))))
-      val page = ws(ent(strip(drop("html", Seq("script", "style", "head")))))
+      val clean = htmlCleanSql("html")
+      val page = htmlPageSql("html")
       s"""WITH h0 AS (SELECT doc_id,
          |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
          |  || '</title><style>p { color: red; }</style></head><body>'
@@ -6615,10 +6622,12 @@ object SparkEntry {
     }),
 
     ("q237_url_canonicalize", (s, d) => {
-      // crawl-dedup key extraction: three raw spellings per document
-      // family (tracking params + fragment, reordered params + click
-      // id, bare trailing slash) must collapse onto one canonical URL;
-      // host/domain come along for the q202 domain rollups.
+      // crawl-dedup key extraction: each document URL carries one of
+      // three dirty spellings (tracking params + fragment, reordered
+      // params + click id, bare trailing slash); every rule of the
+      // canonicalizer fires across the corpus. The COLLAPSE payoff
+      // (three spellings of one article → one key) is certified E2E in
+      // q242; host/domain come along for the q202 domain rollups.
       val raw = concat(lit("HTTP://WWW."), col("source"),
         lit(".Example.COM:80/Articles/"), col("doc_id").cast("string"),
         when(col("doc_id") % 3 === 0, "/?utm_source=feed&b=2&a=1#frag")
@@ -6750,7 +6759,111 @@ object SparkEntry {
          |      * CAST(v AS DECIMAL(19,0))) AS DOUBLE)
          |    / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 9) AS gini
          |FROM r CROSS JOIN t
-         |GROUP BY 1, 2""".stripMargin))
+         |GROUP BY 1, 2""".stripMargin)),
+
+    ("q242_webcorpus_build", (s, d) => {
+      // E2E web-corpus build over this session's stages, each already
+      // oracled in isolation (q236/q237/q240): HTML extraction →
+      // canonical-URL crawl dedup (every article fetched under THREE
+      // raw spellings; keep the smallest doc_id) → link-density +
+      // word-entropy quality gate. One hash compare certifies the
+      // composition, the q126/q182 discipline.
+      val docs = t(s, d, "documents")
+      val h = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { color: red; }</style></head><body>" +
+          "<script>var x = 1;</script><nav><a href=\"/\">home</a> " +
+          "<a href=\"/t\">tags &amp; topics</a></nav><p>"),
+        col("text"),
+        lit("</p><a href=\"/more\">read more</a>" +
+          "<footer>site footer</footer></body></html>"))
+      val u = concat(lit("HTTP://WWW.Corpus.Example.COM:80/articles/"),
+        (col("doc_id") / 3).cast("long").cast("string"),
+        when(col("doc_id") % 3 === 0, "/?utm_source=feed&b=2&a=1#frag")
+          .when(col("doc_id") % 3 === 1, "?a=1&ref=x&b=2")
+          .otherwise("/?b=2&a=1&utm_campaign=z"))
+      val staged = docs.select(col("doc_id"), h.as("html"), u.as("url"))
+        .select(col("doc_id"),
+          graft.text.Html.extractText(col("html")).as("clean_text"),
+          round(graft.text.Html.linkDensity(col("html")), 9).as("ld"),
+          graft.text.Urls.canonicalize(col("url")).as("canonical"))
+      val survivors = staged.join(
+        staged.groupBy("canonical").agg(min("doc_id").as("doc_id")),
+        Seq("canonical", "doc_id"))
+      val lex = TextOps.lexicalStats(
+        survivors.select("doc_id", "clean_text"), "doc_id", "clean_text")
+      survivors.join(lex, Seq("doc_id"))
+        .filter(col("ld") <= 0.3 && col("entropy") >= 2.9)
+        .select("doc_id", "canonical", "n_tokens", "entropy")
+    }, Some {
+      val clean = htmlCleanSql("html")
+      val page = htmlPageSql("html")
+      val p = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)" +
+        "(?:\\?([^#]*))?(?:#.*)?$"
+      s"""WITH base AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         |  || '</title><style>p { color: red; }</style></head><body>'
+         |  || '<script>var x = 1;</script><nav><a href="/">home</a> '
+         |  || '<a href="/t">tags &amp; topics</a></nav><p>' || text
+         |  || '</p><a href="/more">read more</a>'
+         |  || '<footer>site footer</footer></body></html>' AS html,
+         |  'HTTP://WWW.Corpus.Example.COM:80/articles/'
+         |  || CAST(doc_id // 3 AS VARCHAR) ||
+         |  CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+         |       WHEN doc_id % 3 = 1 THEN '?a=1&ref=x&b=2'
+         |       ELSE '/?b=2&a=1&utm_campaign=z' END AS url
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |  $clean AS clean_text,
+         |  round(CAST(length(array_to_string(
+         |      regexp_extract_all(html, '(?s)<a[^>]*>([^<]*)</a>', 1), ' '))
+         |      AS DOUBLE)
+         |    / CAST(greatest(length($page), 1) AS DOUBLE), 9) AS ld,
+         |  lower(regexp_extract(url, '$p', 1)) AS sch,
+         |  lower(regexp_extract(url, '$p', 2)) AS rawhost,
+         |  regexp_extract(url, '$p', 3) AS rawpath,
+         |  regexp_extract(url, '$p', 4) AS rawq
+         |  FROM base),
+         |cn AS (SELECT doc_id, clean_text, ld,
+         |  sch || '://' ||
+         |  regexp_replace(
+         |    CASE WHEN sch = 'http' THEN regexp_replace(rawhost, ':80$$', '')
+         |         WHEN sch = 'https' THEN regexp_replace(rawhost, ':443$$', '')
+         |         ELSE rawhost END, '^www\\.', '') ||
+         |  CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+         |       ELSE regexp_replace(rawpath, '/+$$', '') END ||
+         |  CASE WHEN len(list_filter(string_split(rawq, '&'), x ->
+         |      x <> '' AND NOT starts_with(x, 'utm_')
+         |      AND split_part(x, '=', 1)
+         |        NOT IN ('gclid', 'fbclid', 'msclkid', 'ref'))) > 0
+         |    THEN '?' || array_to_string(list_sort(list_filter(
+         |      string_split(rawq, '&'), x ->
+         |      x <> '' AND NOT starts_with(x, 'utm_')
+         |      AND split_part(x, '=', 1)
+         |        NOT IN ('gclid', 'fbclid', 'msclkid', 'ref'))), '&')
+         |    ELSE '' END AS canonical
+         |  FROM g),
+         |surv AS (SELECT cn.* FROM cn
+         |  JOIN (SELECT canonical, min(doc_id) AS doc_id
+         |        FROM cn GROUP BY 1) k
+         |    ON k.canonical = cn.canonical AND k.doc_id = cn.doc_id),
+         |tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(clean_text, '\\s+')) AS w
+         |  FROM surv),
+         |cw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM cw GROUP BY 1),
+         |lex AS (SELECT cw.doc_id, n_tokens,
+         |    round(CAST(sum(CAST(
+         |        (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |        * round(ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+         |      AS DECIMAL(30,15))) AS DOUBLE), 9) AS entropy
+         |  FROM cw JOIN tot USING (doc_id) GROUP BY 1, 2)
+         |SELECT surv.doc_id, canonical, n_tokens, entropy
+         |FROM surv JOIN lex ON lex.doc_id = surv.doc_id
+         |WHERE ld <= 0.3 AND entropy >= 2.9""".stripMargin
+    })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
