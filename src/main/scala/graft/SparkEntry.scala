@@ -6863,7 +6863,64 @@ object SparkEntry {
          |SELECT surv.doc_id, canonical, n_tokens, entropy
          |FROM surv JOIN lex ON lex.doc_id = surv.doc_id
          |WHERE ld <= 0.3 AND entropy >= 2.9""".stripMargin
-    })
+    }),
+
+    ("q243_embedding_diversity", (s, d) =>
+      // mode-collapse audit: exact mean pairwise dot over ALL pairs in
+      // one linear pass (sum-vector identity — no pair materializes);
+      // for this unit-norm corpus it reads as mean pairwise cosine
+      Similarity.corpusDiversity(t(s, d, "embeddings"), "embedding"),
+      Some("""WITH xs AS (
+         |  SELECT i AS d, CAST(embedding[i + 1] AS DOUBLE) AS x
+         |  FROM embeddings, range(0, 64) t(i)),
+         |pd AS (SELECT d,
+         |    CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sd,
+         |    sum(CAST(x * x AS DECIMAL(30,15))) AS sq
+         |  FROM xs GROUP BY 1),
+         |agg AS (SELECT
+         |    CAST(sum(CAST(sd * sd AS DECIMAL(30,15))) AS DOUBLE) AS ssq,
+         |    CAST(sum(sq) AS DOUBLE) AS sx2
+         |  FROM pd),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         |SELECT n, round(sx2 / CAST(n AS DOUBLE), 9) AS mean_norm_sq,
+         |  round((ssq - sx2)
+         |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 9)
+         |    AS mean_pairwise_dot
+         |FROM agg CROSS JOIN n""".stripMargin)),
+
+    ("q244_robust_outliers", (s, d) =>
+      // median/MAD modified z-score per event type: outliers cannot
+      // inflate their own baseline the way q177's mean/sigma can.
+      // Exact PERCENTILE_DISC medians (ceil(n/2), event_id tiebreak)
+      // via the distributed grouped-quantile machinery.
+      graft.operators.Quality.robustOutliers(
+        t(s, d, "events").select("event_type", "event_id", "value"),
+        "event_type", "event_id", "value", threshold = 3.5),
+      Some("""WITH med AS (
+         |  SELECT event_type, value AS med FROM (
+         |    SELECT event_type, value,
+         |      row_number() OVER (PARTITION BY event_type
+         |        ORDER BY value ASC, event_id ASC) AS rn,
+         |      count(*) OVER (PARTITION BY event_type) AS n
+         |    FROM events)
+         |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+         |dev AS (
+         |  SELECT e.event_type, e.event_id, e.value, m.med,
+         |    abs(e.value - m.med) AS dv
+         |  FROM events e JOIN med m USING (event_type)),
+         |mad AS (
+         |  SELECT event_type, dv AS mad FROM (
+         |    SELECT event_type, dv,
+         |      row_number() OVER (PARTITION BY event_type
+         |        ORDER BY dv ASC, event_id ASC) AS rn,
+         |      count(*) OVER (PARTITION BY event_type) AS n
+         |    FROM dev)
+         |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+         |SELECT d.event_type, d.event_id, d.value, d.med, a.mad,
+         |  0.6745 * (d.value - d.med) / a.mad AS mz
+         |FROM dev d JOIN mad a USING (event_type)
+         |WHERE a.mad > 0 AND abs(0.6745 * (d.value - d.med) / a.mad) > 3.5"""
+        .stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

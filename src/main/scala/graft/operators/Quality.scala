@@ -269,4 +269,37 @@ object Quality {
           (col("n").cast("double") * col("total").cast("double")), 9)
           .as("gini"))
   }
+
+  /** Robust per-group outlier detection via the modified z-score
+    * (Iglewicz–Hoaglin): `mz = 0.6745·(x − median) / MAD`. Unlike the
+    * mean/σ gate (q177's shape), median/MAD do not let the outliers
+    * inflate their own baseline — one 10⁶× spike shifts a mean-based σ
+    * enough to hide itself; it moves the median not at all.
+    *
+    * Built as TWO [[Ranks.groupedQuantiles]] passes (exact
+    * PERCENTILE_DISC medians — never a per-group global window): the
+    * value median, then the median absolute deviation, each joined
+    * back broadcast. Emits only the flagged rows
+    * `(groupCol, idCol, valueCol, med, mad, mz)` with |mz| > threshold.
+    * Zero-MAD groups (over half the group at one value) flag nothing —
+    * a deadband rule, documented rather than divided by zero.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, threshold: Double = 3.5): DataFrame = {
+    val med = Ranks.groupedQuantiles(df, groupCol, valueCol, Seq(0.5),
+        tiebreaks = Seq(idCol))
+      .select(col(groupCol), col(valueCol).as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = Ranks.groupedQuantiles(
+        dev.select(col(groupCol), col(idCol), col("__dev")),
+        groupCol, "__dev", Seq(0.5), tiebreaks = Seq(idCol))
+      .select(col(groupCol), col("__dev").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("mz",
+        lit(0.6745) * (col(valueCol) - col("med")) / col("mad"))
+      .filter(col("mad") > 0 && abs(col("mz")) > threshold)
+      .select(col(groupCol), col(idCol), col(valueCol),
+        col("med"), col("mad"), col("mz"))
+  }
 }

@@ -116,6 +116,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Corpus embedding-diversity audit in ONE LINEAR PASS — the
+    * mode-collapse detector for synthetic/distilled data: the exact
+    * mean pairwise dot product over all n(n−1)/2 pairs via the
+    * sum-vector identity
+    *
+    *   Σ_{i≠j} ⟨vᵢ,vⱼ⟩ = ‖Σᵢ vᵢ‖² − Σᵢ ‖vᵢ‖²
+    *
+    * so a statistic that reads like an O(n²) all-pairs job costs one
+    * posexplode + a dim-keyed aggregate (64 rows) — no pair ever
+    * materializes, at any corpus size. For unit-norm embeddings the
+    * output IS the mean pairwise cosine: →1 means the corpus has
+    * collapsed to one direction, ~0 means spread. Also emits the mean
+    * squared norm (the sanity check that cosine reading is valid).
+    *
+    * Determinism: per-dimension sums and the Σ‖v‖² accumulate in exact
+    * DECIMAL(30,15); the dim-count-sized closing combination replays
+    * in the SQL twin's operand order.
+    */
+  def corpusDiversity(emb: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val acc = DecimalType(30, 15)
+    val xs = emb.select(posexplode(toDouble(col(vecCol))).as(Seq("d", "x")))
+    val perDim = xs.groupBy(col("d")).agg(
+      sum(col("x").cast(acc)).cast("double").as("sd"),
+      sum((col("x") * col("x")).cast(acc)).as("sq"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    perDim.agg(
+        sum((col("sd") * col("sd")).cast(acc)).cast("double").as("ssq"),
+        sum(col("sq")).cast("double").as("sx2"))
+      .crossJoin(n)
+      .select(col("n"),
+        round(col("sx2") / col("n").cast("double"), 9).as("mean_norm_sq"),
+        round((col("ssq") - col("sx2")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double")), 9)
+          .as("mean_pairwise_dot"))
+  }
+
   /** Deterministic signed-random-projection hyperplanes: `bits` vectors
     * of ±1 over `dim` dimensions, derived from a fixed-seed generator
     * (seeded per hash table so tables are independent).

@@ -169,4 +169,27 @@ class QualitySpec extends AnyFunSuite {
     // v=(1,2,3,4): sum (2i-5)v = -3-2+3+12 = 10; / (4*10) = 0.25
     assert(g(Seq(1L, 2L, 3L, 4L)) == ((4L, 10L, 0.25)))
   }
+
+  test("robustOutliers flags the spike the spike cannot hide") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // 1..9 + 1000: med = 5 (disc, rank ceil(10/2)), devs sorted
+    // 0,1,1,2,2,3,3,4,4,995 -> MAD = 2; only the 1000 clears 3.5
+    val df = ((1 to 9).map(v => ("a", v.toLong, v.toDouble)) :+
+      ("a", 10L, 1000.0)).toDF("g", "id", "value")
+    val out = Quality.robustOutliers(df, "g", "id", "value")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r._2 == 10L && r._4 == 5.0 && r._5 == 2.0)
+    assert(math.abs(r._6 - 0.6745 * 995 / 2) < 1e-9)
+  }
+
+  test("robustOutliers: zero-MAD deadband flags nothing, never divides by 0") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val df = (Seq.fill(5)(5.0) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }.toDF("g", "id", "value")
+    assert(Quality.robustOutliers(df, "g", "id", "value").count() == 0L)
+  }
 }

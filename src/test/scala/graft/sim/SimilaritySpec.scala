@@ -41,6 +41,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq(1, 2, 3))
   }
 
+  test("corpusDiversity: exact mean pairwise dot without materializing pairs") {
+    // (1,0), (0,1), (1,0): sum vec = (2,1), |sum|^2 = 5, sum|v|^2 = 3
+    // -> pairwise dot total = 2 over 3*2 ordered pairs -> 1/3
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.corpusDiversity(vecs, "embedding")
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == 3L && got._2 == 1.0)
+    assert(math.abs(got._3 - 1.0 / 3) < 1e-9)
+    // full collapse: every vector identical -> mean pairwise cosine 1
+    val collapsed = Seq.fill(5)(Array(0.6f, 0.8f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val c = Similarity.corpusDiversity(collapsed, "embedding")
+      .as[(Long, Double, Double)].collect().head
+    assert(math.abs(c._3 - c._2) < 1e-6,
+      "collapsed corpus: pairwise dot equals the norm^2")
+    // orthogonal pair -> exactly 0
+    val ortho = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.corpusDiversity(ortho, "embedding")
+      .as[(Long, Double, Double)].collect().head._3 == 0.0)
+  }
+
   test("hardNegatives: only different-label vectors, ranked by cosine") {
     // labels: {1,2} class 0, {3,4} class 1. Anchor 1's hard negatives
     // exclude 2 (same label) even though it is the NEAREST vector —
