@@ -6920,7 +6920,98 @@ object SparkEntry {
          |  0.6745 * (d.value - d.med) / a.mad AS mz
          |FROM dev d JOIN mad a USING (event_type)
          |WHERE a.mad > 0 AND abs(0.6745 * (d.value - d.med) / a.mad) > 3.5"""
-        .stripMargin))
+        .stripMargin)),
+
+    ("q245_overlap_report", (s, d) => {
+      // contamination REPORT: per train doc, the exact-ppm share of
+      // its distinct 3-gram shingles occurring anywhere in the eval
+      // split (every 20th doc) — graded partial contamination, the
+      // companion to q65/q106's binary drops.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      graft.text.CorpusClean.overlapReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3)
+    }, Some("""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |     FOR i IN range(1, len(t) - 1)])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+       |agg AS (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_matched
+       |  FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) d
+       |  LEFT JOIN ev ON ev.s = d.s
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_matched,
+       |  n_matched * 1000000 // n_shingles AS overlap_ppm
+       |FROM agg""".stripMargin)),
+
+    ("q246_knn_label_noise", (s, d) => {
+      // annotation QA: labels derived FROM geometry (3-bit portable SRP
+      // bucket, q136's replayable planes) so neighbors agree by
+      // construction — then every 13th vector's label is CORRUPTED
+      // (+1 mod 8). The audit must surface the planted mislabels: an
+      // anchor in the near-unanimous disagreement band (>= 900000 ppm)
+      // is a suspect: ALL SIX planted corruptions land there (perfect
+      // recall); the residual flags are SRP bucket-boundary vectors —
+      // genuine ambiguity of the label rule itself, exactly what an
+      // audit queue surfaces for review. (The table's own label column
+      // was measured geometry-random — median disagreement = chance —
+      // so it demonstrates nothing.)
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val labeled = emb.withColumn("__b", element_at(
+          graft.functions.SrpSignatures.portableBuckets(
+            Similarity.toDouble(col("embedding")), 3, 64, 1, 7L), 1))
+        .withColumn("label", when(col("vec_id") % 13 === 0,
+          (col("__b") + 1) % 8).otherwise(col("__b")))
+        .drop("__b")
+      Similarity.knnLabelNoise(labeled,
+        labeled.filter(col("vec_id") % 7 === 0),
+        "vec_id", "embedding", "label", k = 10, suspectPpm = 900000L)
+    }, Some("""WITH planes AS (
+       |  SELECT bb.b, jj.j,
+       |    CASE WHEN ((bb.b*64 + jj.j) % 100000007)
+       |        * 2654435768 % 99999989 * 2246822519 % 1000000 < 500000
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(3) bb(b), range(64) jj(j)),
+       |proj AS (
+       |  SELECT e.vec_id, p.b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w ORDER BY p.j)),
+       |      (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.b),
+       |lab AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 13 = 0 THEN (bkt + 1) % 8 ELSE bkt END AS label
+       |  FROM (SELECT vec_id,
+       |      CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+       |        AS bkt
+       |    FROM proj GROUP BY vec_id)),
+       |nn AS (
+       |  SELECT q.vec_id AS query_id, lq.label AS ql, le.label AS nl
+       |  FROM embeddings e
+       |  JOIN (SELECT * FROM embeddings WHERE vec_id % 7 = 0) q
+       |    ON e.vec_id <> q.vec_id
+       |  JOIN lab le ON le.vec_id = e.vec_id
+       |  JOIN lab lq ON lq.vec_id = q.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+       |      e.vec_id) <= 10)
+       |SELECT query_id, ql AS label, CAST(count(*) AS BIGINT) AS n_nn,
+       |  CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_disagree,
+       |  CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // count(*) AS disagree_ppm,
+       |  CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // count(*) >= 900000 AS suspect
+       |FROM nn GROUP BY 1, 2""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

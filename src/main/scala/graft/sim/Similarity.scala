@@ -116,6 +116,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Label-noise audit (confident-learning-lite): for each anchor, the
+    * share of its k nearest corpus vectors carrying a DIFFERENT label —
+    * a point sitting deep inside another class's neighborhood is a
+    * likely mislabel, the rows an annotation-QA queue should surface
+    * first. Anchors are an audit batch (never the whole corpus — the
+    * [[hardNegatives]] broadcast contract); ranking and tiebreaks
+    * follow [[bruteTopK]]. Output: (query_id, label, n_nn, n_disagree,
+    * disagree_ppm, suspect) with `suspect` = disagree_ppm ≥
+    * `suspectPpm` (default majority; raise toward unanimity when the
+    * label rule itself is geometrically fuzzy — see q246's fixture).
+    */
+  def knnLabelNoise(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    suspectPpm: Long = 500000L): DataFrame = {
+    val nn = bruteTopK(corpus, anchors, idCol, vecCol, k)
+    val nl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val ql = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    nn.join(nl, Seq("neighbor_id")).join(ql, Seq("query_id"))
+      .groupBy(col("query_id"), col("__ql").as("label"))
+      .agg(count(lit(1)).as("n_nn"),
+        sum(when(col("__nl") =!= col("__ql"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .withColumn("disagree_ppm",
+        expr("n_disagree * 1000000L div n_nn"))
+      .withColumn("suspect", col("disagree_ppm") >= suspectPpm)
+  }
+
   /** Corpus embedding-diversity audit in ONE LINEAR PASS — the
     * mode-collapse detector for synthetic/distilled data: the exact
     * mean pairwise dot product over all n(n−1)/2 pairs via the

@@ -165,4 +165,35 @@ object CorpusClean {
       .join(evalFps, Seq(fp), "left_anti")
     clean.unionByName(survivors).drop("__graft_maybe", fp)
   }
+
+  /** Contamination REPORT (the GPT-3-appendix companion to the drop
+    * operators above): per training document, what fraction of its
+    * distinct token n-gram shingles also occur anywhere in the eval
+    * set — `overlap_ppm` in exact integer ppm, so curators can grade
+    * partial contamination instead of the binary keep/drop verdict.
+    * Documents with fewer than `n` tokens carry no shingle evidence
+    * and are absent from the report (callers gate those on length
+    * rules, not overlap).
+    *
+    * Shape: both sides explode to distinct shingles, ONE equi-join on
+    * the shingle key (the eval side collapsed to its distinct shingle
+    * set — never a doc×doc product), one doc-keyed count rollup.
+    */
+  def overlapReport(train: DataFrame, evalDf: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    def sh(df: DataFrame) = {
+      val toks = TextOps.tokens(col(textCol))
+      df.filter(size(toks) >= n)
+        .select(col(idCol),
+          explode(array_distinct(TextOps.shingles(toks, n))).as("__sh"))
+    }
+    val evalSh = sh(evalDf).select(col("__sh")).distinct()
+      .withColumn("__hit", lit(1L))
+    sh(train).join(evalSh, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("overlap_ppm",
+        expr("n_matched * 1000000L div n_shingles"))
+  }
 }

@@ -41,6 +41,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq(1, 2, 3))
   }
 
+  test("knnLabelNoise surfaces the planted mislabel, spares its neighbors") {
+    // cluster A on x (ids 1-4, id 4 MISLABELED as b), cluster B on y
+    // (ids 5-8). k=3: the mislabel's NN are all true-a -> 100%
+    // disagreement; clean a-anchors see 2 agreeing a's + the mislabel
+    // -> 333333 ppm, below majority.
+    val pts = Seq(
+      (1L, Array(1.0f, 0.00f), "a"), (2L, Array(1.0f, 0.01f), "a"),
+      (3L, Array(1.0f, 0.02f), "a"), (4L, Array(1.0f, 0.03f), "b"),
+      (5L, Array(0.0f, 1.00f), "b"), (6L, Array(0.01f, 1.0f), "b"),
+      (7L, Array(0.02f, 1.0f), "b"), (8L, Array(0.03f, 1.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelNoise(pts, pts, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._5, r._6))).toMap
+    assert(out(4L) == ((1000000L, true)), "the planted mislabel flags")
+    assert(out(1L) == ((333333L, false)) && out(2L)._2 == false)
+    assert(out(5L)._2 == false && out(6L)._2 == false)
+  }
+
   test("corpusDiversity: exact mean pairwise dot without materializing pairs") {
     // (1,0), (0,1), (1,0): sum vec = (2,1), |sum|^2 = 5, sum|v|^2 = 3
     // -> pairwise dot total = 2 over 3*2 ordered pairs -> 1/3

@@ -87,4 +87,29 @@ class CorpusCleanSpec extends AnyFunSuite {
     val deciles = out.values.map(_._1).toSeq.sorted
     assert(deciles == (1L to 11L).map(r => 1L + 10L * (r - 1) / 11L).sorted)
   }
+
+  test("overlapReport grades partial contamination in exact ppm") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val train = Seq(
+      (1L, "a b c d"),        // shingles {abc, bcd}: bcd is in eval -> 1/2
+      (2L, "p q r"),          // {pqr}: untouched -> 0
+      (3L, "x b c d y"),      // {xbc, bcd, cdy}: bcd -> 1/3
+      (4L, "a b")             // < 3 tokens: no evidence, absent
+    ).toDF("doc_id", "text")
+    val evalDf = Seq((100L, "z b c d z")).toDF("doc_id", "text")
+    val out = CorpusClean.overlapReport(train, evalDf, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 500000L)))
+    assert(out(2L) == ((1L, 0L, 0L)))
+    assert(out(3L) == ((3L, 1L, 333333L)))
+    assert(!out.contains(4L), "sub-shingle docs carry no overlap evidence")
+    // an eval doc repeating a shingle still counts each train shingle once
+    val evalDup = Seq((100L, "b c d b c d")).toDF("doc_id", "text")
+    val again = CorpusClean.overlapReport(train, evalDup, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(again(1L) == 1L, "distinct-shingle semantics on both sides")
+  }
 }
