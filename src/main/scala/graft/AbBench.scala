@@ -285,6 +285,23 @@ object AbBench {
   }
 
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q231's pair table WITHOUT the deliberate re-exchange on `b`
+    // (comp stays hashed on (a, b) out of its groupBy, so every MM
+    // round's strength join on b re-exchanges |E| instead of |items|):
+    //   AbBench q231_bradley_terry v231_bt_unpartitioned
+    "v231_bt_unpartitioned" -> ((s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val a = li.select(col("l_orderkey").as("k"),
+        col("l_partkey").as("wp"), col("l_quantity").as("wq"))
+      val b = li.select(col("l_orderkey").as("k"),
+        col("l_partkey").as("lp"), col("l_quantity").as("lq"))
+      val comps = a.join(b, Seq("k"))
+        .filter(col("wp") =!= col("lp") && col("wq") > col("lq"))
+        .select(col("wp").as("winner"), col("lp").as("loser"))
+      graft.operators.BradleyTerry.fit(comps, "winner", "loser",
+        iters = 3, prePartitionPairs = false)
+    }),
     // The r10 global-window formulations of the three sites rewired
     // onto operators/Ranks in r11 — preserved so the rewiring's local
     // cost/benefit stays one interleaved command away:
