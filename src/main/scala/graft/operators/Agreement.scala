@@ -39,10 +39,15 @@ object Agreement {
     * (two 10^12-row marginals overflow a BIGINT product).
     */
   def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    // persisted: the grid feeds THREE aggregates (totals + both
+    // marginals) — without the cache each one re-scans the raw input,
+    // 3 corpus passes instead of 1. The cached table itself is only
+    // |catA|·|catB| rows.
     val grid = df
       .filter(col(raterA).isNotNull && col(raterB).isNotNull)
       .groupBy(col(raterA).as("ca"), col(raterB).as("cb"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = grid.agg(
       sum("cnt").as("n"),
       sum(when(col("ca") === col("cb"), col("cnt")).otherwise(0L))
@@ -79,9 +84,12 @@ object Agreement {
   def fleissKappa(ratings: DataFrame, itemCol: String, categoryCol: String,
                   m: Int): DataFrame = {
     require(m >= 2, s"a rater panel needs m >= 2, got $m")
+    // persisted: ic feeds the per-item rollup AND the pooled category
+    // counts — two raw-ratings scans without the cache
     val ic = ratings.filter(col(categoryCol).isNotNull)
       .groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
       .agg(count(lit(1)).as("nik"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // keep only complete panels; the grid is |items|·|cats|-sized,
     // grouped once more on item — ratings are never re-scanned
     val perItem = ic.groupBy("item").agg(
