@@ -212,8 +212,10 @@ object TextOps {
     * Output: (idCol, n_tokens, n_types, ttr_ppm, entropy).
     *
     * Shape: explode to (doc, word), ONE (doc, word) count aggregate,
-    * one doc-keyed rollup — the [[Vocab]] shuffle discipline; both
-    * aggregates partial-combine, nothing is windowed.
+    * then a DOC-KEYED window (bounded by per-doc vocabulary — never
+    * global) carries the per-doc totals onto each word row in a single
+    * exchange; a self-join formulation would recompute the
+    * corpus-scale word grid twice. One doc-keyed rollup closes.
     *
     * Determinism: the transcendental `ln` is rounded to 9 dp PER TERM
     * before any accumulation (the unigramSurprisal rule), per-word
@@ -221,12 +223,13 @@ object TextOps {
     * a compare convenience.
     */
   def lexicalStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val acc = org.apache.spark.sql.types.DecimalType(30, 15)
+    val w = Window.partitionBy(col(idCol))
     val cw = df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
-    val tot = cw.groupBy(col(idCol)).agg(
-      sum("__c").as("n_tokens"), count(lit(1)).as("n_types"))
-    cw.join(tot, Seq(idCol))
+    cw.withColumn("n_tokens", sum("__c").over(w))
+      .withColumn("n_types", count(lit(1)).over(w))
       .withColumn("__t",
         (col("__c").cast("double") / col("n_tokens").cast("double")) *
           round(log(col("n_tokens").cast("double") /
