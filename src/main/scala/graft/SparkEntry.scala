@@ -6782,14 +6782,20 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0, "/?utm_source=feed&b=2&a=1#frag")
           .when(col("doc_id") % 3 === 1, "?a=1&ref=x&b=2")
           .otherwise("/?b=2&a=1&utm_campaign=z"))
+      // staged is read twice (dedup groupBy + join) and survivors
+      // twice (entropy + final join): both persisted so the regex
+      // extraction chain runs ONCE over the corpus — unpersisted, the
+      // plan re-scans the parquet and re-extracts four times
       val staged = docs.select(col("doc_id"), h.as("html"), u.as("url"))
         .select(col("doc_id"),
           graft.text.Html.extractText(col("html")).as("clean_text"),
           round(graft.text.Html.linkDensity(col("html")), 9).as("ld"),
           graft.text.Urls.canonicalize(col("url")).as("canonical"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val survivors = staged.join(
-        staged.groupBy("canonical").agg(min("doc_id").as("doc_id")),
-        Seq("canonical", "doc_id"))
+          staged.groupBy("canonical").agg(min("doc_id").as("doc_id")),
+          Seq("canonical", "doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lex = TextOps.lexicalStats(
         survivors.select("doc_id", "clean_text"), "doc_id", "clean_text")
       survivors.join(lex, Seq("doc_id"))
