@@ -312,6 +312,29 @@ object SparkEntry {
   private def htmlPageSql(e: String): String =
     htmlEntWsSql(htmlDropSql(e, Seq("script", "style", "head")))
 
+  /** Oracle twin of [[graft.text.TextOps.lexicalStats]] as a WITH
+    * fragment ending in CTE `lexstats(doc_id, n_tokens, n_types,
+    * ttr_ppm, entropy)` — shared by q240 and the q247 data card.
+    */
+  private val lexStatsSql: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |  FROM documents),
+      |cw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types
+      |  FROM cw GROUP BY 1),
+      |lexstats AS (
+      |  SELECT cw.doc_id, n_tokens, n_types,
+      |    n_types * 1000000 // n_tokens AS ttr_ppm,
+      |    round(CAST(sum(CAST(
+      |        (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |        * round(ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+      |      AS DECIMAL(30,15))) AS DOUBLE), 9) AS entropy
+      |  FROM cw JOIN tot USING (doc_id)
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** Best-effort recursive delete of a streaming query's temp root —
     * called AFTER the result is eagerly checkpointed off the files,
     * so the suite never accumulates per-run orders-table copies.
@@ -6721,22 +6744,9 @@ object SparkEntry {
       // per-term 9dp-rounded ln, decimal-summed) and exact-ppm
       // type/token ratio per document
       TextOps.lexicalStats(t(s, d, "documents"), "doc_id", "text"),
-      Some("""WITH tok AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
-         |  FROM documents),
-         |cw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
-         |  FROM tok GROUP BY 1, 2),
-         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |    CAST(count(*) AS BIGINT) AS n_types
-         |  FROM cw GROUP BY 1)
-         |SELECT cw.doc_id, n_tokens, n_types,
-         |  n_types * 1000000 // n_tokens AS ttr_ppm,
-         |  round(CAST(sum(CAST(
-         |      (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-         |      * round(ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)), 9)
-         |    AS DECIMAL(30,15))) AS DOUBLE), 9) AS entropy
-         |FROM cw JOIN tot USING (doc_id)
-         |GROUP BY 1, 2, 3, 4""".stripMargin)),
+      Some(s"""WITH $lexStatsSql
+         |SELECT doc_id, n_tokens, n_types, ttr_ppm, entropy
+         |FROM lexstats""".stripMargin)),
 
     ("q241_activity_gini", (s, d) =>
       // corpus-balance diagnostic: inequality of event mass across
@@ -6957,6 +6967,60 @@ object SparkEntry {
        |SELECT doc_id, n_shingles, n_matched,
        |  n_matched * 1000000 // n_shingles AS overlap_ppm
        |FROM agg""".stripMargin)),
+
+    ("q247_data_card", (s, d) => {
+      // the one-row corpus data card shipped next to a training set:
+      // volume, language spread, exact-dup mass, mean lexical entropy
+      // (decimal-exact mean of per-doc 9dp values), and the Gini of
+      // doc mass across sources — five families composed under one
+      // hash compare. Every aggregate is map-side-combinable; the
+      // card assembles by 1-row cross joins.
+      val docs = t(s, d, "documents")
+      val basic = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      val lex = TextOps.lexicalStats(docs, "doc_id", "text")
+        .agg(sum("n_tokens").as("n_tokens"),
+          graft.Exprs.davg(col("entropy")).as("me"))
+      val dup = docs.select(md5(col("text")).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"))
+      val gini = graft.operators.Quality.gini(
+          docs.groupBy(col("source")).agg(count(lit(1)).as("v")),
+          "v", tiebreaks = Seq("source"))
+        .select(col("gini").as("source_gini"))
+      basic.crossJoin(lex).crossJoin(dup).crossJoin(gini)
+        .select(col("n_docs"), col("n_langs"), col("n_tokens"),
+          col("dup_docs"),
+          expr("dup_docs * 1000000L div n_docs").as("dup_ppm"),
+          round(col("me"), 9).as("mean_entropy"),
+          col("source_gini"))
+    }, Some(s"""WITH $lexStatsSql,
+       |basic AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM documents),
+       |lex AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(entropy AS DECIMAL(18,6))) AS DOUBLE)
+       |      / count(*) AS me
+       |  FROM lexstats),
+       |dup AS (SELECT CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+       |      AS BIGINT) AS dup_docs
+       |  FROM (SELECT md5(text) AS f, CAST(count(*) AS BIGINT) AS c
+       |    FROM documents GROUP BY 1)),
+       |sc AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+       |  FROM documents GROUP BY 1),
+       |sr AS (SELECT source, v,
+       |    row_number() OVER (ORDER BY v ASC, source ASC) AS rn FROM sc),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS total FROM sc),
+       |gn AS (SELECT round(CAST(sum(CAST(2 * rn - n - 1 AS DECIMAL(19,0))
+       |      * CAST(v AS DECIMAL(19,0))) AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 9) AS source_gini
+       |  FROM sr CROSS JOIN st GROUP BY n, total)
+       |SELECT n_docs, n_langs, n_tokens, dup_docs,
+       |  dup_docs * 1000000 // n_docs AS dup_ppm,
+       |  round(me, 9) AS mean_entropy, source_gini
+       |FROM basic CROSS JOIN lex CROSS JOIN dup CROSS JOIN gn"""
+      .stripMargin)),
 
     ("q246_knn_label_noise", (s, d) => {
       // annotation QA: labels derived FROM geometry (3-bit portable SRP
