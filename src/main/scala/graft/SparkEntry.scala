@@ -6549,12 +6549,17 @@ object SparkEntry {
     ("q235_hard_negatives_lsh", (s, d) => {
       // q234's scale shape: SRP-LSH bucket candidates (portable seed,
       // q136's replayable-plane discipline), exact cosine rank over
-      // different-label candidates only.
+      // different-label candidates only. Corpus-side buckets are
+      // CAPPED (the q54 contract — mirrored in the oracle's `capped`
+      // CTE) and the anchor side carries NO broadcast hint: anchors
+      // here are corpus-proportional (every 17th vector), so AQE sizes
+      // that join instead of a fixed driver-side broadcast.
       val emb = t(s, d, "embeddings")
       Similarity.hardNegativesLshPortable(emb,
         emb.filter(col("vec_id") % 17 === 0),
         "vec_id", "embedding", "label", k = 5,
-        bits = 8, dim = 64, tables = 8, seed = 7L)
+        bits = 8, dim = 64, tables = 8, seed = 7L,
+        maxBucketSize = 10000)
     }, Some("""WITH planes AS (
        |  SELECT tt.t, bb.b, jj.j,
        |    CASE WHEN (((tt.t*8 + bb.b)*64 + jj.j) % 100000007)
@@ -6572,9 +6577,12 @@ object SparkEntry {
        |  SELECT vec_id, t,
        |    CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id, t),
+       |capped AS (
+       |  SELECT * FROM sig
+       |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM sig c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+       |  FROM capped c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
        |  WHERE q.vec_id % 17 = 0 AND c.vec_id <> q.vec_id),
        |lab AS (
        |  SELECT cand.query_id, cand.neighbor_id
@@ -7074,6 +7082,93 @@ object SparkEntry {
        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
        |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
        |      e.vec_id) <= 10)
+       |SELECT query_id, ql AS label, CAST(count(*) AS BIGINT) AS n_nn,
+       |  CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_disagree,
+       |  CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // count(*) AS disagree_ppm,
+       |  CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // count(*) >= 900000 AS suspect
+       |FROM nn GROUP BY 1, 2""".stripMargin)),
+
+    ("q248_knn_label_noise_lsh", (s, d) => {
+      // q246's scale twin: the SAME planted-corruption fixture (3-bit
+      // portable SRP label, every 13th vector corrupted, every 7th
+      // vector audited), but neighbors come from capped SRP-LSH bucket
+      // candidates instead of the brute corpus×anchors product — the
+      // shape a corpus-wide audit (anchors ∝ N) actually runs.
+      // KnnLabelNoiseSpec asserts the suspect set matches brute q246
+      // on this fixture.
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val labeled = emb.withColumn("__b", element_at(
+          graft.functions.SrpSignatures.portableBuckets(
+            Similarity.toDouble(col("embedding")), 3, 64, 1, 7L), 1))
+        .withColumn("label", when(col("vec_id") % 13 === 0,
+          (col("__b") + 1) % 8).otherwise(col("__b")))
+        .drop("__b")
+      // bits=4 (16 buckets/table): an AUDIT needs candidate pools
+      // deeper than k, so buckets are deliberately coarser than the
+      // retrieval default — SimilaritySpec pins that this setting
+      // recovers every planted corruption the brute audit finds.
+      Similarity.knnLabelNoiseLsh(labeled,
+        labeled.filter(col("vec_id") % 7 === 0),
+        "vec_id", "embedding", "label", k = 10, suspectPpm = 900000L,
+        bits = 4, dim = 64, tables = 8, seed = 7L, maxBucketSize = 10000)
+    }, Some("""WITH planes8 AS (
+       |  SELECT tt.t, bb.b, jj.j,
+       |    CASE WHEN (((tt.t*4 + bb.b)*64 + jj.j) % 100000007)
+       |        * 2654435768 % 99999989 * 2246822519 % 1000000 < 500000
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(8) tt(t), range(4) bb(b), range(64) jj(j)),
+       |proj8 AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w ORDER BY p.j)),
+       |      (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes8 p
+       |  GROUP BY e.vec_id, p.t, p.b),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM proj8 GROUP BY vec_id, t),
+       |capped AS (
+       |  SELECT * FROM sig
+       |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
+       |planes3 AS (
+       |  SELECT bb.b, jj.j,
+       |    CASE WHEN ((bb.b*64 + jj.j) % 100000007)
+       |        * 2654435768 % 99999989 * 2246822519 % 1000000 < 500000
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(3) bb(b), range(64) jj(j)),
+       |proj3 AS (
+       |  SELECT e.vec_id, p.b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w ORDER BY p.j)),
+       |      (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes3 p
+       |  GROUP BY e.vec_id, p.b),
+       |lab AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 13 = 0 THEN (bkt + 1) % 8 ELSE bkt END AS label
+       |  FROM (SELECT vec_id,
+       |      CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+       |        AS bkt
+       |    FROM proj3 GROUP BY vec_id)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM capped c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id % 7 = 0 AND c.vec_id <> q.vec_id),
+       |nn AS (
+       |  SELECT cand.query_id, lq.label AS ql, ln.label AS nl
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN lab ln ON ln.vec_id = cand.neighbor_id
+       |  JOIN lab lq ON lq.vec_id = cand.query_id
+       |  QUALIFY row_number() OVER (PARTITION BY cand.query_id
+       |    ORDER BY list_cosine_similarity(e.embedding, qe.embedding) DESC,
+       |      cand.neighbor_id) <= 10)
        |SELECT query_id, ql AS label, CAST(count(*) AS BIGINT) AS n_nn,
        |  CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_disagree,

@@ -37,6 +37,15 @@ object Agreement {
     * pe = Σ_k marginalA_k · marginalB_k / n² the chance rate. Marginal
     * products are summed in DECIMAL(38,0) — exact at any corpus size
     * (two 10^12-row marginals overflow a BIGINT product).
+    *
+    * Degenerate case, pinned: when BOTH raters are constant (pe = 1 —
+    * chance agreement is total, kappa's denominator vanishes) kappa is
+    * mathematically undefined and this returns NULL explicitly via a
+    * `pe < 1` guard — never NaN from a 0/0 slipping through IEEE.
+    *
+    * The one-row result is eagerly materialized (localCheckpoint) so
+    * the contingency-grid cache can be dropped before returning —
+    * no cache blocks outlive the call.
     */
   def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
     // persisted: the grid feeds THREE aggregates (totals + both
@@ -57,17 +66,17 @@ object Agreement {
     val prod = ma.join(mb, col("ca") === col("cb"))
       .agg(sum(col("na").cast(DecimalType(19, 0)) *
         col("nb").cast(DecimalType(19, 0))).as("sp"))
-    tot.crossJoin(prod).select(
+    val po = col("agree").cast("double") / col("n").cast("double")
+    val pe = col("sp").cast("double") / col("n").cast("double") /
+      col("n").cast("double")
+    val out = tot.crossJoin(prod).select(
       col("n"),
-      round(col("agree").cast("double") / col("n").cast("double"), 9)
-        .as("po"),
-      round(col("sp").cast("double") / col("n").cast("double")
-        / col("n").cast("double"), 9).as("pe"),
-      round(((col("agree").cast("double") / col("n").cast("double"))
-        - (col("sp").cast("double") / col("n").cast("double")
-          / col("n").cast("double")))
-        / (lit(1.0) - (col("sp").cast("double") / col("n").cast("double")
-          / col("n").cast("double"))), 9).as("kappa"))
+      round(po, 9).as("po"),
+      round(pe, 9).as("pe"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 9)).as("kappa"))
+      .localCheckpoint(true)
+    grid.unpersist()
+    out
   }
 
   /** Fleiss' kappa over long-form ratings (itemCol, categoryCol), a
@@ -80,6 +89,12 @@ object Agreement {
     * rate P̄e = Σ_k p_k² with p_k the pooled category share. Σ n_ik²
     * stays integer-exact; the p_k² terms are squared in decimal and
     * exact-summed (category-order-independent).
+    *
+    * Degenerate case, pinned: when every rating across the panel lands
+    * in ONE category, P̄e = 1 and kappa is undefined — returned as an
+    * explicit NULL via a `pe < 1` guard (see [[cohenKappa]]). Caches
+    * are dropped before returning (one-row result, eagerly
+    * materialized).
     */
   def fleissKappa(ratings: DataFrame, itemCol: String, categoryCol: String,
                   m: Int): DataFrame = {
@@ -108,13 +123,17 @@ object Agreement {
           / (col("ni2") * m).cast("double"))
           * (col("nk").cast("double") / (col("ni2") * m).cast("double")))
           .cast(Acc)).cast("double").as("pe")))
-    tot.select(
+    val pBar = (col("ssq") - col("n_items") * m).cast("double") /
+      (col("n_items") * m * (m - 1)).cast("double")
+    val out = tot.select(
       col("n_items"),
-      round((col("ssq") - col("n_items") * m).cast("double")
-        / (col("n_items") * m * (m - 1)).cast("double"), 9).as("p_bar"),
+      round(pBar, 9).as("p_bar"),
       round(col("pe"), 9).as("pe_bar"),
-      round(((col("ssq") - col("n_items") * m).cast("double")
-        / (col("n_items") * m * (m - 1)).cast("double") - col("pe"))
-        / (lit(1.0) - col("pe")), 9).as("kappa"))
+      when(col("pe") < 1.0,
+        round((pBar - col("pe")) / (lit(1.0) - col("pe")), 9)).as("kappa"))
+      .localCheckpoint(true)
+    ic.unpersist()
+    perItem.unpersist()
+    out
   }
 }

@@ -249,21 +249,28 @@ object Quality {
     *
     * Determinism + scale: ranks come from the distributed
     * [[Ranks.rowNumber]] (never a global window), every product stays
-    * EXACT in DECIMAL(19,0) pairs until the single closing division
-    * (a BIGINT Σ rank·value overflows at ~10⁹ entities × 10⁹ values;
-    * decimal doesn't). Output: one row (n, total, gini).
+    * EXACT in decimal until the single closing division (a BIGINT
+    * Σ rank·value overflows at ~10⁹ entities × 10⁹ values). The rank
+    * factor is DECIMAL(12,0) and the value factor DECIMAL(25,9) — the
+    * product is DECIMAL(38,9), exact with NO precision-loss rescale,
+    * so fractional value columns (weights, scores to 9 dp) are carried
+    * exactly instead of silently rounded to integers. Contract: exact
+    * for ≤ 10¹² entities and |value| < 10¹⁶ (beyond that the decimal
+    * overflows to NULL — a loud failure, never a wrong coefficient).
+    * Output: one row (n, total, gini).
     */
   def gini(df: DataFrame, valueCol: String,
            tiebreaks: Seq[String]): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val rankDec = org.apache.spark.sql.types.DecimalType(12, 0)
+    val valDec = org.apache.spark.sql.types.DecimalType(25, 9)
     val ranked = Ranks.rowNumber(df.filter(col(valueCol).isNotNull),
       valueCol, ascending = true, tiebreaks = tiebreaks, out = "__rn")
     val tot = df.filter(col(valueCol).isNotNull)
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
     ranked.crossJoin(broadcast(tot))
       .groupBy(col("n"), col("total"))
-      .agg(sum((lit(2) * col("__rn") - col("n") - lit(1)).cast(dec) *
-          col(valueCol).cast(dec)).as("__num"))
+      .agg(sum((lit(2) * col("__rn") - col("n") - lit(1)).cast(rankDec) *
+          col(valueCol).cast(valDec)).as("__num"))
       .select(col("n"), col("total"),
         round(col("__num").cast("double") /
           (col("n").cast("double") * col("total").cast("double")), 9)

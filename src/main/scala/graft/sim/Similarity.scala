@@ -88,24 +88,43 @@ object Similarity {
     * dense in, so candidate recall concentrates where the miner needs
     * it; misses only soften the negatives, never corrupt a label
     * (the different-label predicate is exact).
+    *
+    * Scale contract (both the N² holes closed):
+    *  - the corpus side's SRP buckets are CAPPED at `maxBucketSize`
+    *    via [[graft.dedup.NearDup.capBuckets]] — exactly the q54
+    *    recall contract [[cosineNearDupPairs]] carries: a
+    *    mass-duplicated embedding blob lands all N copies in one
+    *    bucket of EVERY table, and an uncapped join would degrade to
+    *    anchors×N. Dropped buckets only soften negatives (a blob that
+    *    saturates a bucket is a near-constant direction — a poor
+    *    hard-negative pool anyway).
+    *  - anchors may legitimately be corpus-proportional (mine
+    *    negatives for EVERY training sample), so there is NO broadcast
+    *    hint on the anchor side: AQE broadcasts a small training batch
+    *    at runtime and falls back to a shuffle join when anchors ∝ N —
+    *    a plan choice, never a driver OOM.
+    * Candidates are therefore ≤ maxBucketSize · anchor-bucket rows per
+    * bucket — linear in the anchor count, at any corpus size.
     */
   def hardNegativesLshPortable(corpus: DataFrame, anchors: DataFrame,
                                idCol: String, vecCol: String,
                                labelCol: String, k: Int, bits: Int = 8,
                                dim: Int = 64, tables: Int = 8,
-                               seed: Long = 7L): DataFrame = {
+                               seed: Long = 7L,
+                               maxBucketSize: Int = 10000): DataFrame = {
     require(seed >= 0L, s"portable seed must be >= 0, got $seed")
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("nl"), toDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"), col("nl"), col("cv"),
         explode(lshKeys(col("cv"), bits, dim, tables, seed)).as("key"))
+    val c = graft.dedup.NearDup.capBuckets(c0, Seq("key"), maxBucketSize)
     val q = anchors.select(col(idCol).as("query_id"),
         col(labelCol).as("ql"), toDouble(col(vecCol)).as("qv"))
       .select(col("query_id"), col("ql"), col("qv"),
         explode(lshKeys(col("qv"), bits, dim, tables, seed)).as("key"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("key"))
+    c.join(q, Seq("key"))
       .filter(col("neighbor_id") =!= col("query_id") &&
         col("nl") =!= col("ql"))
       .select(col("query_id"), col("neighbor_id"),
@@ -124,8 +143,12 @@ object Similarity {
     * [[hardNegatives]] broadcast contract); ranking and tiebreaks
     * follow [[bruteTopK]]. Output: (query_id, label, n_nn, n_disagree,
     * disagree_ppm, suspect) with `suspect` = disagree_ppm ≥
-    * `suspectPpm` (default majority; raise toward unanimity when the
-    * label rule itself is geometrically fuzzy — see q246's fixture).
+    * `suspectPpm` (default: AT LEAST HALF of the neighbors disagree —
+    * the gate is `>=`, so an exact 50% split on even k is flagged;
+    * raise toward unanimity when the label rule itself is
+    * geometrically fuzzy — see q246's fixture). Brute by contract —
+    * the audit-batch yardstick; [[knnLabelNoiseLsh]] is the scale
+    * twin for corpus-wide audits.
     */
   def knnLabelNoise(corpus: DataFrame, anchors: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int,
@@ -136,6 +159,57 @@ object Similarity {
     val ql = anchors.select(col(idCol).as("query_id"),
       col(labelCol).as("__ql"))
     nn.join(nl, Seq("neighbor_id")).join(ql, Seq("query_id"))
+      .groupBy(col("query_id"), col("__ql").as("label"))
+      .agg(count(lit(1)).as("n_nn"),
+        sum(when(col("__nl") =!= col("__ql"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .withColumn("disagree_ppm",
+        expr("n_disagree * 1000000L div n_nn"))
+      .withColumn("suspect", col("disagree_ppm") >= suspectPpm)
+  }
+
+  /** [[knnLabelNoise]]'s scale shape — the corpus-wide audit, where
+    * anchors ∝ N and the brute corpus × anchors product is off the
+    * table: neighbor candidates come from capped SRP-LSH bucket
+    * equi-joins (the [[hardNegativesLshPortable]] machinery — portable
+    * seed so the whole path replays in SQL, corpus buckets capped via
+    * [[graft.dedup.NearDup.capBuckets]], NO broadcast hint so AQE
+    * sizes the anchor side), then the k nearest CANDIDATES (any label)
+    * are ranked by exact cosine and the disagreement share computed
+    * exactly as the brute audit does.
+    *
+    * Semantics vs brute: `n_nn ≤ k` (LSH recall — the neighborhood is
+    * the candidates found, and an anchor with zero candidates emits no
+    * row), but a true near-identical neighborhood collides in every
+    * table, so planted-corruption suspects match the brute audit
+    * (q248's gate). Same output schema and `suspectPpm` gate
+    * ([[knnLabelNoise]]: at-least-half via `>=`).
+    */
+  def knnLabelNoiseLsh(corpus: DataFrame, anchors: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       k: Int, suspectPpm: Long = 500000L,
+                       bits: Int = 8, dim: Int = 64, tables: Int = 8,
+                       seed: Long = 7L,
+                       maxBucketSize: Int = 10000): DataFrame = {
+    require(seed >= 0L, s"portable seed must be >= 0, got $seed")
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl"), toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"), col("__nl"), col("cv"),
+        explode(lshKeys(col("cv"), bits, dim, tables, seed)).as("key"))
+    val c = graft.dedup.NearDup.capBuckets(c0, Seq("key"), maxBucketSize)
+    val q = anchors.select(col(idCol).as("query_id"),
+        col(labelCol).as("__ql"), toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("__ql"), col("qv"),
+        explode(lshKeys(col("qv"), bits, dim, tables, seed)).as("key"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, Seq("key"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("__ql"), col("neighbor_id"),
+        col("__nl"), cosine(col("cv"), col("qv")).as("sim"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
       .groupBy(col("query_id"), col("__ql").as("label"))
       .agg(count(lit(1)).as("n_nn"),
         sum(when(col("__nl") =!= col("__ql"), 1L).otherwise(0L))

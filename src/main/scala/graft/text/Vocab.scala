@@ -460,15 +460,24 @@ object Vocab {
     *
     * Only vocabulary-sized artifacts ever reach the driver (seed
     * counts, per-round piece counts — the bpeTrain/k-means contract);
-    * word tables stay distributed and persisted across rounds.
+    * word tables stay distributed and persisted across rounds. The
+    * contract is ENFORCED, not assumed: the seed collect is bounded by
+    * `limit(maxSeedPieces + 1)` and a `require` turns an over-sized
+    * seed (web-scale corpus + too-low `minCount`) into a clear error
+    * instead of a silent driver OOM. Per-round segmentation counts are
+    * bounded by the seed size by construction (the segmenter only
+    * emits seed pieces).
     *
     * Returns (piece, cnt, score_nanos): final-round Viterbi counts and
     * scores.
     */
   def unigramLmTrain(df: DataFrame, idCol: String, textCol: String,
                      maxPieceLen: Int = 4, minCount: Long = 2,
-                     iters: Int = 2): DataFrame = {
+                     iters: Int = 2,
+                     maxSeedPieces: Int = 2000000): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxSeedPieces >= 1,
+      s"maxSeedPieces must be >= 1, got $maxSeedPieces")
     val spark = df.sparkSession
     val words = df
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
@@ -484,7 +493,18 @@ object Vocab {
            |       l -> substring(word, i, l))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+      // the seed table is vocabulary-sized by construction, but nothing
+      // upstream ENFORCES that — `limit(max+1)` bounds what the driver
+      // can ever receive, so a web-scale corpus with a too-low minCount
+      // fails with a clear contract error instead of a driver OOM
+      .limit(maxSeedPieces + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    require(seed.size <= maxSeedPieces,
+      s"unigramLmTrain seed vocabulary exceeds maxSeedPieces=" +
+        s"$maxSeedPieces — raise minCount (or maxSeedPieces) so the " +
+        "seed stays vocabulary-sized; an unbounded seed would OOM the " +
+        "driver at corpus scale")
 
     val nv = seed.size.toLong
     def rescore(cnts: Map[String, Long]): Map[String, Long] = {

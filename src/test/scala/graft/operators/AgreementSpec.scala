@@ -35,6 +35,17 @@ class AgreementSpec extends AnyFunSuite {
     assert(got._2 == 0.5 && got._3 == 0.5 && got._4 == 0.0)
   }
 
+  test("cohen: both raters constant (pe=1) pins kappa to NULL, not NaN") {
+    // the degenerate case hit during q232 development: chance
+    // agreement is total, the denominator vanishes, kappa is
+    // mathematically undefined — pinned to an explicit NULL
+    val rows = Seq.fill(5)(("x", "x")).toDF("ra", "rb")
+    val got = Agreement.cohenKappa(rows, "ra", "rb").collect().head
+    assert(got.getLong(0) == 5L)
+    assert(got.getDouble(1) == 1.0 && got.getDouble(2) == 1.0)
+    assert(got.isNullAt(3), "kappa at pe=1 must be NULL, not NaN")
+  }
+
   test("fleiss kappa: hand-computed 3-item 2-rater panel") {
     // i1: both a (P=1); i2: both b (P=1); i3: split (P=0) -> Pbar=2/3;
     // pooled p_a = p_b = 1/2 -> Pe = 1/2; kappa = (2/3-1/2)/(1/2) = 1/3
@@ -66,5 +77,15 @@ class AgreementSpec extends AnyFunSuite {
     val got = Agreement.fleissKappa(ratings, "item", "cat", m = 3)
       .as[(Long, Double, Double, Double)].collect().head
     assert(got._2 == 1.0 && got._4 == 1.0)
+  }
+
+  test("fleiss: single-category panel (pe=1) pins kappa to NULL") {
+    // every rating in one category: p_bar = pe = 1, kappa undefined
+    val ratings = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a"))
+      .toDF("item", "cat")
+    val got = Agreement.fleissKappa(ratings, "item", "cat", m = 2)
+      .collect().head
+    assert(got.getLong(0) == 2L && got.getDouble(2) == 1.0)
+    assert(got.isNullAt(3), "kappa at pe=1 must be NULL, not NaN")
   }
 }

@@ -170,6 +170,18 @@ class QualitySpec extends AnyFunSuite {
     assert(g(Seq(1L, 2L, 3L, 4L)) == ((4L, 10L, 0.25)))
   }
 
+  test("gini carries fractional values exactly (no integer rounding)") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // weights 0.5, 1.5, 2.0: ranks 1..3, (2i-4)·v = -1.0 + 0 + 4.0 = 3;
+    // gini = 3 / (3·4) = 0.25. A DECIMAL(.,0) value cast would have
+    // rounded 0.5→1 and 1.5→2 and reported 2/12 instead.
+    val df = Seq((1L, 0.5), (2L, 1.5), (3L, 2.0)).toDF("id", "v")
+    val got = Quality.gini(df, "v", Seq("id"))
+      .as[(Long, Double, Double)].collect().head
+    assert(got == ((3L, 4.0, 0.25)))
+  }
+
   test("robustOutliers flags the spike the spike cannot hide") {
     val spark2 = graft.TestSpark.spark
     import spark2.implicits._

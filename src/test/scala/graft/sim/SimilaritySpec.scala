@@ -114,6 +114,96 @@ class SimilaritySpec extends AnyFunSuite {
       "when found, the diagonal vector outranks the orthogonal one")
   }
 
+  test("hardNegativesLshPortable: bucket cap drops a mass-duplicated blob") {
+    // 500 same-direction corpus vectors (a duplicated embedding blob,
+    // label 9) share every SRP bucket in every table — uncapped, the
+    // candidate set would be anchors×500 per table. With the cap they
+    // vanish from the candidate pool; the ordinary cross-label
+    // negatives in small buckets survive.
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.7f, 0.7f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val blob = (0L until 500L).map(i =>
+      (i + 100L, Array(0.0f, 0.0f, 1.0f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesLshPortable(
+      labeled.unionByName(blob), labeled.filter($"vec_id" === 1),
+      "vec_id", "embedding", "label", k = 400,
+      bits = 8, dim = 4, tables = 4, seed = 7L, maxBucketSize = 20)
+      .as[(Long, Long, Int)].collect()
+    assert(!out.exists(_._2 >= 100L), "capped blob never reaches ranking")
+    assert(out.forall(r => Set(3L, 4L)(r._2)),
+      "ordinary cross-label negatives survive the cap")
+  }
+
+  test("knnLabelNoiseLsh matches brute suspects on the planted-corruption fixture") {
+    // the exact q246/q248 fixture: labels derived from a 3-bit portable
+    // SRP bucket (neighbors agree by construction), every 13th vector
+    // corrupted, every 7th audited. The contract the scale twin must
+    // keep: every PLANTED corruption the brute audit surfaces is also
+    // surfaced by LSH (perfect planted recall), and LSH never flags an
+    // anchor brute clears (its candidate set is a subset of the brute
+    // neighborhood on this fixture). Brute's residual boundary flags —
+    // vectors genuinely ambiguous under the label rule — may drop out
+    // when their boundary neighbors don't share buckets; that is the
+    // recall trade the scaladoc documents.
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val labeled = emb.withColumn("__b", element_at(
+        graft.functions.SrpSignatures.portableBuckets(
+          Similarity.toDouble(col("embedding")), 3, 64, 1, 7L), 1))
+      .withColumn("label", when(col("vec_id") % 13 === 0,
+        (col("__b") + 1) % 8).otherwise(col("__b")))
+      .drop("__b")
+    val anchors = labeled.filter(col("vec_id") % 7 === 0)
+    def suspects(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("suspect")).select("query_id").as[Long].collect().toSet
+    val brute = suspects(Similarity.knnLabelNoise(labeled, anchors,
+      "vec_id", "embedding", "label", k = 10, suspectPpm = 900000L))
+    val lsh = suspects(Similarity.knnLabelNoiseLsh(labeled, anchors,
+      "vec_id", "embedding", "label", k = 10, suspectPpm = 900000L,
+      bits = 4, dim = 64, tables = 8, seed = 7L))
+    val planted = anchors.filter(col("vec_id") % 13 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(planted.nonEmpty && (planted & brute).nonEmpty,
+      "fixture must plant corruptions the brute audit recovers")
+    assert((planted & lsh) == (planted & brute),
+      "LSH audit must recover exactly the planted corruptions brute " +
+        s"does: missing ${(planted & brute) -- lsh}, " +
+        s"extra ${(planted & lsh) -- brute}")
+    assert((lsh -- brute).isEmpty,
+      s"LSH must not flag anchors brute clears: ${lsh -- brute}")
+  }
+
+  test("knnLabelNoiseLsh: bucket cap drops a blob neighborhood loudly, not N²") {
+    // audit anchors against a corpus carrying a 500-copy blob: with a
+    // 20-row cap the blob's buckets are dropped entirely, so anchors
+    // pointing INTO the blob get no candidates (no row) instead of a
+    // 500²-candidate explosion — the documented recall trade.
+    val blob = (0L until 500L).map(i =>
+      (i + 100L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rest = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.01f, 0.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.02f, 0.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = rest.unionByName(blob)
+    val out = Similarity.knnLabelNoiseLsh(corpus,
+      corpus.filter($"vec_id".isin(1L, 100L)),
+      "vec_id", "embedding", "label", k = 3, suspectPpm = 500000L,
+      bits = 8, dim = 4, tables = 4, seed = 7L, maxBucketSize = 20)
+      .as[(Long, Int, Long, Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId.contains(100L), "blob anchor's buckets are capped away")
+    assert(byId.contains(1L) && byId(1L)._4 >= 1L,
+      "small-bucket anchor still sees its cross-label neighbor")
+  }
+
   test("lshTopK finds the identical-direction vector") {
     val out = Similarity.lshTopK(emb, emb.filter($"vec_id" === 1), "vec_id",
         "embedding", k = 3, bits = 8, dim = 4)

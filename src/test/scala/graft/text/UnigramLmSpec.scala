@@ -66,6 +66,18 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out("cd")._2 > out("ba")._2)
   }
 
+  test("training: an over-sized seed fails loudly, never OOMs the driver") {
+    // the enforced vocabulary-size contract: the seed collect is
+    // bounded by limit(maxSeedPieces + 1), so an over-cap seed raises
+    // a clear error instead of collecting unbounded rows
+    val docs = Seq((1L, "abab abab cd cd cd ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Vocab.unigramLmTrain(docs, "doc_id", "text",
+        maxPieceLen = 4, minCount = 2, iters = 1, maxSeedPieces = 3)
+    }
+    assert(e.getMessage.contains("maxSeedPieces"))
+  }
+
   test("segmentation face replays the trained scores") {
     val docs = Seq((1L, "abab abab cd cd cd ab")).toDF("doc_id", "text")
     val scores = Vocab.unigramLmTrain(docs, "doc_id", "text",
