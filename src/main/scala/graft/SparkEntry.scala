@@ -6659,8 +6659,14 @@ object SparkEntry {
       // canonicalizer fires across the corpus. The COLLAPSE payoff
       // (three spellings of one article → one key) is certified E2E in
       // q242; host/domain come along for the q202 domain rollups.
+      // TLDs rotate through co.uk / com.au / plain com so the
+      // registrable-domain suffix table fires: a `*.example.co.uk`
+      // host must key as `example.co.uk`, never collapse to `co.uk`.
       val raw = concat(lit("HTTP://WWW."), col("source"),
-        lit(".Example.COM:80/Articles/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, ".Example.CO.UK:80/Articles/")
+          .when(col("doc_id") % 4 === 1, ".Example.COM.AU:80/Articles/")
+          .otherwise(".Example.COM:80/Articles/"),
+        col("doc_id").cast("string"),
         when(col("doc_id") % 3 === 0, "/?utm_source=feed&b=2&a=1#frag")
           .when(col("doc_id") % 3 === 1, "?a=1&ref=x&b=2")
           .otherwise("/"))
@@ -6673,7 +6679,10 @@ object SparkEntry {
       val p = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)" +
         "(?:\\?([^#]*))?(?:#.*)?$"
       s"""WITH u AS (SELECT doc_id,
-         |  'HTTP://WWW.' || source || '.Example.COM:80/Articles/'
+         |  'HTTP://WWW.' || source ||
+         |  CASE WHEN doc_id % 4 = 0 THEN '.Example.CO.UK:80/Articles/'
+         |       WHEN doc_id % 4 = 1 THEN '.Example.COM.AU:80/Articles/'
+         |       ELSE '.Example.COM:80/Articles/' END
          |  || CAST(doc_id AS VARCHAR) ||
          |  CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#frag'
          |       WHEN doc_id % 3 = 1 THEN '?a=1&ref=x&b=2'
@@ -6703,7 +6712,12 @@ object SparkEntry {
          |    CASE WHEN len(prm) > 0 THEN '?' || array_to_string(prm, '&')
          |         ELSE '' END AS canonical,
          |  hst AS host,
-         |  regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |  CASE WHEN regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1) IN
+         |      (${graft.text.Urls.MultiLabelSuffixes
+                  .map("'" + _ + "'").mkString(", ")})
+         |    AND regexp_extract(hst, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+         |    THEN regexp_extract(hst, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+         |    ELSE regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1) END AS domain
          |FROM q""".stripMargin
     }),
 

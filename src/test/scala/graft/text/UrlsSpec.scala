@@ -59,4 +59,23 @@ class UrlsSpec extends AnyFunSuite {
     assert(h == "a.b.example.co")
     assert(d == "example.co")
   }
+
+  test("multi-label public suffixes take three labels, never collapse") {
+    // the q202/q214 failure mode the suffix table exists for: under
+    // the naive last-two rule every *.co.uk site keyed as 'co.uk' and
+    // a domain blocklist capped the whole namespace as one entity
+    def dom(u: String): String =
+      Seq(u).toDF("u").select(Urls.registrableDomain(col("u")))
+        .as[String].collect().head
+    assert(dom("http://www.news.bbc.co.uk/x") == "bbc.co.uk")
+    assert(dom("https://shop.example.com.au/") == "example.com.au")
+    assert(dom("http://a.b.mycorp.co.jp/p") == "mycorp.co.jp")
+    assert(dom("https://lojas.site.com.br/") == "site.com.br")
+    // distinct sites stay distinct keys
+    assert(dom("http://alpha.co.uk/") != dom("http://beta.co.uk/"))
+    // plain gTLDs keep the two-label rule
+    assert(dom("https://sub.deep.example.com/") == "example.com")
+    // a bare suffix host falls back to two labels, not NULL
+    assert(dom("http://co.uk/") == "co.uk")
+  }
 }
