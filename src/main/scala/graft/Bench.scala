@@ -37,6 +37,21 @@ object Bench {
     */
   val LoadRetimeThreshold = 2.0
 
+  /** Post-suite quiet-retime gate: a query whose recorded 1-min load
+    * exceeded the RUN-START load by more than this is considered
+    * spike-distorted and re-timed once more AFTER the whole suite (the
+    * box is then past both the spike's 1-min window and the suite's
+    * own warmup transient). The margin must clear the bench's OWN
+    * steady-state load: a quiet full run measures per-query loads of
+    * ~5–10 over a sub-1 start (max observed excess ≈ 9.3), while the
+    * r12 external spike reached ~18 over a 3.3 start (excess ≈ 15) and
+    * left q107 reporting 9.7 s where an isolated re-run measures
+    * 3.6 s. 12 splits the two regimes with margin on both sides.
+    * Both samples are kept in BENCH_DETAIL (`post_quiet_retimes`);
+    * the reported number is the min.
+    */
+  val PostRetimeExcess = 12.0
+
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split("\\s+").take(3).mkString(",")
@@ -141,7 +156,28 @@ object Bench {
           } else first
         (name, best, qLoad)
       }
-    val results = timings.map { case (name, best, _) => name -> best }
+    // Post-suite quiet retime (see PostRetimeExcess): re-time every
+    // slow query whose first-timing load showed an EXTERNAL spike
+    // (excess over run-start beyond the bench's own steady-state) now
+    // that the suite's tail has passed the spike's 1-min window. Same
+    // JVM, same warmed code cache — exactly the conditions the main
+    // loop's late slots ran under, minus the spike.
+    val lookup = SparkEntry.queries
+    val postRetimes: Map[String, Double] = timings.collect {
+      case (name, best, qLoad)
+          if best >= RetimeFloorSecs &&
+            qLoad - startLoad > PostRetimeExcess =>
+        val snap = errors
+        val again = timed(name, lookup(name))
+        if (again <= 0) errors = snap // keep the measured main-loop run
+        name -> again
+    }.toMap
+    val results = timings.map { case (name, best, _) =>
+      name -> (postRetimes.get(name) match {
+        case Some(again) if again > 0 => math.min(best, again)
+        case _ => best
+      })
+    }
     def js(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -173,9 +209,16 @@ object Bench {
     // an isolated re-run.
     val qLoads = timings.map { case (k, _, l) => js(k) + ":" + dp3(l) }
       .mkString("{", ",", "}")
+    // both samples of every post-suite quiet retime: [main-loop best,
+    // post-suite sample] — the reported number is the min, but a
+    // reader auditing a spike sees what each pass measured
+    val postJson = timings.collect {
+      case (k, best, _) if postRetimes.contains(k) =>
+        js(k) + s":[${dp3(best)},${dp3(postRetimes(k))}]"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","sf":"$sfDir","load_start":${js(load0)},"load_end":${js(load1)},"queries":$fullQs,"query_loads":$qLoads}""")
+      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","sf":"$sfDir","load_start":${js(load0)},"load_end":${js(load1)},"queries":$fullQs,"query_loads":$qLoads,"post_quiet_retimes":$postJson}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARN could not write $detailPath: $e") }
     // Machine line: MUST fit the driver's ~2 KB tail capture whole, or
