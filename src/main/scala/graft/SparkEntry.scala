@@ -7190,7 +7190,72 @@ object SparkEntry {
        |    * 1000000 // count(*) AS disagree_ppm,
        |  CAST(sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS BIGINT)
        |    * 1000000 // count(*) >= 900000 AS suspect
-       |FROM nn GROUP BY 1, 2""".stripMargin))
+       |FROM nn GROUP BY 1, 2""".stripMargin)),
+
+    ("q249_pii_redact", (s, d) => {
+      // privacy scrub before training: every doc gets one PII payload
+      // by doc_id class (email / Luhn-valid card / card-shaped order
+      // id / IPv4 / phone); the typed redaction chain removes all of
+      // them and the audit counts separate a real card leak (Luhn
+      // passes) from numeric ids (Luhn fails) — both redacted, only
+      // one raises the alarm.
+      val t0 = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .when(col("doc_id") % 5 === 1, " card 4532015112830366 ok")
+          .when(col("doc_id") % 5 === 2, " order 1234567890123456 ok")
+          .when(col("doc_id") % 5 === 3, " from 10.1.2.3 at dawn")
+          .otherwise(" call 555-123-4567 now"))
+      t(s, d, "documents").select(col("doc_id"), t0.as("t"))
+        .select(col("doc_id"),
+          graft.text.Pii.redact(col("t")).as("clean_text"),
+          graft.text.Pii.emailCount(col("t")).as("n_emails"),
+          graft.text.Pii.cardCount(col("t")).as("n_cards"),
+          graft.text.Pii.ipv4Count(col("t")).as("n_ips"),
+          graft.text.Pii.phoneCount(col("t")).as("n_phones"),
+          graft.text.Pii.luhnValidCount(col("t")).as("luhn_valid"))
+    }, Some {
+      import graft.text.Pii.{EmailRe, CardRe, Ipv4Re, PhoneRe}
+      s"""WITH f AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 5 = 0
+         |         THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com'
+         |       WHEN doc_id % 5 = 1 THEN ' card 4532015112830366 ok'
+         |       WHEN doc_id % 5 = 2 THEN ' order 1234567890123456 ok'
+         |       WHEN doc_id % 5 = 3 THEN ' from 10.1.2.3 at dawn'
+         |       ELSE ' call 555-123-4567 now' END AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, t,
+         |  regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM f),
+         |s2 AS (SELECT *,
+         |  regexp_replace(t1, '$CardRe', '<CARD>', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT *,
+         |  regexp_replace(t2, '$Ipv4Re', '<IP>', 'g') AS t3 FROM s2)
+         |SELECT doc_id,
+         |  regexp_replace(t3, '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '$CardRe')) AS BIGINT)
+         |    AS n_cards,
+         |  CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT)
+         |    AS n_ips,
+         |  CAST(len(regexp_extract_all(t3, '$PhoneRe')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(list_filter(
+         |    list_transform(regexp_extract_all(t1, '$CardRe'), x ->
+         |      reverse(regexp_replace(x, '[^0-9]', '', 'g'))),
+         |    d -> len(d) >= 13 AND
+         |      list_reduce(list_prepend(0,
+         |        list_transform(range(1, len(d) + 1),
+         |        i -> CASE WHEN (i - 1) % 2 = 1 THEN
+         |               CASE WHEN 2 * CAST(d[i] AS INT) > 9
+         |                    THEN 2 * CAST(d[i] AS INT) - 9
+         |                    ELSE 2 * CAST(d[i] AS INT) END
+         |             ELSE CAST(d[i] AS INT) END)),
+         |        (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS luhn_valid
+         |FROM s3""".stripMargin
+    })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
