@@ -7255,6 +7255,60 @@ object SparkEntry {
          |             ELSE CAST(d[i] AS INT) END)),
          |        (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS luhn_valid
          |FROM s3""".stripMargin
+    }),
+
+    ("q250_kmeans", (s, d) =>
+      // corpus-scale spherical Lloyd k-means (2 rounds, k=8, portable
+      // init): distributed recentering — exact decimal per-dim sums,
+      // k×dim rows to the driver — with the whole TRAINED assignment
+      // hash-oracled by unrolling both rounds in SQL (the q124/q131
+      // codebook discipline, extended to full-vector Lloyd).
+      graft.sim.KMeans.fit(
+        t(s, d, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 8, iters = 2, seed = 7L),
+    Some {
+      val dot = (1 to 64).map(i =>
+        s"CAST(e.embedding[$i] AS DOUBLE) * c.v[$i]").mkString("\n       |    + ")
+      val nrm = (1 to 64).map(i => s"c.v[$i] * c.v[$i]")
+        .mkString("\n       |    + ")
+      s"""WITH c0 AS (
+       |  SELECT * FROM (
+       |    SELECT row_number() OVER (ORDER BY
+       |        ((vec_id % 100000007) * 2654435768 % 99999989)
+       |          * 2246822519 % 1000000000,
+       |        vec_id) - 1 AS c,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings) WHERE c < 8),
+       |a0 AS (
+       |  SELECT e.vec_id, c.c,
+       |    round(($dot)
+       |      / sqrt($nrm), 9) AS sc
+       |  FROM embeddings e CROSS JOIN c0 c),
+       |b0 AS (
+       |  SELECT vec_id, c FROM a0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sc DESC, c ASC) = 1),
+       |xs AS (
+       |  SELECT e.vec_id, i AS d, CAST(e.embedding[i + 1] AS DOUBLE) AS x
+       |  FROM embeddings e, range(0, 64) t(i)),
+       |m1 AS (
+       |  SELECT b0.c, xs.d,
+       |    CAST(sum(CAST(xs.x AS DECIMAL(30,15))) AS DOUBLE) / count(*)
+       |      AS mv
+       |  FROM xs JOIN b0 USING (vec_id) GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT c0.c, COALESCE(m.v, c0.v) AS v
+       |  FROM c0 LEFT JOIN
+       |    (SELECT c, list(mv ORDER BY d) AS v FROM m1 GROUP BY c) m
+       |    USING (c)),
+       |a1 AS (
+       |  SELECT e.vec_id, c.c,
+       |    round(($dot)
+       |      / sqrt($nrm), 9) AS sc
+       |  FROM embeddings e CROSS JOIN c1 c)
+       |SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a1
+       |QUALIFY row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY sc DESC, c ASC) = 1""".stripMargin
     })
   )
 
