@@ -2737,17 +2737,23 @@ object SparkEntry {
        |FROM a GROUP BY 1""".stripMargin)),
 
     ("q206_incremental_neardup", (s, d) => {
-      // daily-append near-dup delta: every Jaccard>=0.9 pair involving
-      // at least one INCOMING doc, without ever forming a base x base
-      // candidate (the standing corpus's pairs are last run's output).
+      // daily-append near-dup delta, STATEFUL form: the ordering stats
+      // and prefix index are built once over the standing corpus
+      // (graft.dedup.PrefixIndex — persisted tables in deployment),
+      // then the batch costs O(batch + touched buckets): no union-wide
+      // frequency re-aggregate, no base x base candidate. Every
+      // Jaccard>=0.9 pair involving at least one INCOMING doc; exact
+      // recall under the frozen build-time order (PrefixIndex doc).
       // Incoming = every 37th doc re-identified (guaranteed planted
       // dups) so the delta is non-trivial; oracle brute-forces the
       // restricted pair set over the union.
       val docs = t(s, d, "documents").select("doc_id", "text")
       val incoming = docs.filter(col("doc_id") % 37 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      graft.dedup.NearDup.incrementalPrefixFilterPairs(
-        docs, incoming, "doc_id", "text", threshold = 0.9, shingleN = 3)
+      val state = graft.dedup.PrefixIndex.build(
+        docs, "doc_id", "text", threshold = 0.9, shingleN = 3)
+      graft.dedup.PrefixIndex.deltaPairs(incoming, state, docs,
+        "doc_id", "text", threshold = 0.9, shingleN = 3)._1
     }, Some("""WITH u AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
