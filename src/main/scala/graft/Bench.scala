@@ -49,6 +49,17 @@ object Bench {
     * 3.6 s. 12 splits the two regimes with margin on both sides.
     * Both samples are kept in BENCH_DETAIL (`post_quiet_retimes`);
     * the reported number is the min.
+    *
+    * SUSTAINED load is the regime this excess gate cannot see (the r13
+    * lesson: at start-load 4.9 with per-query loads ~9 — excess only
+    * ~4 — min-of-3 still reported 9.9 s where an isolated run measures
+    * 2.0 s, because all three samples were contemporaries of the same
+    * contention): when the box was ALREADY busy before the bench did
+    * any work (startLoad > [[LoadRetimeThreshold]]), EVERY query at or
+    * above [[RetimeFloorSecs]] earns the post-suite retime — minutes
+    * later is the one sample the main loop structurally cannot take.
+    * Cost is bounded by one extra pass over the slow tail, paid only
+    * in runs whose numbers were suspect anyway.
     */
   val PostRetimeExcess = 12.0
 
@@ -173,7 +184,8 @@ object Bench {
     val postRetimes: Map[String, Double] = timings.collect {
       case (name, best, qLoad)
           if best >= RetimeFloorSecs &&
-            qLoad - startLoad > PostRetimeExcess =>
+            (qLoad - startLoad > PostRetimeExcess ||
+              startLoad > LoadRetimeThreshold) =>
         val snap = errors
         val again = timed(name, lookup(name))
         if (again <= 0) errors = snap // keep the measured main-loop run
@@ -218,10 +230,14 @@ object Bench {
       .mkString("{", ",", "}")
     // both samples of every post-suite quiet retime: [main-loop best,
     // post-suite sample] — the reported number is the min, but a
-    // reader auditing a spike sees what each pass measured
+    // reader auditing a spike sees what each pass measured. A FAILED
+    // retime records null (never the negative sentinel — a reader
+    // would otherwise see a nonsensical negative second sample with
+    // the error swallowed by the errors-map restore).
     val postJson = timings.collect {
       case (k, best, _) if postRetimes.contains(k) =>
-        js(k) + s":[${dp3(best)},${dp3(postRetimes(k))}]"
+        val again = postRetimes(k)
+        js(k) + s":[${dp3(best)},${if (again > 0) dp3(again) else "null"}]"
     }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),

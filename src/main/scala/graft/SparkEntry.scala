@@ -7239,7 +7239,7 @@ object SparkEntry {
          |s3 AS (SELECT *,
          |  regexp_replace(t2, '$Ipv4Re', '<IP>', 'g') AS t3 FROM s2)
          |SELECT doc_id,
-         |  regexp_replace(t3, '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+         |  regexp_replace(t3, '$PhoneRe', '\\1<PHONE>', 'g') AS clean_text,
          |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT)
          |    AS n_emails,
          |  CAST(len(regexp_extract_all(t1, '$CardRe')) AS BIGINT)

@@ -255,8 +255,13 @@ object Quality {
     * product is DECIMAL(38,9), exact with NO precision-loss rescale,
     * so fractional value columns (weights, scores to 9 dp) are carried
     * exactly instead of silently rounded to integers. Contract: exact
-    * for ≤ 10¹² entities and |value| < 10¹⁶ (beyond that the decimal
-    * overflows to NULL — a loud failure, never a wrong coefficient).
+    * for ≤ 10¹² entities and |value| < 10¹⁶. The contract is ENFORCED
+    * in both ANSI modes: under ANSI (the Spark 4 session default) a
+    * per-row cast overflow throws; under non-ANSI it becomes a NULL
+    * that a bare `sum` would silently skip — a plausible-but-wrong
+    * coefficient — so the aggregate counts the non-null products
+    * against the row count and emits `gini = NULL` on any mismatch
+    * (loud in both modes, wrong in neither).
     * Output: one row (n, total, gini).
     */
   def gini(df: DataFrame, valueCol: String,
@@ -267,13 +272,16 @@ object Quality {
       valueCol, ascending = true, tiebreaks = tiebreaks, out = "__rn")
     val tot = df.filter(col(valueCol).isNotNull)
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+    val prod = (lit(2) * col("__rn") - col("n") - lit(1)).cast(rankDec) *
+      col(valueCol).cast(valDec)
     ranked.crossJoin(broadcast(tot))
       .groupBy(col("n"), col("total"))
-      .agg(sum((lit(2) * col("__rn") - col("n") - lit(1)).cast(rankDec) *
-          col(valueCol).cast(valDec)).as("__num"))
+      .agg(sum(prod).as("__num"),
+        count(prod).as("__k"), count(lit(1)).as("__rows"))
       .select(col("n"), col("total"),
-        round(col("__num").cast("double") /
-          (col("n").cast("double") * col("total").cast("double")), 9)
+        when(col("__k") === col("__rows"),
+          round(col("__num").cast("double") /
+            (col("n").cast("double") * col("total").cast("double")), 9))
           .as("gini"))
   }
 

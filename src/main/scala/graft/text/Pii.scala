@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   * numeric ids".
   *
   * Boundary (documented, not hidden): no IBAN/SSN national formats, no
-  * IPv6, no free-form international phone grammar — the curation-grade
-  * scrub, not a DLP product.
+  * IPv6, no per-country phone grammars (the E.164-spelled `+CC …`
+  * shape IS covered; see [[PhoneRe]]) — the curation-grade scrub, not
+  * a DLP product.
   */
 object Pii {
 
@@ -44,8 +45,25 @@ object Pii {
 
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Optional +CC prefix, 3-3-4 body with -, ., space or (area). */
-  val PhoneRe = "(?:\\+\\d{1,2}[- ])?\\(?\\d{3}\\)?[- .]\\d{3}[- .]\\d{4}"
+  /** Two spellings: the NANP 3-3-4 body with -, ., space or (area)
+    * and an optional +CC prefix, plus the E.164-spelled international
+    * form `+CC` followed by 2–4 separator-delimited digit groups
+    * (`+44 20 7946 0958`, `+81 3 1234 5678`) — the common way
+    * non-NANP numbers appear in web text, without attempting a
+    * per-country grammar.
+    *
+    * Anchoring without lookaround (the RE2-portable subset): `\b`
+    * cannot guard the left edge — it HOLDS between `.` and a digit,
+    * so a 3-3-4 run inside a longer dotted sequence (`1.234.567.8901`)
+    * would still read as a phone and inflate the audit counts — so
+    * group 1 captures one preceding non-digit/non-dot character (or
+    * start-of-string) and the replacement re-emits it as `$1`/`\1`;
+    * the right edge is a plain `\b`. Counts stay exact: a match
+    * consumes only its own prefix character, which is never part of a
+    * neighboring phone.
+    */
+  val PhoneRe = "(^|[^0-9.])((?:\\+\\d{1,3}[- ])?\\(?\\d{3}\\)?" +
+    "[- .]\\d{3}[- .]\\d{4}\\b|\\+\\d{1,3}[ -]\\d{1,4}(?:[ -]\\d{2,4}){1,3}\\b)"
 
   val EmailToken = "<EMAIL>"
   val CardToken = "<CARD>"
@@ -62,9 +80,11 @@ object Pii {
   private def s3(text: Column): Column =
     regexp_replace(s2(text), Ipv4Re, IpToken)
 
-  /** The fully-redacted text (all four stages). */
+  /** The fully-redacted text (all four stages). The phone stage
+    * re-emits its captured guard character (see [[PhoneRe]]).
+    */
   def redact(text: Column): Column =
-    regexp_replace(s3(text), PhoneRe, PhoneToken)
+    regexp_replace(s3(text), PhoneRe, "$1" + PhoneToken)
 
   def emailCount(text: Column): Column =
     regexp_count(text, lit(EmailRe)).cast("long")

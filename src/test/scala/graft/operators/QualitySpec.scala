@@ -182,6 +182,32 @@ class QualitySpec extends AnyFunSuite {
     assert(got == ((3L, 4.0, 0.25)))
   }
 
+  test("gini out-of-contract magnitudes emit NULL, never a wrong coefficient") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // 1e17 overflows the DECIMAL(25,9) value factor. Under the
+    // session default (ANSI) the cast THROWS — already loud; under
+    // non-ANSI the row's product becomes NULL and a bare sum would
+    // have skipped it silently — the enforced contract reports NULL
+    // gini there instead. Both modes pinned.
+    val df = Seq((1L, 1.0), (2L, 1e17)).toDF("id", "v")
+    val thrown = intercept[Exception] {
+      Quality.gini(df, "v", Seq("id")).collect()
+    }
+    assert(thrown.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE"))
+    val prev = spark2.conf.get("spark.sql.ansi.enabled")
+    spark2.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val got = Quality.gini(df, "v", Seq("id"))
+        .select("gini").collect().head
+      assert(got.isNullAt(0))
+    } finally spark2.conf.set("spark.sql.ansi.enabled", prev)
+    // in-contract frames are unaffected
+    val ok = Quality.gini(Seq((1L, 1.0), (2L, 3.0)).toDF("id", "v"),
+      "v", Seq("id")).select("gini").as[Double].collect().head
+    assert(ok == 0.25)
+  }
+
   test("robustOutliers flags the spike the spike cannot hide") {
     val spark2 = graft.TestSpark.spark
     import spark2.implicits._

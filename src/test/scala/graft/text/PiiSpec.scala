@@ -21,6 +21,20 @@ class PiiSpec extends AnyFunSuite {
       "call <PHONE> or <PHONE>")
   }
 
+  test("E.164-spelled international phones redact; digit-run tails don't") {
+    assert(red("ring +44 20 7946 0958 today") == "ring <PHONE> today")
+    assert(red("tokyo line +81 3 1234 5678 ok") == "tokyo line <PHONE> ok")
+    assert(red("start +1 555-123-4567") == "start <PHONE>")
+    // a 3-3-4 run INSIDE a longer dotted sequence is not a phone (the
+    // left guard): previously '234.567.8901' leaked into the counts
+    assert(red("version 1.234.567.8901 shipped") ==
+      "version 1.234.567.8901 shipped")
+    // phone at string start (the ^ alternative of the guard)
+    assert(red("555-123-4567 is the line") == "<PHONE> is the line")
+    // enumerations with short +N fragments stay untouched
+    assert(red("scores +1 2 and +3 4 here") == "scores +1 2 and +3 4 here")
+  }
+
   test("overlapping types resolve by the documented chain order") {
     // a 16-digit run must become ONE <CARD>, never a phone fragment;
     // an IPv4 must not leave octets behind for the phone stage
