@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.TestSpark
+
+/** File-backed fetcher that fails the FIRST attempt per URL — proves
+  * the per-partition retry path without a network. Executor-visible
+  * state works because tests run local (one JVM).
+  */
+class FlakyFileFetcher extends PageFetcher {
+  override def fetch(url: String): String = {
+    val first = FlakyFileFetcher.seen.putIfAbsent(url, true) == null
+    FlakyFileFetcher.attempts.incrementAndGet()
+    if (first) sys.error(s"transient fault on $url")
+    new UrlFetcher().fetch(url)
+  }
+}
+object FlakyFileFetcher {
+  val seen = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class RestPagesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Stage page files: 10 + 10 + 5 records, then empty pages. */
+  private def stagePages(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("rest_pages")
+    def rec(i: Int) =
+      s"""{"id":$i,"name":"item$i","rating":{"rate":${i % 5}.5,"count":$i}}"""
+    def write(page: Int, ids: Range): Unit =
+      java.nio.file.Files.writeString(dir.resolve(s"page$page.json"),
+        ids.map(rec).mkString("[", ",", "]"))
+    write(0, 0 until 10)
+    write(1, 10 until 20)
+    write(2, 20 until 25) // short page
+    java.nio.file.Files.writeString(dir.resolve("page3.json"), "[]")
+    java.nio.file.Files.writeString(dir.resolve("page4.json"), "[]")
+    dir.toString
+  }
+
+  test("N pages read as N partitions with an inferred nested schema") {
+    val dir = stagePages()
+    val df = spark.read.format("graft-rest")
+      .option("url", s"file://$dir/page{page}.json")
+      .option("pageSize", "10").option("maxPages", "5")
+      .load()
+    assert(df.rdd.getNumPartitions == 5) // partition per page range
+    assert(df.count() == 25)
+    assert(df.schema.fieldNames.toSet == Set("id", "name", "rating"))
+    // nested struct landed as a native struct, values intact
+    val got = df.select(col("id"), col("rating.count"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0 until 25).map(i => i.toLong -> i.toLong).toMap)
+  }
+
+  test("offset/limit templating renders per partition") {
+    val dir = java.nio.file.Files.createTempDirectory("rest_off")
+    (0 until 3).foreach { p =>
+      java.nio.file.Files.writeString(
+        dir.resolve(s"off${p * 7}_lim7.json"),
+        s"""[{"off":${p * 7}}]""")
+    }
+    val got = spark.read.format("graft-rest")
+      .option("url", s"file://$dir/off{offset}_lim{limit}.json")
+      .option("pageSize", "7").option("maxPages", "3")
+      .load().select("off").as[Long].collect().toSet
+    assert(got == Set(0L, 7L, 14L))
+  }
+
+  test("column pruning reaches the parse schema") {
+    val dir = stagePages()
+    val df = spark.read.format("graft-rest")
+      .option("url", s"file://$dir/page{page}.json")
+      .option("pageSize", "10").option("maxPages", "3")
+      .load().select("name")
+    // the scan's read schema is the pruned one, not the full struct —
+    // the parser then never materializes id/rating at all
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.readSchema().fieldNames.toSeq == Seq("name"))
+    assert(df.as[String].collect().sorted.head == "item0")
+  }
+
+  test("per-partition retry recovers a transiently failing page") {
+    FlakyFileFetcher.seen.clear()
+    FlakyFileFetcher.attempts.set(0)
+    val dir = stagePages()
+    val df = spark.read.format("graft-rest")
+      .option("url", s"file://$dir/page{page}.json")
+      .option("pageSize", "10").option("maxPages", "3")
+      .option("fetcher", classOf[FlakyFileFetcher].getName)
+      .option("retryDelayMs", "1")
+      .load()
+    assert(df.count() == 25)
+    // every page failed once and was re-fetched on its own task
+    assert(FlakyFileFetcher.attempts.get() >= 6)
+  }
+
+  test("explicit user schema skips inference; missing pages obey the option") {
+    val dir = stagePages()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string")
+    // maxPages overshoots the staged files: page5.json doesn't exist
+    val strict = spark.read.format("graft-rest").schema(schema)
+      .option("url", s"file://$dir/page{page}.json")
+      .option("pageSize", "10").option("maxPages", "6")
+      .option("retryDelayMs", "1")
+      .load()
+    val e = intercept[org.apache.spark.SparkException] { strict.count() }
+    assert(e.getMessage != null)
+    val lenient = spark.read.format("graft-rest").schema(schema)
+      .option("url", s"file://$dir/page{page}.json")
+      .option("pageSize", "10").option("maxPages", "6")
+      .option("missingPageIsEmpty", "true")
+      .option("retries", "0")
+      .load()
+    assert(lenient.count() == 25)
+    assert(lenient.schema == schema)
+  }
+}
