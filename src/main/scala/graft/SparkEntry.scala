@@ -34,6 +34,54 @@ object SparkEntry {
   private def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** Shared winnowing oracle prefix (q251/q252): 4-gram rolling hashes
+    * per doc and the w=4 sliding windows — ends after the
+    * `wins(doc_id, i, win)` CTE's close paren. Mirrors
+    * [[graft.text.Winnow]] exactly (RollingHash fold, clamped
+    * whole-doc window for docs shorter than w+k-1 grams).
+    */
+  private val winnowSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(len(tk) - 3),
+      |      i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))
+      |      AS grams
+      |  FROM toks WHERE len(tk) >= 4),
+      |h AS (
+      |  SELECT doc_id, list_transform(grams, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(s, ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+      |  FROM g),
+      |wins AS (
+      |  SELECT doc_id, i, list_slice(hs, i + 1, i + 4) AS win
+      |  FROM h, unnest(range(greatest(len(hs) - 3, 1))) AS u(i))""".stripMargin
+
+  /** Per-vector L2 norm CTE replaying [[graft.sim.Similarity.norm]]'s
+    * left-to-right double fold bit-for-bit (q255/q256).
+    */
+  private val cosFoldSql: String =
+    """norms AS (
+      |  SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (a, x) -> a + x)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** Dot-product fragment between two embedding table aliases, same
+    * fold order as [[graft.functions.ArrayDot]].
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(64),
+       |        i -> CAST($a.embedding[i + 1] AS DOUBLE)
+       |          * CAST($b.embedding[i + 1] AS DOUBLE))),
+       |      (x, y) -> x + y)""".stripMargin
+
   /** Shared NB quality-score oracle prefix (q220/q224/q227/q228):
     * Laplace-smoothed token log-odds for the lang='en' split, tf
     * table, and the per-doc decimal-summed evidence — ends after the
@@ -7315,7 +7363,183 @@ object SparkEntry {
        |SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a1
        |QUALIFY row_number() OVER (PARTITION BY vec_id
        |  ORDER BY sc DESC, c ASC) = 1""".stripMargin
-    })
+    }),
+
+    ("q251_winnowing", (s, d) =>
+      // MOSS winnowing fingerprints (Schleimer et al. 2003): window
+      // minima of rolling 4-gram hashes, rightmost on ties — the
+      // sketch with the guaranteed detection length w+k-1. Pure array
+      // HOFs over the portable rolling hash, so the selection itself
+      // is hash-oracled.
+      graft.text.Winnow.fingerprints(
+        t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", k = 4, w = 4),
+    Some(winnowSql + """
+       |SELECT DISTINCT doc_id,
+       |  CAST(i + len(win) - list_position(list_reverse(win),
+       |    list_min(win)) AS INT) AS pos,
+       |  list_min(win) AS fp
+       |FROM wins""".stripMargin)),
+
+    ("q252_winnowing_overlap", (s, d) =>
+      // the MOSS match report over q251's sketch: doc pairs sharing
+      // >= 2 distinct fingerprints via a fingerprint-bucket equi-join
+      // (capped; never all-pairs) — planted near-dups share nearly
+      // every fingerprint, unrelated docs almost none.
+      graft.text.Winnow.overlapPairs(
+        t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", k = 4, w = 4, minShared = 2,
+        maxBucketSize = 100000),
+    Some(winnowSql + """,
+       |fpd AS (
+       |  SELECT DISTINCT doc_id, list_min(win) AS fp FROM wins),
+       |capped AS (
+       |  SELECT * FROM fpd
+       |  QUALIFY count(*) OVER (PARTITION BY fp) <= 100000)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(count(*) AS BIGINT) AS shared
+       |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    ("q253_min_k_surprisal", (s, d) =>
+      // Min-K% Prob (Shi et al. 2024) as a curation statistic: the
+      // exact-decimal surprisal TOTAL over each doc's 20% least-
+      // probable tokens (totals-not-means, the q114 discipline) — the
+      // memorization/formulaic-text signal the plain mean dilutes.
+      graft.text.Vocab.minKSurprisal(
+        t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", frac = 0.2),
+    Some(s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+'))
+       |    AS token
+       |  FROM documents),
+       |freq AS (SELECT token, count(*) AS n_tok FROM tok GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |inst AS (
+       |  SELECT tok.doc_id, tok.token,
+       |    round(ln(CAST(n_total AS DOUBLE) / n_tok), 9) AS c,
+       |    count(*) OVER (PARTITION BY doc_id) AS n,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY round(ln(CAST(n_total AS DOUBLE) / n_tok), 9) DESC,
+       |        token ASC) AS rn
+       |  FROM tok JOIN freq USING (token) CROSS JOIN tot)
+       |SELECT doc_id,
+       |  ${dsumSql("c")} AS min_k_total,
+       |  CAST(count(*) AS BIGINT) AS k_tokens,
+       |  CAST(max(n) AS BIGINT) AS n_tokens
+       |FROM inst WHERE rn <= ceil(0.2 * n) GROUP BY 1""".stripMargin)),
+
+    ("q254_k_anonymity", (s, d) =>
+      // re-identification audit before a training-data release:
+      // k-anonymity + l-diversity per quasi-identifier equivalence
+      // class (nation × account-balance band; sensitive = market
+      // segment) — one map-side-combinable groupBy, class-domain-sized
+      // output.
+      graft.operators.Privacy.kAnonymityReport(
+        t(s, d, "customer"),
+        Seq("nationkey" -> col("c_nationkey"),
+          "bal_band" -> floor(col("c_acctbal") / 1000).cast("long")),
+        sensitive = col("c_mktsegment"), k = 5, l = 2),
+    Some("""SELECT c_nationkey AS nationkey,
+       |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+       |  count(*) >= 5 AS k_anonymous,
+       |  count(DISTINCT c_mktsegment) >= 2 AS l_diverse
+       |FROM customer GROUP BY 1, 2""".stripMargin)),
+
+    ("q255_knn_outliers", (s, d) =>
+      // kNN-distance outlier audit (Ramaswamy et al. 2000), brute
+      // yardstick on an audit batch (every 19th vector): exact-decimal
+      // total of the 9-dp top-5 cosines; a low mean = mis-embedded or
+      // off-distribution content. Scale twin: q256.
+      graft.sim.Similarity.knnOutliers(
+        t(s, d, "embeddings").select("vec_id", "embedding"),
+        t(s, d, "embeddings").select("vec_id", "embedding")
+          .filter(col("vec_id") % 19 === 0),
+        "vec_id", "embedding", k = 5, thrPct = 50),
+    Some(s"""WITH $cosFoldSql,
+       |sims AS (
+       |  SELECT qe.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    round(${dotSql("e", "qe")}
+       |      / (nc.nrm * nq.nrm), 9) AS sim
+       |  FROM embeddings e
+       |  CROSS JOIN embeddings qe
+       |  JOIN norms nc ON nc.vec_id = e.vec_id
+       |  JOIN norms nq ON nq.vec_id = qe.vec_id
+       |  WHERE qe.vec_id % 19 = 0 AND e.vec_id <> qe.vec_id),
+       |top AS (
+       |  SELECT query_id, sim FROM sims
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) <= 5)
+       |SELECT query_id,
+       |  ${dsumSql("sim")} AS sim_total,
+       |  CAST(count(*) AS BIGINT) AS n_nn,
+       |  ${dsumSql("sim")} < count(*) * 0.5 AS outlier
+       |FROM top GROUP BY 1""".stripMargin)),
+
+    ("q256_knn_outliers_lsh", (s, d) =>
+      // q255's corpus-wide scale shape (anchors = the whole corpus):
+      // capped SRP-LSH candidates, and zero-candidate vectors — which
+      // collide with nothing in any of 8 tables — surface as the most
+      // isolated points (n_nn = 0, outlier = true) instead of
+      // disappearing.
+      graft.sim.Similarity.knnOutliersLsh(
+        t(s, d, "embeddings").select("vec_id", "embedding"),
+        t(s, d, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5, thrPct = 50,
+        bits = 4, dim = 64, tables = 8, seed = 7L,
+        maxBucketSize = 10000),
+    Some(s"""WITH planes8 AS (
+       |  SELECT tt.t, bb.b, jj.j,
+       |    CASE WHEN (((tt.t*4 + bb.b)*64 + jj.j) % 100000007)
+       |        * 2654435768 % 99999989 * 2246822519 % 1000000 < 500000
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(8) tt(t), range(4) bb(b), range(64) jj(j)),
+       |proj8 AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.w ORDER BY p.j)),
+       |      (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes8 p
+       |  GROUP BY e.vec_id, p.t, p.b),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM proj8 GROUP BY vec_id, t),
+       |capped AS (
+       |  SELECT * FROM sig
+       |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
+       |$cosFoldSql,
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM capped c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.vec_id),
+       |sims AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${dotSql("e", "qe")}
+       |      / (nc.nrm * nq.nrm), 9) AS sim
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN norms nc ON nc.vec_id = cand.neighbor_id
+       |  JOIN norms nq ON nq.vec_id = cand.query_id),
+       |top AS (
+       |  SELECT query_id, sim FROM sims
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) <= 5),
+       |sc AS (
+       |  SELECT query_id,
+       |    ${dsumSql("sim")} AS sim_total,
+       |    CAST(count(*) AS BIGINT) AS n_nn
+       |  FROM top GROUP BY 1)
+       |SELECT e.vec_id AS query_id,
+       |  coalesce(sc.sim_total, 0.0) AS sim_total,
+       |  coalesce(sc.n_nn, 0) AS n_nn,
+       |  (coalesce(sc.sim_total, 0.0) < coalesce(sc.n_nn, 0) * 0.5
+       |    OR coalesce(sc.n_nn, 0) = 0) AS outlier
+       |FROM embeddings e LEFT JOIN sc ON sc.query_id = e.vec_id""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

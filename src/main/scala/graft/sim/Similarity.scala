@@ -219,6 +219,87 @@ object Similarity {
       .withColumn("suspect", col("disagree_ppm") >= suspectPpm)
   }
 
+  /** kNN-distance outlier audit — the embedding-space garbage detector
+    * a curation pass runs before clustering or SemDeDup: a vector whose
+    * k nearest neighbors are all FAR is mis-embedded, garbled, or
+    * off-distribution content (Ramaswamy et al. 2000's kNN outlier
+    * score, in cosine). Per anchor: mean cosine to its k nearest
+    * corpus neighbors, emitted as the exact-decimal TOTAL over the
+    * 9-dp-rounded sims plus `n_nn` (the [[graft.text.Vocab.unigramSurprisal]]
+    * totals-not-means discipline); `outlier` fires when the mean falls
+    * below `thrPct`/100. Brute variant — exact, the audit-batch
+    * yardstick: corpus × broadcast(anchors), [[bruteTopK]]'s
+    * determinism (id tiebreak). The corpus-wide path is
+    * [[knnOutliersLsh]].
+    */
+  def knnOutliers(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                  vecCol: String, k: Int, thrPct: Int = 50): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cv"), col("qv")), 9).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.Exprs.dsum(col("sim")).as("sim_total"),
+        count(lit(1)).as("n_nn"))
+      .withColumn("outlier",
+        col("sim_total") < col("n_nn") * lit(thrPct / 100.0))
+  }
+
+  /** [[knnOutliers]]' corpus-wide scale shape (anchors ∝ N): neighbor
+    * candidates from capped SRP-LSH bucket equi-joins — the
+    * [[knnLabelNoiseLsh]] machinery verbatim (portable seed, corpus
+    * buckets capped, no broadcast hint) — with the score over the k
+    * nearest CANDIDATES. The LSH recall loss is the POINT here, not a
+    * caveat: a vector that collides with nothing across all `tables`
+    * hash tables has no near neighbors anywhere (SRP collision
+    * probability is monotone in cosine), so zero-candidate anchors are
+    * emitted with `n_nn = 0` and `outlier = true` — the most isolated
+    * points in the corpus, exactly what the audit exists to surface.
+    */
+  def knnOutliersLsh(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                     vecCol: String, k: Int, thrPct: Int = 50,
+                     bits: Int = 8, dim: Int = 64, tables: Int = 8,
+                     seed: Long = 7L, maxBucketSize: Int = 10000)
+      : DataFrame = {
+    require(seed >= 0L, s"portable seed must be >= 0, got $seed")
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"), col("cv"),
+        explode(lshKeys(col("cv"), bits, dim, tables, seed)).as("key"))
+    val c = graft.dedup.NearDup.capBuckets(c0, Seq("key"), maxBucketSize)
+    val q = anchors.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(lshKeys(col("qv"), bits, dim, tables, seed)).as("key"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val scored = c.join(q, Seq("key"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cv"), col("qv")), 9).as("sim"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.Exprs.dsum(col("sim")).as("sim_total"),
+        count(lit(1)).as("n_nn"))
+    anchors.select(col(idCol).as("query_id"))
+      .join(scored, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("sim_total"), lit(0.0)).as("sim_total"),
+        coalesce(col("n_nn"), lit(0L)).as("n_nn"))
+      .withColumn("outlier",
+        col("sim_total") < col("n_nn") * lit(thrPct / 100.0) ||
+          col("n_nn") === 0)
+  }
+
   /** Corpus embedding-diversity audit in ONE LINEAR PASS — the
     * mode-collapse detector for synthetic/distilled data: the exact
     * mean pairwise dot product over all n(n−1)/2 pairs via the

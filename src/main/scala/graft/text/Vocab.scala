@@ -113,6 +113,49 @@ object Vocab {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** Min-K% surprisal — the membership-inference / memorization signal
+    * of Shi et al. 2024 ("Detecting Pretraining Data from Large
+    * Language Models", Min-K% Prob), re-read as a corpus-curation
+    * statistic: a document whose k% LEAST-probable tokens are STILL
+    * unsurprising is suspiciously formulaic (templated spam, or — run
+    * against an eval set's surprisals — likely memorized/contaminated
+    * text), where the plain mean ([[unigramSurprisal]]) is diluted by
+    * the easy 80%. Per doc: rank token INSTANCES by surprisal
+    * descending (the lowest-probability tokens first; instance rank
+    * ties carry identical surprisal values, so the top-m sum is
+    * order-independent), keep the top m = ⌈frac·n⌉, and emit their
+    * exact-decimal surprisal TOTAL plus m — the total, not the mean,
+    * for [[unigramSurprisal]]'s 9-dp-grid reason; divide downstream.
+    *
+    * The LM is the corpus's own unigram distribution (model-free, same
+    * as [[unigramSurprisal]]) — the aggregation is the operator;
+    * substitute [[knSurprisal]] scores upstream for an n-gram LM. One
+    * explode, one vocabulary-sized join, one doc-partitioned window:
+    * rides the corpus scan, no corpus-sized shuffle beyond the tf
+    * aggregate every surprisal op pays.
+    */
+  def minKSurprisal(df: DataFrame, idCol: String, textCol: String,
+                    frac: Double = 0.2): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val tok = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("n_tok"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val ord = byDoc.orderBy(col("c").desc, col("token").asc)
+    tok.join(freq, Seq("token"))
+      .crossJoin(total)
+      .withColumn("c",
+        round(log(col("n_total").cast("double") / col("n_tok")), 9))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") <= ceil(lit(frac) * col("n")))
+      .groupBy(col(idCol))
+      .agg(graft.Exprs.dsum(col("c")).as("min_k_total"),
+        count(lit(1)).as("k_tokens"),
+        max(col("n")).as("n_tokens"))
+  }
+
   /** TF-IDF weight table `(id, token, w)` with `w = tf · ln(N/df)`
     * rounded to 9 dp (see [[unigramSurprisal]] on why). The sparse
     * document-vector representation: one row per nonzero coordinate.
