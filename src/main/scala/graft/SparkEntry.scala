@@ -7539,7 +7539,70 @@ object SparkEntry {
        |  coalesce(sc.n_nn, 0) AS n_nn,
        |  (coalesce(sc.sim_total, 0.0) < coalesce(sc.n_nn, 0) * 0.5
        |    OR coalesce(sc.n_nn, 0) = 0) AS outlier
-       |FROM embeddings e LEFT JOIN sc ON sc.query_id = e.vec_id""".stripMargin))
+       |FROM embeddings e LEFT JOIN sc ON sc.query_id = e.vec_id""".stripMargin)),
+
+    ("q257_session_pairs", (s, d) =>
+      // sequence-example assembly for a behavior model: within each
+      // 30-min-gap session, every event after the first becomes one
+      // (context, target) next-action pair — pairs never cross a
+      // session boundary, and the event_id tiebreak makes each
+      // context engine-replayable. One user-keyed shuffle end to end.
+      graft.operators.Sessionize.sessionPairs(
+        t(s, d, "events"), "user_id", "ts", "event_type", 1800L,
+        Seq(col("event_id").asc)),
+    Some("""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |    THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, session_seq,
+       |  row_number() OVER (PARTITION BY user_id, session_seq
+       |    ORDER BY ts, event_id) - 1 AS pair_pos,
+       |  string_agg(event_type, ' ') OVER (
+       |    PARTITION BY user_id, session_seq ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS context,
+       |  event_type AS target
+       |FROM sess
+       |QUALIFY row_number() OVER (PARTITION BY user_id, session_seq
+       |  ORDER BY ts, event_id) >= 2""".stripMargin)),
+
+    ("q258_curriculum_order", (s, d) =>
+      // shuffled-bucket curriculum for epoch 3: ten length tiers easy
+      // to hard, portable-hash shuffle within each tier — difficulty
+      // ramps while adjacent examples stay decorrelated; both Ranks
+      // passes are bucket-distributed (no single-task global window).
+      graft.operators.Sample.curriculumOrder(
+        t(s, d, "documents").select(col("doc_id"),
+          graft.text.TextOps.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", col("n_tokens"), buckets = 10, epoch = 3L),
+    Some("""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+       |      AS tier
+       |  FROM d),
+       |k AS (
+       |  SELECT doc_id, n_tokens, tier,
+       |    (tier - 1) * 1000000000 +
+       |      ((((doc_id % 100000007) * (2654435761 + 3)) % 99999989)
+       |        * 2246822519) % 1000000000 AS ck
+       |  FROM t)
+       |SELECT doc_id, n_tokens, tier,
+       |  CAST(row_number() OVER (ORDER BY ck, doc_id) AS BIGINT)
+       |    AS train_pos
+       |FROM k""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

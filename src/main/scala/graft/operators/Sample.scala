@@ -112,6 +112,40 @@ object Sample {
       "__ek", ascending = true, tiebreaks = Seq(idCol), out = out)
       .drop("__ek")
 
+  /** Shuffled-bucket curriculum order (Bengio et al. 2009's schedule,
+    * the way pipelines actually ship it): rows are NTILE'd into
+    * `buckets` difficulty tiers (easy first), the epoch visits tiers
+    * in order, and WITHIN a tier rows are portable-hash shuffled — the
+    * curriculum ramps difficulty while adjacent examples stay
+    * decorrelated (a plain `ORDER BY difficulty` would feed the model
+    * near-duplicate difficulty runs back-to-back). Deterministic and
+    * engine-replayable like [[epochOrder]]: position is a pure
+    * function of (difficulty rank, id, epoch).
+    *
+    * Scale shape: two [[Ranks]] passes, both bucket-distributed —
+    * NTILE for the tier, then one global row number over the composite
+    * `(tier − 1)·10⁹ + hash` key (hash < 10⁹ keeps tiers disjoint) —
+    * never a single-task window. `difficulty` must be non-null;
+    * `buckets ≤ 2·10⁹/10⁹` tiers of key space are guaranteed by the
+    * require. Output: input columns + `tier` + `out` (1-based dense
+    * training position).
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, difficulty: Column,
+                      buckets: Int = 10, epoch: Long = 0L,
+                      out: String = "train_pos"): DataFrame = {
+    require(buckets >= 1 && buckets <= 1000000,
+      s"buckets must be in [1, 1e6], got $buckets")
+    val tiled = Ranks.ntile(
+      df.withColumn("__diff", difficulty), buckets, "__diff",
+      ascending = true, tiebreaks = Seq(idCol), out = "tier")
+    val keyed = tiled.withColumn("__ck",
+      (col("tier") - 1) * 1000000000L +
+        hashMod2(col(idCol), 1000000000L, epoch))
+    Ranks.rowNumber(keyed, "__ck", ascending = true,
+        tiebreaks = Seq(idCol), out = out)
+      .drop("__diff", "__ck")
+  }
+
   /** Token-budget corpus fill: keep the best-scored rows until
     * `budgetTokens` is reached — "the highest-quality N-token corpus
     * this data can give", the selection step after scoring. A row is

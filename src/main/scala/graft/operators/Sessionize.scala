@@ -43,6 +43,40 @@ object Sessionize {
       .drop(NewFlag)
   }
 
+  /** Next-event training pairs — the sequence-example builder that
+    * turns raw event logs into supervised data for a behavior model
+    * (next-action prediction, churn, recommendation): within each
+    * session, every event AFTER the first becomes one `(context,
+    * target)` pair where `context` is the space-joined event types
+    * preceding it (in time order) and `target` its own type. The
+    * assembly discipline matters more than the model: pairs never
+    * cross a session boundary (the 30-min gap is a semantic reset),
+    * and `tiebreak` makes each pair's context replayable — the same
+    * log always yields the same examples, on any engine.
+    *
+    * Scale shape: inherits [[withSessionSeq]]'s single user-keyed
+    * shuffle — the pair window partitions by `(user, session_seq)`, a
+    * superset of the session window's partitioning, so context
+    * assembly rides the same exchange; context length is bounded by
+    * session length (gap-bounded), never corpus size. Output:
+    * `(userCol, session_seq, pair_pos, context, target)`.
+    */
+  def sessionPairs(df: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, gapSeconds: Long,
+                   tiebreak: Seq[Column]): DataFrame = {
+    val order = col(tsCol).asc +: tiebreak
+    val w = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(order: _*)
+    withSessionSeq(df, userCol, tsCol, gapSeconds, tiebreak)
+      .withColumn("__ctx", collect_list(col(typeCol))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("pair_pos", row_number().over(w) - 1)
+      .filter(col("pair_pos") >= 1)
+      .select(col(userCol), col("session_seq"), col("pair_pos"),
+        concat_ws(" ", col("__ctx")).as("context"),
+        col(typeCol).as("target"))
+  }
+
   /** Session-level rollup: bounds, event count, decimal-summed value. */
   def sessionStats(df: DataFrame, userCol: String, tsCol: String,
                    valueCol: String, gapSeconds: Long,

@@ -32,37 +32,46 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  /** (pos, fp) fingerprint structs for one token array — `pos` is the
-    * 0-based k-gram index, `fp` the gram's rolling hash. Selection per
-    * the paper: window starts 0..max(m−w, 0) (short docs with 1 ≤ m < w
-    * degrade to one whole-doc window — `slice` clamps), min hash per
-    * window, rightmost position on ties, distinct across windows.
+  /** One row per selected fingerprint: `(idCol, pos, fp)` — `pos` is
+    * the 0-based k-gram index, `fp` the gram's rolling hash. Selection
+    * per the paper: window starts 0..max(m−w, 0) (short docs with
+    * 1 ≤ m < w degrade to one whole-doc window — `slice` clamps), min
+    * hash per window, rightmost position on ties, distinct across
+    * windows.
+    *
+    * Every stage (tokens → gram hashes → windows) is PROJECTED to a
+    * real column before the next references it: higher-order functions
+    * evaluate interpreted, and an inline subtree is RE-EVALUATED at
+    * every reference — with `hs` left as a tree, each of the O(m)
+    * window slices would recompute all m gram hashes, turning a linear
+    * projection into O(m²·k) string work per document (the
+    * [[TextOps.dupTokenFrac]] trap, measured as a >100× slowdown on
+    * soak-scale docs). Window minima/reversals inside the final lambda
+    * touch only w-element bound values — O(m·w) total, the paper's
+    * cost.
     */
-  private def select(toks: Column, k: Int, w: Int): Column = {
-    val hs = transform(TextOps.ngrams(toks, k),
-      g => graft.functions.RollingHash.of(g))
-    val picks = transform(
-      sequence(lit(0), greatest(size(hs) - w, lit(0))),
-      i => {
-        val win = slice(hs, i + 1, lit(w))
-        val mn = array_min(win)
-        // rightmost tie: 1-based position of mn in the REVERSED window
-        val posInWin = size(win) - array_position(reverse(win), mn)
-          .cast("int")
-        struct((i + posInWin).cast("int").as("pos"), mn.as("fp"))
-      })
-    when(size(hs) >= 1, array_distinct(picks))
-      .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))
-  }
-
-  /** One row per selected fingerprint: `(idCol, pos, fp)`. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1, s"k-gram size must be >= 1, got $k")
     require(w >= 1, s"window size must be >= 1, got $w")
+    val picks = transform(col("__wins"), (win, i) => {
+      val mn = array_min(win)
+      // rightmost tie: 1-based position of mn in the REVERSED window
+      val posInWin = size(win) - array_position(reverse(win), mn)
+        .cast("int")
+      struct((i + posInWin).cast("int").as("pos"), mn.as("fp"))
+    })
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(select(col("__toks"), k, w)).as("__s"))
+        transform(TextOps.ngrams(col("__toks"), k),
+          g => graft.functions.RollingHash.of(g)).as("__hs"))
+      .select(col(idCol),
+        when(size(col("__hs")) >= 1,
+          transform(
+            sequence(lit(0), greatest(size(col("__hs")) - w, lit(0))),
+            i => slice(col("__hs"), i + 1, lit(w))))
+          .otherwise(array().cast("array<array<bigint>>")).as("__wins"))
+      .select(col(idCol), explode(array_distinct(picks)).as("__s"))
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 

@@ -64,10 +64,11 @@ object KMeansAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
     def run(cands: Int): (Double, Double) = {
-      val a = graft.sim.KMeans.fit(emb, "emb_id", "vec", k = k,
+      val a = graft.sim.KMeans.fit(emb, "vec_id", "embedding", k = k,
         iters = iters, initCandidates = cands)
-      inertia(emb, a, "emb_id", "vec")
+      inertia(emb, a, "vec_id", "embedding")
     }
     val (ih, sh) = run(1)
     val (io, so) = run(c)

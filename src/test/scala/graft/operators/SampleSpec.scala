@@ -276,4 +276,35 @@ class SampleSpec extends AnyFunSuite {
       .values.map(_.size).max
     assert(topShift < 100, s"dominant relative shift covers $topShift rows")
   }
+
+  test("curriculumOrder ramps tiers and shuffles within each") {
+    import org.apache.spark.sql.functions.col
+    // difficulty = id itself: tier 1 must be ids 1..2500, tier 4
+    // ids 7501..10000 (NTILE over 10000 rows, 4 tiers)
+    val out = Sample.curriculumOrder(ids, "id", col("id"), buckets = 4,
+        epoch = 5L)
+      .select("id", "tier", "train_pos")
+      .as[(Long, Long, Long)].collect()
+    val byTier = out.groupBy(_._2)
+    assert(byTier(1L).map(_._1).toSet == (1L to 2500L).toSet)
+    assert(byTier(4L).map(_._1).toSet == (7501L to 10000L).toSet)
+    // positions are dense 1..n and tier-monotone: every tier-1
+    // position precedes every tier-2 position, etc.
+    assert(out.map(_._3).toSet == (1L to 10000L).toSet)
+    assert(byTier(1L).map(_._3).max < byTier(2L).map(_._3).min)
+    assert(byTier(3L).map(_._3).max < byTier(4L).map(_._3).min)
+    // within a tier the hash shuffle decorrelates: the id order and
+    // the position order must disagree somewhere (probability of
+    // accidental agreement ~ 1/2500!)
+    val t1 = byTier(1L).sortBy(_._3).map(_._1).toSeq
+    assert(t1 != t1.sorted)
+    // a different epoch permutes within-tier order but not tiers
+    val e2 = Sample.curriculumOrder(ids, "id", col("id"), buckets = 4,
+        epoch = 6L)
+      .select("id", "tier", "train_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(e2.groupBy(_._2)(1L).map(_._1).toSet == (1L to 2500L).toSet)
+    val t1e2 = e2.groupBy(_._2)(1L).sortBy(_._3).map(_._1).toSeq
+    assert(t1e2 != t1)
+  }
 }
