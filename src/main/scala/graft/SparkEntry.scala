@@ -7480,10 +7480,12 @@ object SparkEntry {
 
     ("q256_knn_outliers_lsh", (s, d) =>
       // q255's corpus-wide scale shape (anchors = the whole corpus):
-      // capped SRP-LSH candidates, and zero-candidate vectors — which
+      // capped SRP-LSH candidates; zero-candidate vectors — which
       // collide with nothing in any of 8 tables — surface as the most
       // isolated points (n_nn = 0, outlier = true) instead of
-      // disappearing.
+      // disappearing, UNLESS their bucket was capped away (a dropped
+      // over-cap bucket is the densest region, not isolation —
+      // `capped` reports it per anchor).
       graft.sim.Similarity.knnOutliersLsh(
         t(s, d, "embeddings").select("vec_id", "embedding"),
         t(s, d, "embeddings").select("vec_id", "embedding"),
@@ -7508,13 +7510,20 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT)
        |      AS bucket
        |  FROM proj8 GROUP BY vec_id, t),
-       |capped AS (
-       |  SELECT * FROM sig
-       |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
+       |overk AS (
+       |  SELECT t, bucket FROM sig GROUP BY t, bucket
+       |  HAVING count(*) > 10000),
+       |kept AS (
+       |  SELECT s.* FROM sig s LEFT JOIN overk o
+       |    ON s.t = o.t AND s.bucket = o.bucket
+       |  WHERE o.t IS NULL),
+       |cappedq AS (
+       |  SELECT DISTINCT q.vec_id FROM sig q
+       |  JOIN overk o ON q.t = o.t AND q.bucket = o.bucket),
        |$cosFoldSql,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM capped c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+       |  FROM kept c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
        |  WHERE c.vec_id <> q.vec_id),
        |sims AS (
        |  SELECT cand.query_id, cand.neighbor_id,
@@ -7537,9 +7546,12 @@ object SparkEntry {
        |SELECT e.vec_id AS query_id,
        |  coalesce(sc.sim_total, 0.0) AS sim_total,
        |  coalesce(sc.n_nn, 0) AS n_nn,
+       |  cq.vec_id IS NOT NULL AS capped,
        |  (coalesce(sc.sim_total, 0.0) < coalesce(sc.n_nn, 0) * 0.5
-       |    OR coalesce(sc.n_nn, 0) = 0) AS outlier
-       |FROM embeddings e LEFT JOIN sc ON sc.query_id = e.vec_id""".stripMargin)),
+       |    OR (coalesce(sc.n_nn, 0) = 0 AND cq.vec_id IS NULL)) AS outlier
+       |FROM embeddings e
+       |LEFT JOIN sc ON sc.query_id = e.vec_id
+       |LEFT JOIN cappedq cq ON cq.vec_id = e.vec_id""".stripMargin)),
 
     ("q257_session_pairs", (s, d) =>
       // sequence-example assembly for a behavior model: within each
@@ -7602,7 +7614,89 @@ object SparkEntry {
        |SELECT doc_id, n_tokens, tier,
        |  CAST(row_number() OVER (ORDER BY ck, doc_id) AS BIGINT)
        |    AS train_pos
-       |FROM k""".stripMargin))
+       |FROM k""".stripMargin)),
+
+    ("q259_stream_enrich", (s, d) => {
+      // stream-static dimension enrichment, batch-equivalently
+      // certified (the q230 discipline): a real enrichSink
+      // StreamingQuery consumes the events table in two staged
+      // micro-batches, each left-joining the broadcast customer dim;
+      // the telescoped output must hash-match the one-shot batch join
+      // — enrichment is stateless, so streaming and batch MUST agree.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q259_").toString
+      val feedDir = s"$tmp/feed"
+      new java.io.File(feedDir).mkdirs()
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type")
+      def stage(df: DataFrame, n: Int): Unit = {
+        val aside = s"$tmp/stage$n"
+        df.coalesce(1).write.mode("overwrite").parquet(aside)
+        val part = new java.io.File(aside).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
+      }
+      stage(ev.filter(col("event_id") % 2 === 0), 1)
+      val dim = t(s, d, "customer")
+        .withColumnRenamed("c_custkey", "user_id")
+      val sq = graft.streaming.Streams.enrichSink(
+        s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+          .parquet(feedDir),
+        dim, "user_id", Seq("c_mktsegment", "c_nationkey"),
+        s"$tmp/out", s"$tmp/ckpt")
+      try {
+        sq.processAllAvailable()
+        stage(ev.filter(col("event_id") % 2 === 1), 2)
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val res = s.read.parquet(s"$tmp/out")
+        .select("event_id", "user_id", "event_type",
+          "c_mktsegment", "c_nationkey")
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      res
+    }, Some("""SELECT e.event_id, e.user_id, e.event_type,
+       |  c.c_mktsegment, c.c_nationkey
+       |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id"""
+      .stripMargin)),
+
+    ("q260_unicode_scrub", (s, d) => {
+      // web-corpus Unicode hygiene ahead of every byte-level dedup op:
+      // NFC normalization (native codegen'd expression — composed and
+      // decomposed 'café' become byte-identical), zero-width
+      // invisibles and non-whitespace controls stripped. Every doc
+      // gets one adversarial payload by doc_id class; `changed` and
+      // `n_removed` are the audit the scrub emits.
+      // explicit escape sequences, never pasted glyphs: %4=0 composed
+      // U+00E9, %4=1 DECOMPOSED e + combining U+0301 (NFC must converge
+      // the two), %4=2 a zero-width space, else a BEL control
+      val t0 = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" caf\u00E9 menu"))
+          .when(col("doc_id") % 4 === 1, lit(" cafe\u0301 menu"))
+          .when(col("doc_id") % 4 === 2, lit(" zero\u200Bwidth"))
+          .otherwise(lit(" ctl\u0007char")))
+      t(s, d, "documents").select(col("doc_id"), t0.as("t"))
+        .select(col("doc_id"),
+          graft.text.TextOps.unicodeScrub(col("t")).as("clean_text"),
+          (graft.text.TextOps.unicodeScrub(col("t")) =!= col("t"))
+            .as("changed"),
+          (length(col("t")) - length(graft.text.TextOps.unicodeScrub(col("t"))))
+            .cast("long").as("n_removed"))
+    }, Some("""WITH f AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 4 = 0 THEN ' caf' || chr(233) || ' menu'
+       |       WHEN doc_id % 4 = 1 THEN ' cafe' || chr(769) || ' menu'
+       |       WHEN doc_id % 4 = 2 THEN ' zero' || chr(8203) || 'width'
+       |       ELSE ' ctl' || chr(7) || 'char' END AS t
+       |  FROM documents),
+       |c AS (SELECT doc_id, t,
+       |  regexp_replace(regexp_replace(nfc_normalize(t),
+       |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+       |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean_text
+       |  FROM f)
+       |SELECT doc_id, clean_text, clean_text <> t AS changed,
+       |  CAST(length(t) - length(clean_text) AS BIGINT) AS n_removed
+       |FROM c""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

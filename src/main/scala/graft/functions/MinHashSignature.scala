@@ -265,6 +265,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(
+        classOf[NfcNormalize].getName, null, "graft_nfc",
+        "graft_nfc(text) - Unicode NFC normalization (UAX #15), " +
+          "codegen'd with an isNormalized fast path.", ""),
+      { exprs: Seq[Expression] =>
+        exprs match {
+          case Seq(s) => NfcNormalize(s)
+          case other => throw new IllegalArgumentException(
+            s"graft_nfc(text) — got ${other.size} args")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(
         classOf[JaroWinkler].getName, null, "graft_jaro_winkler",

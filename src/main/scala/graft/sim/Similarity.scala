@@ -254,14 +254,29 @@ object Similarity {
 
   /** [[knnOutliers]]' corpus-wide scale shape (anchors ∝ N): neighbor
     * candidates from capped SRP-LSH bucket equi-joins — the
-    * [[knnLabelNoiseLsh]] machinery verbatim (portable seed, corpus
-    * buckets capped, no broadcast hint) — with the score over the k
-    * nearest CANDIDATES. The LSH recall loss is the POINT here, not a
-    * caveat: a vector that collides with nothing across all `tables`
-    * hash tables has no near neighbors anywhere (SRP collision
-    * probability is monotone in cosine), so zero-candidate anchors are
-    * emitted with `n_nn = 0` and `outlier = true` — the most isolated
-    * points in the corpus, exactly what the audit exists to surface.
+    * [[knnLabelNoiseLsh]] machinery (portable seed, corpus buckets
+    * capped, no broadcast hint) — with the score over the k nearest
+    * CANDIDATES. The LSH recall loss is the POINT here, not a caveat:
+    * a vector that collides with nothing across all `tables` hash
+    * tables has no near neighbors anywhere (SRP collision probability
+    * is monotone in cosine), so zero-candidate anchors emit `n_nn = 0,
+    * outlier = true` — the most isolated points in the corpus — UNLESS
+    * the anchor touched a CAPPED bucket: a bucket dropped for being
+    * over `maxBucketSize` is the densest region there is, and reading
+    * its members as isolated would invert the audit, so those anchors
+    * carry `capped = true` and are never flagged on emptiness alone
+    * (score-based flagging still applies when other buckets supplied
+    * candidates).
+    *
+    * Sizing contract at scale: candidate volume is
+    * Σ_anchor(occupancy of its buckets), so a LOW-DIVERSITY corpus
+    * (occupancy ∝ N — the adversarial regime) makes a whole-corpus
+    * single-call audit quadratic-ish. Run the audit the way every real
+    * pipeline does — anchors in batches (the [[knnOutliers]] brute
+    * yardstick's shape; q248's every-Nth audit is the measured curve)
+    * — and size `maxBucketSize` to bound per-batch work; the cap now
+    * reports itself per anchor instead of silently reading as
+    * isolation.
     */
   def knnOutliersLsh(corpus: DataFrame, anchors: DataFrame, idCol: String,
                      vecCol: String, k: Int, thrPct: Int = 50,
@@ -273,11 +288,19 @@ object Similarity {
         toDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"), col("cv"),
         explode(lshKeys(col("cv"), bits, dim, tables, seed)).as("key"))
-    val c = graft.dedup.NearDup.capBuckets(c0, Seq("key"), maxBucketSize)
+    // capBuckets semantics, with the over-cap key set kept visible so
+    // capped-away anchors can be told apart from truly isolated ones
+    val over = c0.groupBy("key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize).select("key")
+      .localCheckpoint(true)
+    val c = c0.join(over, Seq("key"), "left_anti")
     val q = anchors.select(col(idCol).as("query_id"),
         toDouble(col(vecCol)).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(lshKeys(col("qv"), bits, dim, tables, seed)).as("key"))
+    val cappedAnchors = q.join(over, Seq("key"), "left_semi")
+      .select(col("query_id")).distinct()
+      .withColumn("capped", lit(true))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     val scored = c.join(q, Seq("key"))
@@ -292,12 +315,14 @@ object Similarity {
         count(lit(1)).as("n_nn"))
     anchors.select(col(idCol).as("query_id"))
       .join(scored, Seq("query_id"), "left")
+      .join(cappedAnchors, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("sim_total"), lit(0.0)).as("sim_total"),
-        coalesce(col("n_nn"), lit(0L)).as("n_nn"))
+        coalesce(col("n_nn"), lit(0L)).as("n_nn"),
+        coalesce(col("capped"), lit(false)).as("capped"))
       .withColumn("outlier",
         col("sim_total") < col("n_nn") * lit(thrPct / 100.0) ||
-          col("n_nn") === 0)
+          (col("n_nn") === 0 && !col("capped")))
   }
 
   /** Corpus embedding-diversity audit in ONE LINEAR PASS — the

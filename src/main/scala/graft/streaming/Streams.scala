@@ -508,6 +508,32 @@ object Streams {
       .drop("__rkey")
   }
 
+  /** Stream-static dimension enrichment — the most common streaming
+    * operator in production: every arriving fact row left-joins a
+    * SLOW dimension table (customer, product, geo) and lands enriched,
+    * so downstream consumers never re-join. Stateless — no watermark,
+    * no state store: Spark re-plans the static side per micro-batch
+    * (a dim update between batches is picked up on the next one), and
+    * the broadcast hint keeps each batch's join exchange-free — the
+    * dim ships once per executor, the stream never shuffles. `dimCols`
+    * selects what lands (key collisions with stream columns are the
+    * caller's to rename). Append parquet + checkpoint = exactly-once
+    * on replay.
+    */
+  def enrichSink(stream: DataFrame, dim: DataFrame, key: String,
+                 dimCols: Seq[String], outPath: String,
+                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.join(
+        broadcast(dim.select((key +: dimCols).map(col): _*)),
+        Seq(key), "left")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Continuous distinct-count: the streaming face of
     * [[graft.operators.Sketches.hllRegisters]]. Each micro-batch writes
     * ONLY its own (bucket, max-rho) register table — m rows max, never

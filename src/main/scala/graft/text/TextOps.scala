@@ -104,6 +104,21 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = graft.functions.RollingHash.of(text)
 
+  /** Web-corpus Unicode scrub — run BEFORE any byte-level operator
+    * (fingerprints, shingles, exact-hash dedup): NFC normalization
+    * ([[graft.functions.NfcNormalize]], codegen'd — composed and
+    * decomposed spellings of the same text become byte-identical),
+    * then zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — the classic
+    * dedup-evading invisibles) and non-whitespace C0/DEL controls
+    * stripped. Tab/newline/CR survive; everything is a pure projection
+    * riding the corpus scan.
+    */
+  def unicodeScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.of(text),
+        "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   /** Strict token n-grams: empty when the doc has fewer than n tokens
     * (unlike [[shingles]], which degrades to one whole-doc shingle so
     * MinHash always has input). The short-doc branch is guarded here,

@@ -65,16 +65,26 @@ class KnnOutliersSpec extends AnyFunSuite {
     assert(solo == ((0L, true)))
   }
 
-  test("bucket cap drops a degenerate blob's candidates on the corpus side") {
+  test("a capped-away blob reads as capped, never as isolation") {
     // 300 copies of one direction: with cap=100 every bucket holding
-    // the blob is dropped, so blob anchors see no candidates and the
-    // far point keeps its (empty) neighborhood -> all rows still emit
+    // the blob is dropped, so blob anchors see no candidates — but the
+    // densest region in the corpus must NOT flag as outlier; `capped`
+    // carries the reason. The far point's own bucket is small: whether
+    // it collides with nothing (n_nn=0, not capped -> outlier) or
+    // scores low, it flags.
     val blob = (1L to 300L).map(i => (i, Array(1f, 0f, 0f, 0f)))
     val df = (blob :+ ((999L, Array(0f, 1f, 0f, 0f)))).toDF("vec_id", "embedding")
-    val out = Similarity.knnOutliersLsh(df, df, "vec_id", "embedding",
+    val rows = Similarity.knnOutliersLsh(df, df, "vec_id", "embedding",
         k = 3, bits = 2, dim = 4, tables = 2, maxBucketSize = 100)
-      .agg(count(lit(1)), sum(col("n_nn"))).as[(Long, Long)].head()
-    assert(out._1 == 301L)
-    assert(out._2 == 0L, "capped buckets must contribute no candidates")
+      .select("query_id", "n_nn", "capped", "outlier")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(rows.length == 301)
+    assert(rows.map(_._2).sum == 0L,
+      "capped buckets must contribute no candidates")
+    val blobRows = rows.filter(_._1 <= 300L)
+    assert(blobRows.forall(r => r._3 && !r._4),
+      "blob anchors: capped=true, outlier=false")
+    val far = rows.find(_._1 == 999L).get
+    assert(far._4, "the genuinely isolated point still flags")
   }
 }
