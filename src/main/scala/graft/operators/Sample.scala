@@ -141,7 +141,7 @@ object Sample {
     // Ranks reads its input THREE times (cuts sketch, bucket counts,
     // ranked join — the documented caller-checkpoints rule): without
     // materializing, pass 2 re-executes pass 1's whole multi-shuffle
-    // ntile plan per read — measured 59 s -> ~8 s at soak zipf1.
+    // ntile plan per read — measured 59 s -> 25 s at soak zipf1.
     val keyed = tiled.withColumn("__ck",
       (col("tier") - 1) * 1000000000L +
         hashMod2(col(idCol), 1000000000L, epoch))

@@ -51,9 +51,11 @@ object PrefixDeltaBench {
         docs, "doc_id", "text", threshold = 0.9, shingleN = 3)
       pairs.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
+      // NO blanket unpersist here (unlike Bench's inter-query
+      // hygiene): the standing state and the staged batch ARE
+      // localCheckpoint blocks — dropping them destroys the state the
+      // second sample needs (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
       System.gc()
       secs
     }
