@@ -7471,24 +7471,36 @@ object SparkEntry {
        |top AS (
        |  SELECT query_id, sim FROM sims
        |  QUALIFY row_number() OVER (PARTITION BY query_id
-       |    ORDER BY sim DESC, neighbor_id) <= 5)
-       |SELECT query_id,
-       |  ${dsumSql("sim")} AS sim_total,
-       |  CAST(count(*) AS BIGINT) AS n_nn,
-       |  ${dsumSql("sim")} < count(*) * 0.5 AS outlier
-       |FROM top GROUP BY 1""".stripMargin)),
+       |    ORDER BY sim DESC, neighbor_id) <= 5),
+       |sc AS (
+       |  SELECT query_id,
+       |    ${dsumSql("sim")} AS sim_total,
+       |    CAST(count(*) AS BIGINT) AS n_nn
+       |  FROM top GROUP BY 1)
+       |SELECT a.vec_id AS query_id,
+       |  coalesce(sc.sim_total, 0.0) AS sim_total,
+       |  coalesce(sc.n_nn, 0) AS n_nn,
+       |  (coalesce(sc.sim_total, 0.0) < coalesce(sc.n_nn, 0) * 0.5
+       |    OR coalesce(sc.n_nn, 0) = 0) AS outlier
+       |FROM embeddings a LEFT JOIN sc ON sc.query_id = a.vec_id
+       |WHERE a.vec_id % 19 = 0""".stripMargin)),
 
     ("q256_knn_outliers_lsh", (s, d) =>
-      // q255's corpus-wide scale shape (anchors = the whole corpus):
-      // capped SRP-LSH candidates; zero-candidate vectors — which
-      // collide with nothing in any of 8 tables — surface as the most
-      // isolated points (n_nn = 0, outlier = true) instead of
-      // disappearing, UNLESS their bucket was capped away (a dropped
-      // over-cap bucket is the densest region, not isolation —
-      // `capped` reports it per anchor).
+      // q255's corpus-scale shape, run the way the operator's sizing
+      // contract says audits run: anchors in BATCHES (here one strided
+      // batch, every 7th vector — the q248 discipline; candidate
+      // volume is Σ_anchor(bucket occupancy), so a whole-corpus
+      // single call on a low-diversity corpus is the quadratic-ish
+      // anti-plan the scaladoc warns against). Capped SRP-LSH
+      // candidates; a zero-candidate anchor — colliding with nothing
+      // in any of 8 tables — surfaces as the most isolated point
+      // (n_nn = 0, outlier = true) instead of disappearing, UNLESS
+      // its bucket was capped away (a dropped over-cap bucket is the
+      // densest region, not isolation — `capped` reports it).
       graft.sim.Similarity.knnOutliersLsh(
         t(s, d, "embeddings").select("vec_id", "embedding"),
-        t(s, d, "embeddings").select("vec_id", "embedding"),
+        t(s, d, "embeddings").select("vec_id", "embedding")
+          .filter(col("vec_id") % 7 === 3),
         "vec_id", "embedding", k = 5, thrPct = 50,
         bits = 4, dim = 64, tables = 8, seed = 7L,
         maxBucketSize = 10000),
@@ -7519,12 +7531,13 @@ object SparkEntry {
        |  WHERE o.t IS NULL),
        |cappedq AS (
        |  SELECT DISTINCT q.vec_id FROM sig q
-       |  JOIN overk o ON q.t = o.t AND q.bucket = o.bucket),
+       |  JOIN overk o ON q.t = o.t AND q.bucket = o.bucket
+       |  WHERE q.vec_id % 7 = 3),
        |$cosFoldSql,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM kept c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
-       |  WHERE c.vec_id <> q.vec_id),
+       |  WHERE c.vec_id <> q.vec_id AND q.vec_id % 7 = 3),
        |sims AS (
        |  SELECT cand.query_id, cand.neighbor_id,
        |    round(${dotSql("e", "qe")}
@@ -7551,7 +7564,8 @@ object SparkEntry {
        |    OR (coalesce(sc.n_nn, 0) = 0 AND cq.vec_id IS NULL)) AS outlier
        |FROM embeddings e
        |LEFT JOIN sc ON sc.query_id = e.vec_id
-       |LEFT JOIN cappedq cq ON cq.vec_id = e.vec_id""".stripMargin)),
+       |LEFT JOIN cappedq cq ON cq.vec_id = e.vec_id
+       |WHERE e.vec_id % 7 = 3""".stripMargin)),
 
     ("q257_session_pairs", (s, d) =>
       // sequence-example assembly for a behavior model: within each
@@ -7589,8 +7603,9 @@ object SparkEntry {
     ("q258_curriculum_order", (s, d) =>
       // shuffled-bucket curriculum for epoch 3: ten length tiers easy
       // to hard, portable-hash shuffle within each tier — difficulty
-      // ramps while adjacent examples stay decorrelated; both Ranks
-      // passes are bucket-distributed (no single-task global window).
+      // ramps while adjacent examples stay decorrelated; NTILE pass +
+      // fused pure-projection position pass, both bucket-distributed
+      // (no single-task global window, no second sketch read).
       graft.operators.Sample.curriculumOrder(
         t(s, d, "documents").select(col("doc_id"),
           graft.text.TextOps.tokenCount(col("text")).as("n_tokens")),
@@ -7625,37 +7640,40 @@ object SparkEntry {
       // — enrichment is stateless, so streaming and batch MUST agree.
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_q259_").toString
-      val feedDir = s"$tmp/feed"
-      new java.io.File(feedDir).mkdirs()
-      val ev = t(s, d, "events")
-        .select("event_id", "user_id", "event_type")
-      def stage(df: DataFrame, n: Int): Unit = {
-        val aside = s"$tmp/stage$n"
-        df.coalesce(1).write.mode("overwrite").parquet(aside)
-        val part = new java.io.File(aside).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
-      }
-      stage(ev.filter(col("event_id") % 2 === 0), 1)
-      val dim = t(s, d, "customer")
-        .withColumnRenamed("c_custkey", "user_id")
-      val sq = graft.streaming.Streams.enrichSink(
-        s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
-          .parquet(feedDir),
-        dim, "user_id", Seq("c_mktsegment", "c_nationkey"),
-        s"$tmp/out", s"$tmp/ckpt")
+      // finally, not success-path-only: a failed streaming query must
+      // not leak the graft_q259_* feed/out/checkpoint dirs — the
+      // result is localCheckpoint'ed before the delete runs
       try {
-        sq.processAllAvailable()
-        stage(ev.filter(col("event_id") % 2 === 1), 2)
-        sq.processAllAvailable()
-      } finally sq.stop()
-      val res = s.read.parquet(s"$tmp/out")
-        .select("event_id", "user_id", "event_type",
-          "c_mktsegment", "c_nationkey")
-        .localCheckpoint(true)
-      deleteRecursively(tmp)
-      res
+        val feedDir = s"$tmp/feed"
+        new java.io.File(feedDir).mkdirs()
+        val ev = t(s, d, "events")
+          .select("event_id", "user_id", "event_type")
+        def stage(df: DataFrame, n: Int): Unit = {
+          val aside = s"$tmp/stage$n"
+          df.coalesce(1).write.mode("overwrite").parquet(aside)
+          val part = new java.io.File(aside).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
+        }
+        stage(ev.filter(col("event_id") % 2 === 0), 1)
+        val dim = t(s, d, "customer")
+          .withColumnRenamed("c_custkey", "user_id")
+        val sq = graft.streaming.Streams.enrichSink(
+          s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+            .parquet(feedDir),
+          dim, "user_id", Seq("c_mktsegment", "c_nationkey"),
+          s"$tmp/out", s"$tmp/ckpt")
+        try {
+          sq.processAllAvailable()
+          stage(ev.filter(col("event_id") % 2 === 1), 2)
+          sq.processAllAvailable()
+        } finally sq.stop()
+        s.read.parquet(s"$tmp/out")
+          .select("event_id", "user_id", "event_type",
+            "c_mktsegment", "c_nationkey")
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
     }, Some("""SELECT e.event_id, e.user_id, e.event_type,
        |  c.c_mktsegment, c.c_nationkey
        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id"""

@@ -145,15 +145,12 @@ object PrefixIndex {
     val preInc = stagePrefixes(incoming, state.stats, idCol, textCol,
         threshold, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Exact occupancy merge (vocabulary-sized, the IncrementalAgg
-    // shape); __f stays frozen — new grams enter at the same 0 the
-    // order already assigns them.
-    val bInc = preInc.groupBy("g").agg(count(lit(1)).as("__bi"))
-    val newStats = state.stats.join(bInc, Seq("g"), "full_outer")
-      .select(col("g"), coalesce(col("__f"), lit(0L)).as("__f"),
-        (coalesce(col("__b"), lit(0L)) + coalesce(col("__bi"), lit(0L)))
-          .as("__b"))
-      .localCheckpoint(true)
+    // Checkpointed staged rows back both the state update and the
+    // candidate join, so the returned State never holds lineage onto
+    // the frame unpersisted below.
+    val staged = preInc.localCheckpoint(true)
+    val merged = applyDelta(state, staged)
+    val newStats = merged.stats.localCheckpoint(true)
     // Cap reads the merged occupancy — O(1) per gram, both sides.
     val over = newStats.filter(col("__b") > maxBucketSize).select("g")
     val touched = preInc.select("g").distinct()
@@ -182,9 +179,29 @@ object PrefixIndex {
         shingleN)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    val newIndex = state.index.unionByName(preInc.localCheckpoint(true))
     preInc.unpersist()
-    (pairs, State(newStats, newIndex))
+    (pairs, State(newStats, merged.index))
+  }
+
+  /** Exact state update for one STAGED batch (the rows
+    * [[stagePrefixes]] emits): merge the batch's per-gram prefix-row
+    * counts into the occupancy stats — a vocabulary-sized full-outer
+    * join, the [[graft.operators.IncrementalAgg]] shape, with `__f`
+    * FROZEN (new grams enter at the same frequency 0 the order already
+    * assigns them) — and append the staged rows to the index.
+    * [[deltaPairs]] routes its own state transition through this
+    * method; a deployment that persists [[State]] between batches
+    * calls it after [[stagePrefixes]] to produce exactly the tables it
+    * writes back (append the staged rows to the index table, rewrite
+    * the vocabulary-sized stats table).
+    */
+  def applyDelta(state: State, staged: DataFrame): State = {
+    val bInc = staged.groupBy("g").agg(count(lit(1)).as("__bi"))
+    val newStats = state.stats.join(bInc, Seq("g"), "full_outer")
+      .select(col("g"), coalesce(col("__f"), lit(0L)).as("__f"),
+        (coalesce(col("__b"), lit(0L)) + coalesce(col("__bi"), lit(0L)))
+          .as("__b"))
+    State(newStats, state.index.unionByName(staged))
   }
 
   /** The batch's own prefix rows under the frozen order — what a

@@ -343,8 +343,10 @@ object Ranks {
 
   /** Prefix-sum offsets over the (≤ buckets)-row count table — the one
     * place a single-partition window is CORRECT: B rows, not the facts.
+    * Package-visible: [[Sample.curriculumOrder]]'s fused second pass
+    * reuses it over its own pure-projection buckets.
     */
-  private def offsets(counts: DataFrame): DataFrame =
+  private[operators] def offsets(counts: DataFrame): DataFrame =
     counts.withColumn("__off",
         coalesce(sum(col("__cnt")).over(Window.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -122,13 +122,28 @@ object Sample {
     * engine-replayable like [[epochOrder]]: position is a pure
     * function of (difficulty rank, id, epoch).
     *
-    * Scale shape: two [[Ranks]] passes, both bucket-distributed —
-    * NTILE for the tier, then one global row number over the composite
-    * `(tier − 1)·10⁹ + hash` key (hash < 10⁹ keeps tiers disjoint) —
-    * never a single-task window. `difficulty` must be non-null;
-    * `buckets ≤ 2·10⁹/10⁹` tiers of key space are guaranteed by the
-    * require. Output: input columns + `tier` + `out` (1-based dense
-    * training position).
+    * Scale shape: an NTILE pass for the tier, then a FUSED global row
+    * number over the composite order `((tier − 1)·10⁹ + hash, id)` —
+    * never a single-task window. The fuse (r14 verdict A/B): a
+    * generic [[Ranks.rowNumber]] second pass would spend a
+    * `approx_percentile` sketch read discovering the key distribution,
+    * but the composite key's structure is already known exactly — the
+    * tier is a ready-made range bucket and the hash is uniform in
+    * [0, 10⁹) — so the bucket id is the pure projection
+    * `(tier − 1)·subPerTier + (hash div step)`, per-bucket counts are
+    * exact, and the within-bucket window orders by `(hash, id)`. Two
+    * reads of the checkpointed tier frame instead of three, no eager
+    * driver collect, and the resulting permutation is bit-identical
+    * to ranking by the composite key (the bucket is monotone in
+    * `(tier, hash)` and bucket-ties order by exactly the key's
+    * remaining components). With ≤ 64 tiers the hash is sub-split so
+    * ~64 window partitions always exist; above 64 tiers the tiers
+    * themselves are the buckets (the offsets table is tier-count-sized
+    * — bounded by the 10⁶ require, the documented B-rows-not-facts
+    * exception). Long-range safety: with `buckets ≤ 10⁶` and a
+    * sub-10⁹ hash, the composite key tops out near 10¹⁵ — three
+    * orders inside Long. `difficulty` must be non-null. Output: input
+    * columns + `tier` + `out` (1-based dense training position).
     */
   def curriculumOrder(df: DataFrame, idCol: String, difficulty: Column,
                       buckets: Int = 10, epoch: Long = 0L,
@@ -138,17 +153,24 @@ object Sample {
     val tiled = Ranks.ntile(
       df.withColumn("__diff", difficulty), buckets, "__diff",
       ascending = true, tiebreaks = Seq(idCol), out = "tier")
-    // Ranks reads its input THREE times (cuts sketch, bucket counts,
-    // ranked join — the documented caller-checkpoints rule): without
-    // materializing, pass 2 re-executes pass 1's whole multi-shuffle
-    // ntile plan per read — measured 59 s -> 25 s at soak zipf1.
-    val keyed = tiled.withColumn("__ck",
-      (col("tier") - 1) * 1000000000L +
+    // Ranks reads its input multiple times (the documented caller-
+    // checkpoints rule): without materializing, pass 2 re-executes
+    // pass 1's whole multi-shuffle ntile plan per read — measured
+    // 59 s -> 25 s at soak zipf1 (checkpoint), -> fused pass below.
+    val keyed = tiled.withColumn("__h",
         hashMod2(col(idCol), 1000000000L, epoch))
       .localCheckpoint(true)
-    Ranks.rowNumber(keyed, "__ck", ascending = true,
-        tiebreaks = Seq(idCol), out = out)
-      .drop("__diff", "__ck")
+    val subPerTier = math.max(1L, 64L / buckets)
+    val step = (1000000000L + subPerTier - 1) / subPerTier
+    val bucketed = keyed.withColumn("__b",
+      (col("tier") - 1) * subPerTier + expr(s"__h div $step"))
+    val counts = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h").asc, col(idCol).asc)
+    bucketed.join(broadcast(Ranks.offsets(counts)), Seq("__b"))
+      .withColumn(out, col("__off") + row_number().over(w))
+      .drop("__diff", "__h", "__b", "__off")
   }
 
   /** Token-budget corpus fill: keep the best-scored rows until

@@ -229,8 +229,11 @@ object Similarity {
     * totals-not-means discipline); `outlier` fires when the mean falls
     * below `thrPct`/100. Brute variant — exact, the audit-batch
     * yardstick: corpus × broadcast(anchors), [[bruteTopK]]'s
-    * determinism (id tiebreak). The corpus-wide path is
-    * [[knnOutliersLsh]].
+    * determinism (id tiebreak). Output contract matches
+    * [[knnOutliersLsh]]: EVERY anchor emits a row — an anchor with no
+    * neighbor at all (corpus is just the anchor itself) comes back as
+    * `n_nn = 0, outlier = true` instead of silently disappearing from
+    * the groupBy. The corpus-wide path is [[knnOutliersLsh]].
     */
   def knnOutliers(corpus: DataFrame, anchors: DataFrame, idCol: String,
                   vecCol: String, k: Int, thrPct: Int = 50): DataFrame = {
@@ -240,7 +243,7 @@ object Similarity {
       toDouble(col(vecCol)).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("cv"), col("qv")), 9).as("sim"))
       .withColumn("rnk", row_number().over(w))
@@ -248,8 +251,14 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(graft.Exprs.dsum(col("sim")).as("sim_total"),
         count(lit(1)).as("n_nn"))
+    anchors.select(col(idCol).as("query_id"))
+      .join(scored, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("sim_total"), lit(0.0)).as("sim_total"),
+        coalesce(col("n_nn"), lit(0L)).as("n_nn"))
       .withColumn("outlier",
-        col("sim_total") < col("n_nn") * lit(thrPct / 100.0))
+        col("sim_total") < col("n_nn") * lit(thrPct / 100.0) ||
+          col("n_nn") === 0)
   }
 
   /** [[knnOutliers]]' corpus-wide scale shape (anchors ∝ N): neighbor

@@ -61,6 +61,17 @@ class UrlFetcher extends PageFetcher {
   *    `missingPageIsEmpty=true` — silently equating errors with
   *    end-of-data would also swallow a mid-range outage.
   *  - `pageSize` (default 100): substituted into `{limit}`/`{offset}`.
+  *  - `responseKey` (optional): envelope extraction for APIs that wrap
+  *    the page in a dict — DummyJSON really ships
+  *    `{"products": [...], "total": n, "skip": k}` (the reference's
+  *    `response_key`, ingestion_util.py:286-293). When set, the page
+  *    payload must be a JSON OBJECT and the named field is extracted
+  *    before the record parse; a missing field or a non-object payload
+  *    fails the task loudly (the reference raises its
+  *    DataValidationError for the same shapes — silently parsing the
+  *    envelope as one struct row is the bug this option closes). The
+  *    past-the-end contract becomes `{"<key>": []}`; a bare `[]` is
+  *    also accepted as empty.
   *  - `fetcher` (default [[UrlFetcher]]): [[PageFetcher]] class name.
   *  - `retries` (default 3), `retryDelayMs` (default 1000): per-page
   *    exponential backoff via
@@ -106,7 +117,8 @@ private[sources] final case class RestOptions(urlTemplate: String,
                                               fetcherClass: String,
                                               retries: Int,
                                               retryDelayMs: Long,
-                                              missingPageIsEmpty: Boolean)
+                                              missingPageIsEmpty: Boolean,
+                                              responseKey: Option[String])
 
 private[sources] object RestPages {
 
@@ -122,7 +134,8 @@ private[sources] object RestPages {
         classOf[UrlFetcher].getName),
       retries = options.getInt("retries", 3),
       retryDelayMs = options.getLong("retryDelayMs", 1000L),
-      missingPageIsEmpty = options.getBoolean("missingPageIsEmpty", false))
+      missingPageIsEmpty = options.getBoolean("missingPageIsEmpty", false),
+      responseKey = Option(options.get("responseKey")).filter(_.nonEmpty))
   }
 
   def render(opts: RestOptions, page: Int): String =
@@ -131,21 +144,67 @@ private[sources] object RestPages {
       .replace("{limit}", opts.pageSize.toString)
       .replace("{page}", page.toString)
 
-  /** One page's payload, with per-call retry/backoff. */
+  /** One page's payload, with per-call retry/backoff and (when
+    * `responseKey` is set) envelope extraction.
+    */
   def fetchPage(opts: RestOptions, page: Int): String = {
     val fetcher = Class.forName(opts.fetcherClass)
       .getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
     val url = render(opts, page)
-    try graft.ingest.Ingest.retryWithBackoff(opts.retries,
-      opts.retryDelayMs)(() => fetcher.fetch(url))
-    catch {
-      case e: java.io.FileNotFoundException if opts.missingPageIsEmpty =>
-        "[]"
-      case scala.util.control.NonFatal(e) =>
-        throw new IllegalStateException(
-          s"graft-rest: page $page ($url) failed after " +
-            s"${opts.retries} retries", e)
-    }
+    val raw =
+      try graft.ingest.Ingest.retryWithBackoff(opts.retries,
+        opts.retryDelayMs)(() => fetcher.fetch(url))
+      catch {
+        case e: java.io.FileNotFoundException if opts.missingPageIsEmpty =>
+          return "[]"
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"graft-rest: page $page ($url) failed after " +
+              s"${opts.retries} retries", e)
+      }
+    unwrap(raw, opts, page, url)
+  }
+
+  /** `responseKey` extraction: the named field of a dict-shaped page,
+    * re-serialized for the record parser. Validation is LOUD by
+    * contract — a wrapped page silently parsing as one envelope row is
+    * the failure mode this exists to kill; empty payloads (`[]`, the
+    * missing-page sentinel, or whitespace) pass through as-is.
+    */
+  private def unwrap(payload: String, opts: RestOptions, page: Int,
+                     url: String): String = opts.responseKey match {
+    case None => payload
+    case Some(key) =>
+      val trimmed = payload.trim
+      if (trimmed.isEmpty || trimmed == "[]") trimmed
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node =
+          try mapper.readTree(payload)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalStateException(
+                s"graft-rest: page $page ($url) is not valid JSON " +
+                  s"(responseKey='$key' extraction)", e)
+          }
+        if (!node.isObject)
+          throw new IllegalStateException(
+            s"graft-rest: page $page ($url): responseKey='$key' expects " +
+              s"an object envelope, got ${node.getNodeType}")
+        val sub = node.get(key)
+        if (sub == null) {
+          val fields = {
+            val it = node.fieldNames()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next()
+            b.result().mkString(", ")
+          }
+          throw new IllegalStateException(
+            s"graft-rest: page $page ($url): envelope has no field " +
+              s"'$key' (fields: $fields)")
+        }
+        mapper.writeValueAsString(sub)
+      }
   }
 }
 

@@ -72,6 +72,57 @@ class PrefixIndexSpec extends AnyFunSuite {
       .collect().toSet == Set((101L, 201L, 1.0)))
   }
 
+  test("State survives a parquet round-trip; resumed index == in-session") {
+    // the persisted-state lifecycle IS the operator's point: build,
+    // write both tables, read them back in a "new deployment", and the
+    // resumed index must behave identically to the in-session one —
+    // same delta pairs, same post-batch state via applyDelta
+    val corpus = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val s0 = PrefixIndex.build(corpus, "doc_id", "text",
+      threshold = 0.9, shingleN = 3)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_prefixindex_").toString
+    try {
+      s0.stats.write.parquet(s"$tmp/stats")
+      s0.index.write.parquet(s"$tmp/index")
+      val resumed = PrefixIndex.State(
+        spark.read.parquet(s"$tmp/stats"),
+        spark.read.parquet(s"$tmp/index"))
+      val (pLive, sLive) = PrefixIndex.deltaPairs(batch, s0, corpus,
+        "doc_id", "text", threshold = 0.9, shingleN = 3)
+      val (pRes, sRes) = PrefixIndex.deltaPairs(batch, resumed, corpus,
+        "doc_id", "text", threshold = 0.9, shingleN = 3)
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id1", "id2", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      assert(pairSet(pLive) == pairSet(pRes))
+      assert(pairSet(pLive).nonEmpty)
+      def statsSet(s: PrefixIndex.State) =
+        s.stats.select("g", "__f", "__b")
+          .as[(String, Long, Long)].collect().toSet
+      def indexSet(s: PrefixIndex.State) =
+        s.index.as[(Long, String)].collect()
+          .groupBy(identity).view.mapValues(_.length).toMap
+      assert(statsSet(sLive) == statsSet(sRes))
+      assert(indexSet(sLive) == indexSet(sRes))
+      // the deployment-facing transition: stagePrefixes + applyDelta on
+      // the resumed state == deltaPairs' own returned state
+      val staged = PrefixIndex.stagePrefixes(batch, resumed.stats,
+        "doc_id", "text", threshold = 0.9, shingleN = 3)
+      val applied = PrefixIndex.applyDelta(resumed, staged)
+      assert(statsSet(applied) == statsSet(sLive))
+      assert(indexSet(applied) == indexSet(sLive))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("bucket cap drops an over-occupied gram from BOTH sides") {
     val blob = "one two three four five six seven eight nine ten"
     val base = Seq(

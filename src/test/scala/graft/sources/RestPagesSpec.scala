@@ -101,6 +101,47 @@ class RestPagesSpec extends AnyFunSuite {
     assert(FlakyFileFetcher.attempts.get() >= 6)
   }
 
+  test("responseKey unwraps DummyJSON-shaped envelopes; absent key fails loudly") {
+    // the reference's actual API shape (dummyjson_ingestor.py through
+    // fetch_paginated's response_key): each page is
+    // {"products": [...], "total": n, "skip": k} — the record list
+    // must come from the named field, never the envelope itself
+    val dir = java.nio.file.Files.createTempDirectory("rest_env")
+    def page(p: Int, ids: Range): String =
+      s"""{"products":${ids.map(i => s"""{"id":$i,"title":"p$i"}""")
+        .mkString("[", ",", "]")},"total":25,"skip":${p * 10}}"""
+    java.nio.file.Files.writeString(dir.resolve("page0.json"), page(0, 0 until 10))
+    java.nio.file.Files.writeString(dir.resolve("page1.json"), page(1, 10 until 20))
+    java.nio.file.Files.writeString(dir.resolve("page2.json"), page(2, 20 until 25))
+    // past-the-end in envelope form: the list is empty, the envelope isn't
+    java.nio.file.Files.writeString(dir.resolve("page3.json"),
+      """{"products":[],"total":25,"skip":30}""")
+    val df = spark.read.format("graft-rest")
+      .option("url", s"file://$dir/page{page}.json")
+      .option("pageSize", "10").option("maxPages", "4")
+      .option("responseKey", "products")
+      .load()
+    // inference ran over the UNWRAPPED page: record fields only
+    assert(df.schema.fieldNames.toSet == Set("id", "title"))
+    assert(df.count() == 25)
+    assert(df.select("id").as[Long].collect().toSet ==
+      (0 until 25).map(_.toLong).toSet)
+    // absent field = validation error, not empty data (the reference's
+    // DataValidationError contract)
+    val bad = intercept[Exception] {
+      spark.read.format("graft-rest")
+        .option("url", s"file://$dir/page{page}.json")
+        .option("pageSize", "10").option("maxPages", "3")
+        .option("retries", "0").option("retryDelayMs", "1")
+        .option("responseKey", "items")
+        .load().count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(bad).exists(_.contains("no field 'items'")))
+  }
+
   test("explicit user schema skips inference; missing pages obey the option") {
     val dir = stagePages()
     val schema = new org.apache.spark.sql.types.StructType()
