@@ -7714,7 +7714,307 @@ object SparkEntry {
        |  FROM f)
        |SELECT doc_id, clean_text, clean_text <> t AS changed,
        |  CAST(length(t) - length(clean_text) AS BIGINT) AS n_removed
-       |FROM c""".stripMargin))
+       |FROM c""".stripMargin)),
+
+    ("q261_benford_audit", (s, d) =>
+      // Benford first-digit fraud screen per order priority: one
+      // map-side-combinable (group, digit) aggregate is the only
+      // fact-scale exchange; chi-square against log10(1+1/d)
+      // expectation, zero-count digits densified in.
+      graft.operators.Benford.firstDigitAudit(
+        t(s, d, "orders"), "priority", col("o_orderpriority"),
+        col("o_totalprice")),
+    Some("""WITH f AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+       |      1, 1) AS INT) AS d
+       |  FROM orders WHERE o_totalprice >= 1),
+       |c AS (SELECT g, d, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM f GROUP BY 1, 2),
+       |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+       |dense AS (
+       |  SELECT tot.g, tot.n, dd.d + 1 AS d, coalesce(c.cnt, 0) AS cnt
+       |  FROM tot CROSS JOIN range(9) dd(d)
+       |  LEFT JOIN c ON c.g = tot.g AND c.d = dd.d + 1),
+       |terms AS (
+       |  SELECT g, n,
+       |    round((cnt - n * round(log10(1.0 + 1.0 / d), 9))
+       |      * (cnt - n * round(log10(1.0 + 1.0 / d), 9))
+       |      / (n * round(log10(1.0 + 1.0 / d), 9)), 9) AS t
+       |  FROM dense)
+       |SELECT g AS priority, n,
+       |  CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+       |  CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) > 20.09 AS suspect
+       |FROM terms GROUP BY 1, 2""".stripMargin)),
+
+    ("q262_ab_lift", (s, d) =>
+      // deterministic A/B readout: portable-hash variant assignment
+      // (pure function of user_id and the experiment seed — any
+      // engine re-derives the split), per-user converted-or-not in
+      // ONE user-keyed shuffle, then the standard two-proportion
+      // pooled z-test on a 2-row table.
+      graft.operators.Experiment.abConversionLift(
+        t(s, d, "events"), "user_id",
+        col("event_type") === "purchase" && col("value") > 150,
+        seed = 5L),
+    Some("""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 150
+       |      THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1),
+       |v AS (
+       |  SELECT ((((user_id % 100000007) * (2654435761 + 5)) % 99999989)
+       |      * 2246822519) % 2 AS var,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+       |  FROM u GROUP BY 1),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN var = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN var = 0 THEN x ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN var = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN var = 1 THEN x ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM v),
+       |z AS (
+       |  SELECT *,
+       |    CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+       |    THEN
+       |    round((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+       |      / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+       |        * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+       |        * (1.0 / n_a + 1.0 / n_b)), 9)
+       |    ELSE NULL END AS z_stat
+       |  FROM agg)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |  round(conv_a / CAST(n_a AS DOUBLE), 9) AS rate_a,
+       |  round(conv_b / CAST(n_b AS DOUBLE), 9) AS rate_b,
+       |  round(conv_b / CAST(n_b AS DOUBLE)
+       |    - conv_a / CAST(n_a AS DOUBLE), 9) AS lift,
+       |  z_stat, coalesce(abs(z_stat) > 2.575829, false) AS significant
+       |FROM z""".stripMargin)),
+
+    ("q263_random_projection", (s, d) =>
+      // Johnson-Lindenstrauss 64->16 reduction with portable +/-1
+      // planes through the native fused matrix-dot expression — a pure
+      // projection, no shuffle at any scale; emitted per (vector, out
+      // dim) so the schema stays flat for the gate. proj is the
+      // JL-normalized dot/sqrt(16): the operator yields dot/sqrt(64)
+      // (exact power-of-two division), scaled here by 2.
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.sim.Similarity.randomProject(
+            col("embedding"), 16, 64, seed = 11L)).as(Seq("d", "raw")))
+        .select(col("vec_id"), col("d").cast("long").as("d"),
+          round(col("raw") * lit(2.0), 9).as("proj")),
+    Some("""WITH planes AS (
+       |  SELECT jj.j, dd.d,
+       |    CASE WHEN ((((jj.j * 64 + dd.d) % 100000007)
+       |        * (2654435761 + 11)) % 99999989) * 2246822519 % 1000000
+       |        < 500000
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(16) jj(j), range(64) dd(d)),
+       |p AS (
+       |  SELECT e.vec_id, pl.j,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(CAST(e.embedding[pl.d + 1] AS DOUBLE) * pl.w
+       |        ORDER BY pl.d)),
+       |      (a, x) -> a + x) AS raw
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.j)
+       |SELECT vec_id, CAST(j AS BIGINT) AS d,
+       |  round((raw / 8.0) * 2.0, 9) AS proj
+       |FROM p""".stripMargin)),
+
+    ("q264_feature_mi", (s, d) =>
+      // categorical dependence profile: MI(nation; segment) in nats +
+      // marginal entropies + normalized MI — one (x, y) fact-scale
+      // aggregate, everything downstream domain-sized. Near-zero NMI
+      // here certifies the synthetic segments are nation-independent.
+      graft.operators.Quality.mutualInformation(
+        t(s, d, "customer"), col("c_nationkey"), col("c_mktsegment")),
+    Some("""WITH cells AS (
+       |  SELECT c_nationkey AS x, c_mktsegment AS y,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM customer
+       |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+       |  GROUP BY 1, 2),
+       |xm AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+       |ym AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       |mi AS (
+       |  SELECT CAST(sum(CAST(round((CAST(c AS DOUBLE) / n)
+       |      * round(ln(CAST(c AS DOUBLE) * n
+       |        / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS mi_nats,
+       |    CAST(count(*) AS BIGINT) AS n_cells
+       |  FROM cells JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN tot),
+       |hx AS (
+       |  SELECT CAST(sum(CAST(round(-(CAST(cx AS DOUBLE) / n)
+       |      * round(ln(CAST(cx AS DOUBLE) / n), 9), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS h_x
+       |  FROM xm CROSS JOIN tot),
+       |hy AS (
+       |  SELECT CAST(sum(CAST(round(-(CAST(cy AS DOUBLE) / n)
+       |      * round(ln(CAST(cy AS DOUBLE) / n), 9), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS h_y
+       |  FROM ym CROSS JOIN tot)
+       |SELECT mi_nats, h_x, h_y,
+       |  round(mi_nats / least(h_x, h_y), 9) AS nmi, n_cells, n
+       |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot"""
+      .stripMargin)),
+
+    ("q265_seasonal_baseline", (s, d) =>
+      // MASE-style forecast floor on daily revenue: naive-1 vs
+      // seasonal-naive(7) MAE, both lags as equi-self-joins on the
+      // date-domain-sized daily series — the only fact-scale work is
+      // the one date-keyed aggregate.
+      graft.operators.Seasonal.seasonalNaiveError(
+        t(s, d, "orders"), to_date(col("o_orderdate")),
+        col("o_totalprice"), season = 7),
+    Some("""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS v
+       |  FROM orders GROUP BY 1),
+       |e1 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs_1,
+       |    CAST(sum(CAST(round(abs(a.v - b.v), 9) AS DECIMAL(18,6)))
+       |      AS DOUBLE) / count(*) AS mae1
+       |  FROM daily a JOIN daily b ON a.d = b.d + 1),
+       |es AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs_s,
+       |    CAST(sum(CAST(round(abs(a.v - b.v), 9) AS DECIMAL(18,6)))
+       |      AS DOUBLE) / count(*) AS maes
+       |  FROM daily a JOIN daily b ON a.d = b.d + 7)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       |  n_pairs_1, n_pairs_s,
+       |  round(mae1, 9) AS mae_naive1, round(maes, 9) AS mae_seasonal,
+       |  round(maes / mae1, 9) AS mase,
+       |  maes < mae1 AS seasonal_wins
+       |FROM e1 CROSS JOIN es""".stripMargin)),
+
+    ("q266_order_autocorr", (s, d) => {
+      // order-quality certification: lag-1 autocorrelation of doc
+      // length along the epoch-shuffled training order (~0, adjacent
+      // examples decorrelated) vs along the sorted-by-length order
+      // (~1, the anti-pattern) — consecutive pairs via equi-self-join
+      // on pos+1, never a global lag() window.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).as("n_tokens"))
+      // checkpoint both orders (the Ranks caller-checkpoints rule):
+      // the autocorrelation self-joins its input, so an un-materialized
+      // rank plan would execute twice per audit
+      val shuffled = graft.operators.Sample.epochOrder(
+        docs, "doc_id", epoch = 1L).localCheckpoint(true)
+      val sorted = graft.operators.Ranks.rowNumber(
+        docs, "n_tokens", ascending = true, tiebreaks = Seq("doc_id"),
+        out = "pos").localCheckpoint(true)
+      graft.operators.Sample
+        .orderAutocorrelation(shuffled, "train_pos", col("n_tokens"))
+        .withColumnRenamed("autocorr", "shuffled_autocorr")
+        .crossJoin(
+          graft.operators.Sample
+            .orderAutocorrelation(sorted, "pos", col("n_tokens"))
+            .select(col("autocorr").as("sorted_autocorr")))
+    }, Some("""WITH docs AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |sh AS (
+       |  SELECT n_tokens, row_number() OVER (ORDER BY
+       |    ((((doc_id % 100000007) * (2654435761 + 1)) % 99999989)
+       |      * 2246822519) % 1000000000, doc_id) AS pos
+       |  FROM docs),
+       |so AS (
+       |  SELECT n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens, doc_id) AS pos
+       |  FROM docs),
+       |psh AS (SELECT a.n_tokens AS x, b.n_tokens AS y
+       |  FROM sh a JOIN sh b ON b.pos = a.pos + 1),
+       |pso AS (SELECT a.n_tokens AS x, b.n_tokens AS y
+       |  FROM so a JOIN so b ON b.pos = a.pos + 1),
+       |ssh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(round(CAST(y AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+       |  FROM psh),
+       |sso AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(round(CAST(y AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+       |  FROM pso)
+       |SELECT ssh.n_pairs,
+       |  round((ssh.n_pairs * ssh.sxy - ssh.sx * ssh.sy)
+       |    / sqrt((ssh.n_pairs * ssh.sxx - ssh.sx * ssh.sx)
+       |      * (ssh.n_pairs * ssh.syy - ssh.sy * ssh.sy)), 9)
+       |    AS shuffled_autocorr,
+       |  round((sso.n_pairs * sso.sxy - sso.sx * sso.sy)
+       |    / sqrt((sso.n_pairs * sso.sxx - sso.sx * sso.sx)
+       |      * (sso.n_pairs * sso.syy - sso.sy * sso.sy)), 9)
+       |    AS sorted_autocorr
+       |FROM ssh CROSS JOIN sso""".stripMargin)),
+
+    ("q267_bloom_prefilter", (s, d) => {
+      // Bloom prefilter ahead of a selective join: the BUILDING
+      // segment's key set becomes a 1024-bit portable-hash filter
+      // (bounded driver collect, like Ranks' cuts), the fact side
+      // reduces by a PURE PROJECTION — no shuffle, no broadcast join
+      // state — and only survivors reach the exact semi-join. The
+      // report certifies zero false negatives by construction and
+      // measures the false-positive mass the bit budget buys.
+      val dim = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bits = graft.operators.BloomJoin.build(
+        dim, col("c_custkey"), m = 1024, k = 3, seed = 9L)
+      val orders = t(s, d, "orders")
+      val pre = orders.filter(graft.operators.BloomJoin.mightContain(
+        col("o_custkey"), bits, k = 3, seed = 9L))
+      val exact = pre.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left_semi")
+      orders.agg(count(lit(1)).as("n_orders"))
+        .crossJoin(pre.agg(count(lit(1)).as("bloom_pass")))
+        .crossJoin(exact.agg(count(lit(1)).as("exact_pass")))
+        .select(col("n_orders"), col("bloom_pass"), col("exact_pass"),
+          (col("bloom_pass") - col("exact_pass")).as("false_positives"),
+          round((col("bloom_pass") - col("exact_pass")).cast("double")
+            / col("n_orders"), 9).as("fp_share"))
+    }, Some("""WITH dim AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |dpos AS (
+       |  SELECT DISTINCT ((((c_custkey % 100000007)
+       |      * (2654435761 + 9 + i.i)) % 99999989) * 2246822519) % 1024
+       |      AS p
+       |  FROM dim CROSS JOIN range(3) i(i)),
+       |op AS (
+       |  SELECT o.o_orderkey, o.o_custkey,
+       |    ((((o.o_custkey % 100000007) * (2654435761 + 9 + i.i))
+       |      % 99999989) * 2246822519) % 1024 AS p
+       |  FROM orders o CROSS JOIN range(3) i(i)),
+       |hit AS (
+       |  SELECT op.o_orderkey, op.o_custkey,
+       |    bool_and(dpos.p IS NOT NULL) AS pass
+       |  FROM op LEFT JOIN dpos ON dpos.p = op.p
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS bloom_pass,
+       |    CAST(sum(CASE WHEN pass AND d2.c_custkey IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS exact_pass
+       |  FROM hit LEFT JOIN (SELECT DISTINCT c_custkey FROM dim) d2
+       |    ON d2.c_custkey = hit.o_custkey)
+       |SELECT n_orders, bloom_pass, exact_pass,
+       |  bloom_pass - exact_pass AS false_positives,
+       |  round((bloom_pass - exact_pass) / CAST(n_orders AS DOUBLE), 9)
+       |    AS fp_share
+       |FROM agg""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -195,6 +195,55 @@ object Quality {
     stats.join(top, Seq("col_name"), "left")
   }
 
+  /** Mutual information between two CATEGORICAL columns, in nats —
+    * the dependence profiler behind feature selection and
+    * quasi-identifier hunting (a high-MI pair is the linkage risk
+    * [[Privacy.kAnonymityReport]] audits; a near-zero pair is a
+    * feature the model can drop):
+    * I(X;Y) = Σ p(x,y)·ln(p(x,y) / (p(x)·p(y))), plus the marginal
+    * entropies and the normalized NMI = I / min(H(X), H(Y)) in [0, 1].
+    *
+    * Scale shape: ONE fact-scale map-side-combinable groupBy on
+    * (x, y); marginals and totals derive from the cell counts —
+    * domain-sized, never a second corpus pass. Null rows are excluded
+    * (MI over observed pairs). Determinism: counts exact; every
+    * ln-term rounded at 9 dp and folded through the exact-decimal
+    * [[graft.Exprs.dsum]]; probabilities divide as doubles only
+    * inside each single-valued term. Output: one row
+    * `(mi_nats, h_x, h_y, nmi, n_cells, n)`.
+    */
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("__x"), y.as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val xm = cells.groupBy("__x").agg(sum(col("__c")).as("__cx"))
+    val ym = cells.groupBy("__y").agg(sum(col("__c")).as("__cy"))
+    val tot = cells.agg(sum(col("__c")).as("__n"))
+    val joined = cells.join(xm, Seq("__x")).join(ym, Seq("__y"))
+      .crossJoin(broadcast(tot))
+    val cD = col("__c").cast("double")
+    val nD = col("__n").cast("double")
+    val miTerm = round((cD / nD) *
+      round(log(cD * nD / (col("__cx").cast("double") *
+        col("__cy").cast("double"))), 9), 9)
+    val mi = joined.select(miTerm.as("__t"), col("__n"))
+      .groupBy(col("__n"))
+      .agg(graft.Exprs.dsum(col("__t")).as("mi_nats"),
+        count(lit(1)).as("n_cells"))
+    def entropy(m: DataFrame, cnt: String): DataFrame = {
+      val p = col(cnt).cast("double") / col("__n").cast("double")
+      m.crossJoin(broadcast(tot))
+        .select(round(-p * round(log(p), 9), 9).as("__t"))
+        .agg(graft.Exprs.dsum(col("__t")).as("h"))
+    }
+    val hx = entropy(xm, "__cx").withColumnRenamed("h", "h_x")
+    val hy = entropy(ym, "__cy").withColumnRenamed("h", "h_y")
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(col("mi_nats"), col("h_x"), col("h_y"),
+        round(col("mi_nats") / least(col("h_x"), col("h_y")), 9).as("nmi"),
+        col("n_cells"), col("__n").as("n"))
+  }
+
   /** Functional-dependency violation detector: LHS values mapping to
     * MORE than one RHS value — the constraint profiler behind entity
     * resolution and schema inference ("same order, same customer?").

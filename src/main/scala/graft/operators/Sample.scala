@@ -173,6 +173,48 @@ object Sample {
       .drop("__diff", "__h", "__b", "__off")
   }
 
+  /** Order-quality audit for the samplers above: lag-1 Pearson
+    * autocorrelation of a metric along a 1-based dense position column
+    * — the number that certifies a training order actually
+    * decorrelated adjacent examples. A well-shuffled order
+    * ([[epochOrder]], [[curriculumOrder]] within tiers) reads ~0; a
+    * `ORDER BY difficulty` order reads ~1 and feeds the model
+    * near-identical difficulty runs back to back.
+    *
+    * Scale shape: consecutive pairs come from an EQUI-SELF-JOIN on
+    * `pos + 1` — distributed on the position key, never the
+    * single-task global `lag()` window the naive formulation
+    * compiles to. Determinism: all five sums fold 9-dp-rounded terms
+    * through the exact-decimal [[graft.Exprs.dsum]]; the correlation
+    * assembles from them in one rounded expression. Output: one row
+    * `(n_pairs, autocorr)`.
+    */
+  def orderAutocorrelation(df: DataFrame, posCol: String,
+                           metric: Column): DataFrame = {
+    val a = df.select(col(posCol).as("__p"),
+      metric.cast("double").as("__x"))
+    val pairs = a.join(
+      a.select((col("__p") - 1).as("__p"), col("__x").as("__y")),
+      Seq("__p"))
+    val s = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      graft.Exprs.dsum(round(col("__x"), 9)).as("sx"),
+      graft.Exprs.dsum(round(col("__y"), 9)).as("sy"),
+      graft.Exprs.dsum(round(col("__x") * col("__y"), 9)).as("sxy"),
+      graft.Exprs.dsum(round(col("__x") * col("__x"), 9)).as("sxx"),
+      graft.Exprs.dsum(round(col("__y") * col("__y"), 9)).as("syy"))
+    val n = col("n_pairs").cast("double")
+    // a constant side (or a single pair) has zero variance — the
+    // correlation is undefined there, not infinite: emit NULL instead
+    // of an ANSI divide-by-zero
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    s.select(col("n_pairs"),
+      when(varx > 0 && vary > 0,
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          sqrt(varx * vary), 9)).as("autocorr"))
+  }
+
   /** Token-budget corpus fill: keep the best-scored rows until
     * `budgetTokens` is reached — "the highest-quality N-token corpus
     * this data can give", the selection step after scoring. A row is

@@ -393,6 +393,44 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions
+    * with engine-portable ±1 planes (Achlioptas 2003's database-
+    * friendly construction: entries ±1 scaled by 1/√outDims preserve
+    * pairwise distances in expectation like Gaussian planes, at
+    * integer-hash cost) — the dimensionality-reduction step before
+    * clustering / coarse ANN when 64-d embeddings are still too wide
+    * to shuffle at corpus scale. Plane sign (j, d) comes from the same
+    * portable two-round hash as [[graft.functions.SrpSignatures]]'
+    * portable mode (coordinate `j·dim + d` through
+    * [[graft.operators.Sample.hashMod2]] arithmetic), so an oracle
+    * re-derives every plane in SQL. The projection itself runs through
+    * the native fused [[graft.functions.CentroidScores]] matrix-dot
+    * expression — one `outDims × dim` codegen loop per row, a pure
+    * projection with no shuffle at any scale. Output: array<double>,
+    * element j = dot(vec, plane_j) / √dim — the left-to-right signed
+    * sum divided by the plane norm (every ±1 plane has norm exactly
+    * √dim; for power-of-4 dims like 64 that division is a power of
+    * two, hence exact, so an oracle replays it bit-for-bit). Callers
+    * wanting the JL-normalized dot/√outDims multiply by
+    * √(dim/outDims).
+    */
+  def randomProject(vec: Column, outDims: Int, dim: Int,
+                    seed: Long): Column = {
+    require(outDims >= 1 && dim >= 1, s"bad dims: $outDims x $dim")
+    require(seed >= 0L, s"portable seed must be >= 0, got $seed")
+    import graft.operators.Sample
+    val planes: Seq[Seq[Double]] = Seq.tabulate(outDims) { j =>
+      Seq.tabulate(dim) { d =>
+        val k = j.toLong * dim + d
+        val h = (k % Sample.Prime) * (Sample.Mult + seed) %
+          Sample.Prime2 * Sample.Mult2 % 1000000L
+        if (h < 500000L) 1.0 else -1.0
+      }
+    }
+    graft.functions.CentroidScores.scores(toDouble(vec),
+      org.apache.spark.sql.functions.typedlit(planes))
+  }
+
   /** (table_id, bucket) keys for multi-table SRP LSH: `tables`
     * independent sign-hash tables of `bits` bits each. Standard LSH
     * recall amplification — a near neighbor only needs to collide in
