@@ -7897,9 +7897,14 @@ object SparkEntry {
       // examples decorrelated) vs along the sorted-by-length order
       // (~1, the anti-pattern) — consecutive pairs via equi-self-join
       // on pos+1, never a global lag() window.
+      // checkpoint the tokenized projection FIRST (the Ranks caller-
+      // checkpoints rule): two rank passes read their input 3x each,
+      // and re-running tokenCount over the raw corpus per read was
+      // measured 6x the whole audit's cost at soak zipf10
       val docs = t(s, d, "documents").select(col("doc_id"),
         graft.text.TextOps.tokenCount(col("text")).as("n_tokens"))
-      // checkpoint both orders (the Ranks caller-checkpoints rule):
+        .localCheckpoint(true)
+      // checkpoint both orders too:
       // the autocorrelation self-joins its input, so an un-materialized
       // rank plan would execute twice per audit
       val shuffled = graft.operators.Sample.epochOrder(
@@ -8014,7 +8019,69 @@ object SparkEntry {
        |  bloom_pass - exact_pass AS false_positives,
        |  round((bloom_pass - exact_pass) / CAST(n_orders AS DOUBLE), 9)
        |    AS fp_share
-       |FROM agg""".stripMargin))
+       |FROM agg""".stripMargin)),
+
+    ("q268_krippendorff_alpha", (s, d) => {
+      // annotation QA for the RAGGED panel real queues produce: the
+      // q233 rule-raters, but raters 2 and 3 abstain on id-derived
+      // slices (every 5th / every 3rd doc) — items carry 1..3 ratings,
+      // the shape Fleiss must drop items over and alpha is built for;
+      // single-rating items (id % 15 == 0) are excluded by the
+      // mathematics, not a completeness filter.
+      val docs = t(s, d, "documents").select("doc_id", "text", "n_chars")
+      val r1 = docs.select(col("doc_id").as("item"),
+        when(col("n_chars") >= 300, "keep").otherwise("drop").as("cat"))
+      val r2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("item"),
+          when(TextOps.tokenCount(col("text")) >= 60, "keep")
+            .otherwise("drop").as("cat"))
+      val r3 = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("item"),
+          when(col("text").contains("the"), "keep").otherwise("drop")
+            .as("cat"))
+      graft.operators.Agreement.krippendorffAlpha(
+        r1.union(r2).union(r3), "item", "cat")
+    }, Some("""WITH ratings AS (
+       |  SELECT doc_id AS item,
+       |    CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS cat
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    CASE WHEN len(regexp_split_to_array(text, '\s+')) >= 60
+       |      THEN 'keep' ELSE 'drop' END
+       |  FROM documents WHERE doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    CASE WHEN text LIKE '%the%' THEN 'keep' ELSE 'drop' END
+       |  FROM documents WHERE doc_id % 3 <> 0),
+       |ic AS (
+       |  SELECT item, cat, CAST(count(*) AS BIGINT) AS nik
+       |  FROM ratings GROUP BY 1, 2),
+       |pi AS (
+       |  SELECT item, CAST(sum(nik) AS BIGINT) AS mi,
+       |    CAST(sum(nik * (nik - 1)) AS BIGINT) AS sp
+       |  FROM ic GROUP BY 1 HAVING sum(nik) >= 2),
+       |obs AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(mi) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(CAST(mi * (mi - 1) - sp AS DOUBLE)
+       |      / CAST(mi - 1 AS DOUBLE), 9) AS DECIMAL(18,6))) AS DOUBLE)
+       |      AS donum
+       |  FROM pi),
+       |pool AS (
+       |  SELECT CAST(sum(nk * (nk - 1)) AS BIGINT) AS sametot
+       |  FROM (SELECT cat, CAST(sum(nik) AS BIGINT) AS nk
+       |    FROM ic JOIN pi USING (item) GROUP BY 1))
+       |SELECT n_items, n AS n_ratings,
+       |  round(donum / CAST(n AS DOUBLE), 9) AS do_rate,
+       |  round((n * (n - 1) - sametot) / CAST(n * (n - 1) AS DOUBLE), 9)
+       |    AS de_rate,
+       |  CASE WHEN (n * (n - 1) - sametot)
+       |      / CAST(n * (n - 1) AS DOUBLE) > 0
+       |    THEN round(1.0 - (donum / CAST(n AS DOUBLE))
+       |      / ((n * (n - 1) - sametot) / CAST(n * (n - 1) AS DOUBLE)), 9)
+       |    ELSE NULL END AS alpha
+       |FROM obs CROSS JOIN pool""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -136,4 +136,77 @@ object Agreement {
     perItem.unpersist()
     out
   }
+
+  /** Krippendorff's alpha (nominal metric) over long-form ratings
+    * (itemCol, categoryCol) — the agreement coefficient for RAGGED
+    * panels, which is the shape real annotation queues produce:
+    * raters abstain, time out, or join late, so items carry anywhere
+    * from 1 to R ratings. [[fleissKappa]] must DROP every incomplete
+    * item; alpha keeps them all (items with a single rating carry no
+    * pairable information and are excluded by the mathematics itself,
+    * not by a completeness filter). α = 1 − D_o/D_e over the
+    * coincidence matrix (Krippendorff 2004).
+    *
+    * The coincidence matrix never materializes: for the nominal
+    * metric its whole contribution collapses to per-item counts —
+    * the disagreeing ordered pairs of an item are
+    * m_i(m_i−1) − Σ_k n_ik(n_ik−1), each item weighted 1/(m_i−1),
+    * and the chance term needs only the pooled category totals over
+    * pairable items. So the plan is ONE fact-scale (item, category)
+    * aggregate, an |items|-sized rollup, and a category-vocabulary
+    * tail — the [[fleissKappa]] scale discipline exactly.
+    *
+    * Determinism: pair counts are exact integers; the per-item
+    * 1/(m_i−1) weighting is the one rational step — rounded at 9 dp
+    * and folded through the exact-decimal [[graft.Exprs.dsum]];
+    * pooled products stay in DECIMAL(19,0). Degenerate case, pinned:
+    * one category across all pairable ratings ⇒ D_e = 0 ⇒ alpha
+    * undefined ⇒ explicit NULL (the [[cohenKappa]] guard), never a
+    * NaN or an ANSI divide error. Output: one row
+    * `(n_items, n_ratings, do_rate, de_rate, alpha)`, 9 dp.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    // persisted: the (item, cat) grid feeds the per-item rollup AND
+    // the pooled category totals — two grid scans, one ratings scan
+    val ic = ratings.filter(col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("nik"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perItem = ic.groupBy("item").agg(
+      sum("nik").as("mi"),
+      sum(col("nik") * (col("nik") - 1)).as("samePairs"))
+      .filter(col("mi") >= 2) // single-rating items have no pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Σ_i [m_i(m_i−1) − Σ_k n_ik(n_ik−1)] / (m_i−1), 9-dp terms in
+    // exact decimal; n = Σ m_i over pairable items
+    val obs = perItem.select(
+      round((col("mi") * (col("mi") - 1) - col("samePairs"))
+        .cast("double") / (col("mi") - 1).cast("double"), 9).as("__t"),
+      col("mi"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("mi")).as("n"),
+        graft.Exprs.dsum(col("__t")).as("doNum"))
+    val pooled = ic.join(perItem.select("item"), Seq("item"))
+      .groupBy("cat").agg(sum("nik").as("nk"))
+      .agg(sum(col("nk").cast(DecimalType(19, 0)) *
+        (col("nk") - 1).cast(DecimalType(19, 0))).as("sameTot"))
+    val doRate = col("doNum") / col("n").cast("double")
+    // n(n−1) in exact decimal — a 10^12-rating corpus overflows the
+    // BIGINT product (the cohenKappa marginal discipline)
+    val totPairs = col("n").cast(DecimalType(19, 0)) *
+      (col("n") - 1).cast(DecimalType(19, 0))
+    val deRate = (totPairs - col("sameTot")).cast("double") /
+      totPairs.cast("double")
+    val out = obs.crossJoin(pooled).select(
+      col("n_items"), col("n").as("n_ratings"),
+      round(doRate, 9).as("do_rate"),
+      round(deRate, 9).as("de_rate"),
+      when(deRate > 0.0,
+        round(lit(1.0) - doRate / deRate, 9)).as("alpha"))
+      .localCheckpoint(true)
+    ic.unpersist()
+    perItem.unpersist()
+    out
+  }
 }

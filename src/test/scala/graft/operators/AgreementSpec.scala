@@ -88,4 +88,43 @@ class AgreementSpec extends AnyFunSuite {
     assert(got.getLong(0) == 2L && got.getDouble(2) == 1.0)
     assert(got.isNullAt(3), "kappa at pe=1 must be NULL, not NaN")
   }
+
+  test("krippendorff alpha: hand-worked ragged panel") {
+    // A: [a,a]  B: [a,b]  C: [b] (single rating -> excluded by the math)
+    // pairable n=4; Do = (0 + 2)/4 = 0.5; pooled a=3, b=1 ->
+    // De = (12 - 6)/12 = 0.5; alpha = 1 - 0.5/0.5 = 0
+    val ratings = Seq(("A", "a"), ("A", "a"), ("B", "a"), ("B", "b"),
+      ("C", "b")).toDF("item", "cat")
+    val r = Agreement.krippendorffAlpha(ratings, "item", "cat")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(r == ((2L, 4L, 0.5, 0.5, Some(0.0))))
+  }
+
+  test("krippendorff alpha: perfect ragged agreement scores 1") {
+    // raggedness by design: one 2-panel, one 3-panel, one abstention
+    val ratings = Seq(("A", "a"), ("A", "a"),
+      ("B", "b"), ("B", "b"), ("B", "b"),
+      ("C", "a")).toDF("item", "cat")
+    val r = Agreement.krippendorffAlpha(ratings, "item", "cat")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(r._1 == 2L && r._2 == 5L)
+    assert(r._3 == 0.0 && r._5.contains(1.0))
+  }
+
+  test("krippendorff alpha: one category everywhere -> NULL, not NaN") {
+    val ratings = Seq(("A", "a"), ("A", "a"), ("B", "a"), ("B", "a"))
+      .toDF("item", "cat")
+    val r = Agreement.krippendorffAlpha(ratings, "item", "cat")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(r._4 == 0.0 && r._5.isEmpty)
+  }
+
+  test("krippendorff alpha: null categories and singletons drop together") {
+    val ratings = Seq(("A", Some("a")), ("A", Some("b")), ("A", None),
+      ("D", Some("a"))).toDF("item", "cat")
+    val r = Agreement.krippendorffAlpha(ratings, "item", "cat")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    // A keeps 2 non-null ratings; D is a singleton
+    assert(r._1 == 1L && r._2 == 2L && r._3 == 1.0)
+  }
 }
