@@ -8081,7 +8081,97 @@ object SparkEntry {
        |    THEN round(1.0 - (donum / CAST(n AS DOUBLE))
        |      / ((n * (n - 1) - sametot) / CAST(n * (n - 1) AS DOUBLE)), 9)
        |    ELSE NULL END AS alpha
-       |FROM obs CROSS JOIN pool""".stripMargin))
+       |FROM obs CROSS JOIN pool""".stripMargin)),
+
+    ("q269_wasserstein_drift", (s, d) => {
+      // exact earth-mover drift between the URGENT and LOW order-price
+      // distributions, in dollars — the order-aware metric PSI (q153)
+      // is not. No global sort: distinct-value table + bucket-
+      // distributed rank/prefix-sum passes + a rank+1 gap join.
+      val orders = t(s, d, "orders")
+      graft.operators.Quality.wasserstein1D(
+        orders.filter(col("o_orderpriority") === "1-URGENT"),
+        orders.filter(col("o_orderpriority") === "5-LOW"),
+        "o_totalprice")
+    }, Some(s"""WITH vals AS (
+       |  SELECT v,
+       |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM (
+       |    SELECT o_totalprice AS v, 0 AS s FROM orders
+       |    WHERE o_orderpriority = '1-URGENT'
+       |    UNION ALL
+       |    SELECT o_totalprice, 1 FROM orders
+       |    WHERE o_orderpriority = '5-LOW')
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(count(*) AS BIGINT) AS nv
+       |  FROM vals),
+       |c AS (
+       |  SELECT v,
+       |    sum(ca) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |    sum(cb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+       |    lead(v) OVER (ORDER BY v) AS vn
+       |  FROM vals),
+       |terms AS (
+       |  SELECT round(abs(cuma / CAST(na AS DOUBLE)
+       |      - cumb / CAST(nb AS DOUBLE)) * (vn - v), 9) AS term,
+       |    na, nb, nv
+       |  FROM c CROSS JOIN tot WHERE vn IS NOT NULL)
+       |SELECT ${dsumSql("term")} AS w1, nv AS n_values,
+       |  na AS n_a, nb AS n_b
+       |FROM terms GROUP BY nv, na, nb""".stripMargin)),
+
+    ("q270_stream_dedup", (s, d) => {
+      // streaming exact key-dedup, batch-equivalently certified (the
+      // q259 discipline): an at-least-once feed — two staged
+      // micro-batches carrying within-batch replays AND cross-batch
+      // replays of batch-1 rows — through dropDuplicatesWithinWatermark;
+      // the telescoped output must hash-match the clean events table,
+      // proving the keyed state dedups across micro-batch boundaries.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q270_").toString
+      try {
+        val feedDir = s"$tmp/feed"
+        new java.io.File(feedDir).mkdirs()
+        val ev = t(s, d, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        def stage(df: DataFrame, n: Int): Unit = {
+          val aside = s"$tmp/stage$n"
+          df.coalesce(1).write.mode("overwrite").parquet(aside)
+          val part = new java.io.File(aside).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
+        }
+        // batch 1: even ids, plus replayed copies of every 10th id
+        stage(ev.filter(col("event_id") % 2 === 0)
+          .unionByName(ev.filter(col("event_id") % 10 === 0)), 1)
+        val sq = graft.streaming.Streams.dedupSink(
+          s.readStream
+            .schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+            .parquet(feedDir),
+          "ts", Seq("event_id"), delay = "3650 days",
+          s"$tmp/out", s"$tmp/ckpt")
+        try {
+          sq.processAllAvailable()
+          // batch 2: odd ids, replays of odd ids (within-batch dups)
+          // AND replays of id%10==4 — even rows batch 1 already
+          // emitted, the cross-batch state test
+          stage(ev.filter(col("event_id") % 2 === 1)
+            .unionByName(ev.filter(col("event_id") % 10 === 1))
+            .unionByName(ev.filter(col("event_id") % 10 === 4)), 2)
+          sq.processAllAvailable()
+        } finally sq.stop()
+        s.read.parquet(s"$tmp/out")
+          .select("event_id", "ts", "user_id", "event_type")
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    }, Some("""SELECT event_id, ts, user_id, event_type FROM events"""))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

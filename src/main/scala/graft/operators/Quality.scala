@@ -195,6 +195,69 @@ object Quality {
     stats.join(top, Seq("col_name"), "left")
   }
 
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    * numeric distributions — the drift metric [[psiDrift]] cannot be:
+    * PSI bins and loses the ORDER of the support (a mass shift of one
+    * bin and of ten bins can score the same), while W₁ = ∫|F_a − F_b|
+    * integrates the CDF gap over the real line, in the value's own
+    * units ("average dollars each row must move"). The classic
+    * formulation sorts the union — a single-task global window at
+    * corpus scale; here the plan is the [[Ranks]] discipline end to
+    * end: ONE fact-scale (value, side) aggregate to the distinct-value
+    * table, then bucket-distributed [[Ranks.rowNumber]] +
+    * [[Ranks.prefixSum]] passes over that domain-sized table, and the
+    * "next value" gap via an equi-self-join on rank+1 — no global
+    * sort ever materializes.
+    *
+    * Determinism: cumulative counts are exact longs; each segment's
+    * |ΔCDF|·gap term is rounded at 9 dp and folded through the
+    * exact-decimal [[graft.Exprs.dsum]]. An empty side has no CDF —
+    * `w1` comes back NULL (never an ANSI divide error). Output: one
+    * row `(w1, n_values, n_a, n_b)`.
+    */
+  def wasserstein1D(baseline: DataFrame, current: DataFrame,
+                    valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val u = baseline.filter(v.isNotNull)
+      .select(v.as("__v"), lit(0).as("__s"))
+      .unionByName(current.filter(v.isNotNull)
+        .select(v.as("__v"), lit(1).as("__s")))
+    // domain-sized and read by three Ranks passes + the gap join —
+    // checkpointed per the Ranks caller-checkpoints rule
+    val vals = u.groupBy("__v").agg(
+      sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint(true)
+    val tot = vals.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"), count(lit(1)).as("__nv"))
+    val rn = Ranks.rowNumber(vals, "__v", ascending = true,
+      tiebreaks = Seq.empty, out = "__rn")
+    val pa = Ranks.prefixSum(vals, "__v", "__ca", out = "__pa")
+      .select(col("__v"), col("__pa"))
+    val pb = Ranks.prefixSum(vals, "__v", "__cb", out = "__pb")
+      .select(col("__v"), col("__pb"))
+    val cur = rn.join(pa, Seq("__v")).join(pb, Seq("__v"))
+      .select(col("__rn"), col("__v"),
+        (col("__pa") + col("__ca")).as("__cuma"),
+        (col("__pb") + col("__cb")).as("__cumb"))
+    val nxt = cur.select((col("__rn") - 1).as("__rn"),
+      col("__v").as("__vn"))
+    val w1agg = cur.join(nxt, Seq("__rn")) // last value has no segment
+      .crossJoin(broadcast(tot))
+      .select(when(col("__na") > 0 && col("__nb") > 0,
+        round(abs(col("__cuma").cast("double") / col("__na")
+          - col("__cumb").cast("double") / col("__nb"))
+          * (col("__vn") - col("__v")), 9)).as("__t"))
+      .agg(graft.Exprs.dsum(col("__t")).as("__w1raw"))
+    // single-value support has zero segments — that IS W1 = 0; an
+    // empty side keeps w1 NULL through the guard
+    tot.crossJoin(w1agg).select(
+      when(col("__na") > 0 && col("__nb") > 0,
+        coalesce(col("__w1raw"), lit(0.0))).as("w1"),
+      col("__nv").as("n_values"), col("__na").as("n_a"),
+      col("__nb").as("n_b"))
+  }
+
   /** Mutual information between two CATEGORICAL columns, in nats —
     * the dependence profiler behind feature selection and
     * quasi-identifier hunting (a high-MI pair is the linkage risk

@@ -534,6 +534,33 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming exact key-dedup — the continuous face of
+    * [[graft.operators.Dedup.distinctRows]] for an at-least-once
+    * ingest feed (REST replays, kafka redeliveries): Structured
+    * Streaming's `dropDuplicatesWithinWatermark` keeps per-key state
+    * only until the event-time watermark passes `delay`, so state is
+    * BOUNDED by the duplicate-arrival horizon instead of growing with
+    * the corpus — the property that makes exact streaming dedup
+    * viable at 100 TB/day (an unbounded `dropDuplicates` state would
+    * OOM on day one; the trade, documented by Spark's own contract,
+    * is that a duplicate arriving later than `delay` after the
+    * original re-emits). First row per key wins; duplicates from the
+    * transport are byte-identical replays, so which "first" survives
+    * is content-irrelevant. Append parquet + checkpoint = exactly-once
+    * on replay.
+    */
+  def dedupSink(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                delay: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Continuous distinct-count: the streaming face of
     * [[graft.operators.Sketches.hllRegisters]]. Each micro-batch writes
     * ONLY its own (bucket, max-rho) register table — m rows max, never
