@@ -8171,7 +8171,157 @@ object SparkEntry {
           .select("event_id", "ts", "user_id", "event_type")
           .localCheckpoint(true)
       } finally deleteRecursively(tmp)
-    }, Some("""SELECT event_id, ts, user_id, event_type FROM events"""))
+    }, Some("""SELECT event_id, ts, user_id, event_type FROM events""")),
+
+    ("q271_theil_decomposition", (s, d) =>
+      // revenue inequality, decomposed: is concentration a NATION
+      // story (between) or a whale story (within)? One fact-scale
+      // groupBy carries all three sufficient statistics; the Gini
+      // (q241) can't split this additively.
+      graft.operators.Theil.decomposition(
+        t(s, d, "orders").join(
+          t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey")), Seq("o_custkey")),
+        col("c_nationkey"), col("o_totalprice")),
+    Some("""WITH f AS (
+       |  SELECT c.c_nationkey AS g, o.o_totalprice AS x
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  WHERE o.o_totalprice > 0),
+       |pg AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+       |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS xg,
+       |    CAST(sum(CAST(round(x * round(ln(x), 9), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS sg
+       |  FROM f GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(ng) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_groups,
+       |    CAST(sum(CAST(round(xg, 9) AS DECIMAL(18,6))) AS DOUBLE) AS xx,
+       |    CAST(sum(CAST(round(sg, 9) AS DECIMAL(18,6))) AS DOUBLE) AS ss
+       |  FROM pg),
+       |btw AS (
+       |  SELECT CAST(sum(CAST(round((xg / xx)
+       |      * round(ln((xg / xx) / (CAST(ng AS DOUBLE) / n)), 9), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS b
+       |  FROM pg CROSS JOIN tot)
+       |SELECT n, n_groups,
+       |  round(ss / xx - round(ln(xx / n), 9), 9) AS theil_total,
+       |  round(b, 9) AS theil_between,
+       |  round(round(ss / xx - round(ln(xx / n), 9), 9) - round(b, 9), 9)
+       |    AS theil_within
+       |FROM tot CROSS JOIN btw""".stripMargin)),
+
+    ("q272_cusum_drift", (s, d) =>
+      // sequential changepoint monitor on daily revenue: CUSUM via the
+      // prefix-minus-running-min identity, deviations in exact decimal
+      // so the windows are summation-order-free; the windows run over
+      // the calendar-bounded daily series only (the documented
+      // B-rows-not-facts exception).
+      graft.operators.Seasonal.cusumDrift(
+        t(s, d, "orders"), to_date(col("o_orderdate")),
+        col("o_totalprice"), threshold = 100000.0),
+    Some("""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+       |      AS value
+       |  FROM orders GROUP BY 1),
+       |tgt AS (
+       |  SELECT CAST(sum(CAST(round(value, 9) AS DECIMAL(18,6)))
+       |    AS DOUBLE) / count(*) AS t
+       |  FROM daily),
+       |dev AS (
+       |  SELECT d, value,
+       |    CAST(value AS DECIMAL(18,6)) - CAST(round(t, 6)
+       |      AS DECIMAL(18,6)) AS dv
+       |  FROM daily CROSS JOIN tgt),
+       |c1 AS (
+       |  SELECT d, value, sum(dv) OVER (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM dev),
+       |c2 AS (
+       |  SELECT d, value, p,
+       |    min(CASE WHEN p < 0 THEN p
+       |      ELSE CAST(0 AS DECIMAL(38,6)) END) OVER (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+       |  FROM c1)
+       |SELECT d, value, CAST(p - m AS DOUBLE) AS cusum,
+       |  CAST(p - m AS DOUBLE) > 100000 AS alarm
+       |FROM c2""".stripMargin)),
+
+    ("q273_group_ols", (s, d) =>
+      // closed-form price-vs-quantity regression per return flag: the
+      // five sufficient sums ride ONE map-side-combinable aggregate;
+      // no solver, no second pass, one row per group.
+      graft.operators.Ols.fitGrouped(
+        t(s, d, "lineitem"), "flag", col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice")),
+    Some("""WITH s AS (
+       |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE)
+       |      * CAST(l_extendedprice AS DOUBLE), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE)
+       |      * CAST(l_quantity AS DOUBLE), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE)
+       |      * CAST(l_extendedprice AS DOUBLE), 9)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS syy
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+       |  GROUP BY 1)
+       |SELECT flag, n,
+       |  CASE WHEN n * sxx - sx * sx > 0
+       |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+       |    END AS slope,
+       |  CASE WHEN n * sxx - sx * sx > 0
+       |    THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+       |      * sx) / n, 9)
+       |    END AS intercept,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |    THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+       |    END AS r2
+       |FROM s""".stripMargin)),
+
+    ("q274_negative_sample", (s, d) => {
+      // reproducible negatives for a two-tower recommender: per
+      // customer, 12 portable-hash candidate parts, own interactions
+      // anti-joined away, first 4 survivors in probe order kept — the
+      // identical training set on any engine, any layout.
+      val inter = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey")), Seq("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct()
+      val nItems = t(s, d, "part").count()
+      graft.operators.Sample.negativeSample(inter, "o_custkey",
+        "l_partkey", nItems, k = 4, oversample = 3, seed = 13L)
+    }, Some("""WITH inter AS (
+       |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS m FROM part),
+       |cand AS (
+       |  SELECT u,
+       |    ((((u % 100000007) * (2654435761 + 13 + j.j)) % 99999989)
+       |      * 2246822519) % (SELECT m FROM np) AS i,
+       |    CAST(min(j.j) AS BIGINT) AS jmin
+       |  FROM (SELECT DISTINCT u FROM inter) uu CROSS JOIN range(12) j(j)
+       |  GROUP BY 1, 2),
+       |neg AS (
+       |  SELECT c.u, c.i, c.jmin
+       |  FROM cand c LEFT JOIN inter
+       |    ON inter.u = c.u AND inter.i = c.i
+       |  WHERE inter.u IS NULL)
+       |SELECT u AS o_custkey, i AS l_partkey,
+       |  row_number() OVER (PARTITION BY u ORDER BY jmin, i)
+       |    AS pick_order
+       |FROM neg
+       |QUALIFY row_number() OVER (PARTITION BY u ORDER BY jmin, i) <= 4"""
+      .stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

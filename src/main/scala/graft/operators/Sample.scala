@@ -173,6 +173,51 @@ object Sample {
       .drop("__diff", "__h", "__b", "__off")
   }
 
+  /** Deterministic negative sampling for implicit-feedback training —
+    * the pair generator behind every two-tower/BPR-style recommender:
+    * positives are the observed (user, item) interactions; negatives
+    * must be items the user did NOT touch, sampled reproducibly so a
+    * re-run (or another engine) builds the identical training set.
+    * Each user draws `k · oversample` candidate item ids from the
+    * portable hash family (probe j uses seed + j — the composed-
+    * sampler rule, like [[BloomJoin]]'s probes), the user's own
+    * interactions are anti-joined away, and the FIRST `k` survivors
+    * in probe order are kept (ties on the same candidate keep the
+    * earliest probe).
+    *
+    * Scale shape: one distinct-users pass, a candidate explode that is
+    * users × (k·oversample) rows (never users × items), one
+    * (user, item)-keyed anti-join against the interactions, and a
+    * per-user window over ≤ k·oversample rows. A user whose candidate
+    * pool is exhausted (tiny item catalogs, heavy interactors) emits
+    * FEWER than `k` negatives — raise `oversample`; silently reusing
+    * positives would poison the labels. Item ids must be the dense
+    * [0, nItems) domain (the catalog's surrogate key).
+    */
+  def negativeSample(interactions: DataFrame, userCol: String,
+                     itemCol: String, nItems: Long, k: Int,
+                     oversample: Int = 3, seed: Long = 0L): DataFrame = {
+    require(nItems >= 1, s"nItems must be >= 1, got $nItems")
+    require(k >= 1 && oversample >= 1, s"bad k=$k oversample=$oversample")
+    val users = interactions.select(col(userCol).as("__u")).distinct()
+    val cand = users.select(col("__u"),
+        explode(array((0 until k * oversample).map(j =>
+          struct(lit(j).as("__j"),
+            hashMod2(col("__u"), nItems, seed + j).as("__i"))): _*))
+          .as("__c"))
+      .select(col("__u"), col("__c.__j").as("__j"), col("__c.__i").as("__i"))
+      .groupBy(col("__u"), col("__i")).agg(min(col("__j")).as("__j"))
+    val negatives = cand.join(
+      interactions.select(col(userCol).as("__u"), col(itemCol).as("__i")),
+      Seq("__u", "__i"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__u")
+      .orderBy(col("__j").asc, col("__i").asc)
+    negatives.withColumn("pick_order", row_number().over(w))
+      .filter(col("pick_order") <= k)
+      .select(col("__u").as(userCol), col("__i").as(itemCol),
+        col("pick_order"))
+  }
+
   /** Order-quality audit for the samplers above: lag-1 Pearson
     * autocorrelation of a metric along a 1-based dense position column
     * — the number that certifies a training order actually

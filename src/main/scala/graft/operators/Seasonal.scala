@@ -55,4 +55,53 @@ object Seasonal {
         round(col("mae_seasonal") / col("mae_naive1"), 9).as("mase"),
         (col("mae_seasonal") < col("mae_naive1")).as("seasonal_wins"))
   }
+
+  /** One-sided CUSUM drift monitor over the daily series (Page 1954)
+    * — the sequential changepoint detector behind "revenue has been
+    * quietly running above plan since WHEN?": the classic recursion
+    * S_t = max(0, S_{t−1} + x_t − target) looks unparallelizable, but
+    * the identity S_t = P_t − min_{j≤t} P_j (P = running sum of
+    * deviations) turns it into two cumulative windows over the DAILY
+    * series. Those windows ARE single-partition — deliberately: the
+    * date domain is calendar-bounded (a century is ~36k rows), the
+    * documented B-rows-not-facts exception ([[Ranks]]' offsets
+    * discipline); the only fact-scale work is the one date-keyed
+    * aggregate building the series.
+    *
+    * Determinism is structural, not rounded-into: deviations are
+    * computed in DECIMAL(18,6) (`target` is rounded to the decimal
+    * grid first), so the running sum and running min are EXACT and
+    * summation-order-free — no float-accumulation exposure to how an
+    * engine implements window aggregation (segment trees vs running
+    * fold). `target` defaults to the series mean when NaN is passed;
+    * callers with a plan number pass it explicitly. Output: one row
+    * per day `(date, value, cusum, alarm)` with `alarm` = cusum >
+    * `threshold`.
+    */
+  def cusumDrift(df: DataFrame, dateCol: Column, value: Column,
+                 threshold: Double, target: Double = Double.NaN)
+      : DataFrame = {
+    val money = org.apache.spark.sql.types.DecimalType(18, 6)
+    val daily = df.groupBy(dateCol.as("d"))
+      .agg(graft.Exprs.dsum(value).as("value"))
+    val tgt =
+      if (target.isNaN)
+        daily.agg((graft.Exprs.dsum(round(col("value"), 9)) /
+          count(lit(1))).as("__tgt"))
+      else daily.sparkSession.range(1).select(lit(target).as("__tgt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tgt))
+      .withColumn("__dev",
+        col("value").cast(money) - round(col("__tgt"), 6).cast(money))
+      .withColumn("__p", sum(col("__dev")).over(w))
+      .withColumn("__m", min(least(col("__p"), lit(0).cast(money))).over(w))
+      .select(col("d"), col("value"),
+        // the decimal difference is EXACT — cast straight to double
+        // (a further round(.., 9) is not a no-op across engines:
+        // rounding an already-6-dp value re-rounds the BINARY
+        // representation and the engines disagree in the last ulp)
+        (col("__p") - col("__m")).cast("double").as("cusum"),
+        ((col("__p") - col("__m")).cast("double") > threshold).as("alarm"))
+  }
 }
