@@ -8196,8 +8196,8 @@ object SparkEntry {
        |tot AS (
        |  SELECT CAST(sum(ng) AS BIGINT) AS n,
        |    CAST(count(*) AS BIGINT) AS n_groups,
-       |    CAST(sum(CAST(round(xg, 9) AS DECIMAL(18,6))) AS DOUBLE) AS xx,
-       |    CAST(sum(CAST(round(sg, 9) AS DECIMAL(18,6))) AS DOUBLE) AS ss
+       |    CAST(sum(CAST(round(xg, 9) AS DECIMAL(30,6))) AS DOUBLE) AS xx,
+       |    CAST(sum(CAST(round(sg, 9) AS DECIMAL(30,6))) AS DOUBLE) AS ss
        |  FROM pg),
        |btw AS (
        |  SELECT CAST(sum(CAST(round((xg / xx)
@@ -8226,13 +8226,13 @@ object SparkEntry {
        |      AS value
        |  FROM orders GROUP BY 1),
        |tgt AS (
-       |  SELECT CAST(sum(CAST(round(value, 9) AS DECIMAL(18,6)))
+       |  SELECT CAST(sum(CAST(round(value, 9) AS DECIMAL(30,6)))
        |    AS DOUBLE) / count(*) AS t
        |  FROM daily),
        |dev AS (
        |  SELECT d, value,
-       |    CAST(value AS DECIMAL(18,6)) - CAST(round(t, 6)
-       |      AS DECIMAL(18,6)) AS dv
+       |    CAST(value AS DECIMAL(30,6)) - CAST(round(t, 6)
+       |      AS DECIMAL(30,6)) AS dv
        |  FROM daily CROSS JOIN tgt),
        |c1 AS (
        |  SELECT d, value, sum(dv) OVER (ORDER BY d

@@ -69,8 +69,10 @@ object Seasonal {
     * aggregate building the series.
     *
     * Determinism is structural, not rounded-into: deviations are
-    * computed in DECIMAL(18,6) (`target` is rounded to the decimal
-    * grid first), so the running sum and running min are EXACT and
+    * computed in exact DECIMAL(30,6) (`target` is rounded to the
+    * decimal grid first; 30 digits because DAILY totals at 100 TB
+    * clear the row-level 10^12 grid), so the running sum and min are
+    * EXACT and
     * summation-order-free — no float-accumulation exposure to how an
     * engine implements window aggregation (segment trees vs running
     * fold). `target` defaults to the series mean when NaN is passed;
@@ -81,12 +83,14 @@ object Seasonal {
   def cusumDrift(df: DataFrame, dateCol: Column, value: Column,
                  threshold: Double, target: Double = Double.NaN)
       : DataFrame = {
-    val money = org.apache.spark.sql.types.DecimalType(18, 6)
+    // wide exact grid: DAILY totals at 100 TB exceed 10^12, the
+    // DECIMAL(18,6) cap (the Theil group-total lesson)
+    val money = org.apache.spark.sql.types.DecimalType(30, 6)
     val daily = df.groupBy(dateCol.as("d"))
       .agg(graft.Exprs.dsum(value).as("value"))
     val tgt =
       if (target.isNaN)
-        daily.agg((graft.Exprs.dsum(round(col("value"), 9)) /
+        daily.agg((sum(round(col("value"), 9).cast(money)).cast("double") /
           count(lit(1))).as("__tgt"))
       else daily.sparkSession.range(1).select(lit(target).as("__tgt"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))

@@ -36,11 +36,15 @@ object Theil {
       .agg(count(lit(1)).as("__n"),
         graft.Exprs.dsum(x).as("__xg"),
         graft.Exprs.dsum(round(x * round(log(x), 9), 9)).as("__sg"))
+    // group TOTALS exceed the row-level DECIMAL(18,6) grid long before
+    // any row does (a 10^12-revenue nation overflowed the cast at soak
+    // zipf10) — the 25-row re-aggregate sums on a wider exact grid
+    val wide = org.apache.spark.sql.types.DecimalType(30, 6)
     val tot = perGroup.agg(
       sum(col("__n")).as("n"),
       count(lit(1)).as("n_groups"),
-      graft.Exprs.dsum(round(col("__xg"), 9)).as("__x"),
-      graft.Exprs.dsum(round(col("__sg"), 9)).as("__s"))
+      sum(round(col("__xg"), 9).cast(wide)).cast("double").as("__x"),
+      sum(round(col("__sg"), 9).cast(wide)).cast("double").as("__s"))
     val between = perGroup.crossJoin(broadcast(tot))
       .select(round((col("__xg") / col("__x")) *
         round(log((col("__xg") / col("__x")) /
