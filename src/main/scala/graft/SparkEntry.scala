@@ -8140,20 +8140,26 @@ object SparkEntry {
         new java.io.File(feedDir).mkdirs()
         val ev = t(s, d, "events")
           .select("event_id", "ts", "user_id", "event_type")
+        // parallel staging: move EVERY part file into the feed (the
+        // stream discovers them as one micro-batch) — a coalesce(1)
+        // write here was the query's single biggest cost, a
+        // one-thread funnel for a corpus-sized replay feed
         def stage(df: DataFrame, n: Int): Unit = {
           val aside = s"$tmp/stage$n"
-          df.coalesce(1).write.mode("overwrite").parquet(aside)
-          val part = new java.io.File(aside).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          java.nio.file.Files.move(part.toPath,
-            java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
+          df.write.mode("overwrite").parquet(aside)
+          new java.io.File(aside).listFiles()
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .foreach { case (part, i) =>
+              java.nio.file.Files.move(part.toPath,
+                java.nio.file.Paths.get(s"$feedDir/b${n}_$i.parquet"))
+            }
         }
         // batch 1: even ids, plus replayed copies of every 10th id
         stage(ev.filter(col("event_id") % 2 === 0)
           .unionByName(ev.filter(col("event_id") % 10 === 0)), 1)
         val sq = graft.streaming.Streams.dedupSink(
           s.readStream
-            .schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+            .schema(s.read.parquet(feedDir).schema)
             .parquet(feedDir),
           "ts", Seq("event_id"), delay = "3650 days",
           s"$tmp/out", s"$tmp/ckpt")
