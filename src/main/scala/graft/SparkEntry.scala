@@ -8327,7 +8327,50 @@ object SparkEntry {
        |    AS pick_order
        |FROM neg
        |QUALIFY row_number() OVER (PARTITION BY u ORDER BY jmin, i) <= 4"""
-      .stripMargin))
+      .stripMargin)),
+
+    ("q275_jsd_sources", (s, d) => {
+      // symmetric, always-finite source-similarity for the mixing
+      // schedule: JSD (nats, <= ln 2) between short-doc and long-doc
+      // unigram distributions — one (token, side) aggregate, terms
+      // over the vocabulary table; one-sided tokens contribute only
+      // their present side (no epsilon smoothing).
+      val docs = t(s, d, "documents")
+      graft.text.Vocab.jsDivergence(
+        docs.filter(col("n_chars") < 300),
+        docs.filter(col("n_chars") >= 300), "text")
+    }, Some("""WITH vals AS (
+       |  SELECT t AS tok,
+       |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS t, 0 AS s
+       |    FROM documents WHERE n_chars < 300
+       |    UNION ALL
+       |    SELECT unnest(regexp_split_to_array(text, '\s+')), 1
+       |    FROM documents WHERE n_chars >= 300)
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(count(*) AS BIGINT) AS nv
+       |  FROM vals),
+       |terms AS (
+       |  SELECT round(
+       |    CASE WHEN ca > 0 THEN 0.5 * (ca / CAST(na AS DOUBLE))
+       |      * round(ln((ca / CAST(na AS DOUBLE))
+       |        / ((ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE))
+       |          / 2)), 9) ELSE 0.0 END +
+       |    CASE WHEN cb > 0 THEN 0.5 * (cb / CAST(nb AS DOUBLE))
+       |      * round(ln((cb / CAST(nb AS DOUBLE))
+       |        / ((ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE))
+       |          / 2)), 9) ELSE 0.0 END, 9) AS j
+       |  FROM vals CROSS JOIN tot)
+       |SELECT CAST(sum(CAST(j AS DECIMAL(18,6))) AS DOUBLE) AS jsd_nats,
+       |  (SELECT na FROM tot) AS n_tokens_a,
+       |  (SELECT nb FROM tot) AS n_tokens_b,
+       |  (SELECT nv FROM tot) AS n_vocab
+       |FROM terms""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -13,6 +13,58 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
+  /** Jensen–Shannon divergence (nats) between the unigram
+    * distributions of two corpora — the SYMMETRIC, always-finite
+    * source-similarity metric the curation mixers want where KL blows
+    * up on any token one side lacks (Lin 1991): JSD = ½KL(a‖m) +
+    * ½KL(b‖m) with m the midpoint, bounded by ln 2. This is the
+    * number behind "how different is src A's text from src B's" in a
+    * source-mixing schedule, and the pairwise cell of a
+    * source-similarity matrix.
+    *
+    * Scale shape: one explode + ONE map-side-combinable (token, side)
+    * aggregate is the only fact-scale work; the per-token JSD terms
+    * run over the vocabulary-domain table. Determinism: token counts
+    * exact; each token's term is a single-valued double expression
+    * rounded at 9 dp and folded through the exact-decimal
+    * [[graft.Exprs.dsum]]; one-sided tokens contribute only their
+    * present side (the absent side's p·ln(p/m) term is 0 by the
+    * limit, encoded as an explicit conditional, not an epsilon).
+    * Output: one row `(jsd_nats, n_tokens_a, n_tokens_b, n_vocab)`;
+    * an empty side yields NULL.
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String)
+      : DataFrame = {
+    def side(df: DataFrame, s: Int) =
+      df.select(explode(TextOps.tokens(col(textCol))).as("__t"),
+        lit(s).as("__s"))
+    val vals = side(a, 0).unionByName(side(b, 1))
+      .groupBy("__t")
+      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__cb"))
+    val tot = vals.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"), count(lit(1)).as("__nv"))
+    val pa = col("__ca").cast("double") / col("__na")
+    val pb = col("__cb").cast("double") / col("__nb")
+    val m = (pa + pb) / 2
+    val term = round(
+      when(col("__ca") > 0, lit(0.5) * pa * round(log(pa / m), 9))
+        .otherwise(lit(0.0)) +
+        when(col("__cb") > 0, lit(0.5) * pb * round(log(pb / m), 9))
+          .otherwise(lit(0.0)), 9)
+    val agg = vals.crossJoin(broadcast(tot))
+      .select(when(col("__na") > 0 && col("__nb") > 0, term).as("__j"))
+      .agg(graft.Exprs.dsum(col("__j")).as("__jsd"))
+    tot.crossJoin(agg).select(
+      // no closing round: the dsum total is already exact on the
+      // decimal grid, and re-rounding an exact double's BINARY form
+      // is where engines disagree in the last ulp (the q272 lesson)
+      when(col("__na") > 0 && col("__nb") > 0, col("__jsd"))
+        .as("jsd_nats"),
+      col("__na").as("n_tokens_a"), col("__nb").as("n_tokens_b"),
+      col("__nv").as("n_vocab"))
+  }
+
   /** Vocabulary with occurrence and document frequencies. One explode +
     * one aggregate; `n_docs` uses count(DISTINCT id) inside the same
     * aggregate, which Spark plans as a two-phase partial/final distinct
