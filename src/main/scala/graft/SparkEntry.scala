@@ -7858,7 +7858,9 @@ object SparkEntry {
        |      AS DECIMAL(18,6))) AS DOUBLE) AS h_y
        |  FROM ym CROSS JOIN tot)
        |SELECT mi_nats, h_x, h_y,
-       |  round(mi_nats / least(h_x, h_y), 9) AS nmi, n_cells, n
+       |  CASE WHEN least(h_x, h_y) > 0
+       |    THEN round(mi_nats / least(h_x, h_y), 9) END AS nmi,
+       |  n_cells, n
        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot"""
       .stripMargin)),
 
@@ -7887,7 +7889,7 @@ object SparkEntry {
        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
        |  n_pairs_1, n_pairs_s,
        |  round(mae1, 9) AS mae_naive1, round(maes, 9) AS mae_seasonal,
-       |  round(maes / mae1, 9) AS mase,
+       |  CASE WHEN mae1 > 0 THEN round(maes / mae1, 9) END AS mase,
        |  maes < mae1 AS seasonal_wins
        |FROM e1 CROSS JOIN es""".stripMargin)),
 
@@ -8304,8 +8306,12 @@ object SparkEntry {
           col("l_partkey")), Seq("o_orderkey"))
         .select(col("o_custkey"), col("l_partkey")).distinct()
       val nItems = t(s, d, "part").count()
+      // TPC-H part keys are 1-based: itemBase = 1 maps the candidate
+      // domain onto [1, nItems] so partkey 0 (nonexistent) is never
+      // emitted and partkey = nItems is reachable
       graft.operators.Sample.negativeSample(inter, "o_custkey",
-        "l_partkey", nItems, k = 4, oversample = 3, seed = 13L)
+        "l_partkey", nItems, k = 4, oversample = 3, seed = 13L,
+        itemBase = 1L)
     }, Some("""WITH inter AS (
        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
@@ -8313,7 +8319,7 @@ object SparkEntry {
        |cand AS (
        |  SELECT u,
        |    ((((u % 100000007) * (2654435761 + 13 + j.j)) % 99999989)
-       |      * 2246822519) % (SELECT m FROM np) AS i,
+       |      * 2246822519) % (SELECT m FROM np) + 1 AS i,
        |    CAST(min(j.j) AS BIGINT) AS jmin
        |  FROM (SELECT DISTINCT u FROM inter) uu CROSS JOIN range(12) j(j)
        |  GROUP BY 1, 2),

@@ -276,9 +276,14 @@ object Quality {
     * `(mi_nats, h_x, h_y, nmi, n_cells, n)`.
     */
   def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // cells is domain-sized and read four ways below (both marginals,
+    // the total, the joined term table) — checkpoint it so the
+    // fact-scale aggregate runs once (the wasserstein1D caller-
+    // checkpoints rule applied where the operator owns the fan-out)
     val cells = df.filter(x.isNotNull && y.isNotNull)
       .groupBy(x.as("__x"), y.as("__y"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val xm = cells.groupBy("__x").agg(sum(col("__c")).as("__cx"))
     val ym = cells.groupBy("__y").agg(sum(col("__c")).as("__cy"))
     val tot = cells.agg(sum(col("__c")).as("__n"))
@@ -303,7 +308,12 @@ object Quality {
     val hy = entropy(ym, "__cy").withColumnRenamed("h", "h_y")
     mi.crossJoin(hx).crossJoin(hy)
       .select(col("mi_nats"), col("h_x"), col("h_y"),
-        round(col("mi_nats") / least(col("h_x"), col("h_y")), 9).as("nmi"),
+        // a constant column has entropy 0 and NMI is undefined, not
+        // infinite — explicit NULL, the module's degenerate-case
+        // discipline (cohenKappa, krippendorffAlpha)
+        when(least(col("h_x"), col("h_y")) > 0,
+          round(col("mi_nats") / least(col("h_x"), col("h_y")), 9))
+          .as("nmi"),
         col("n_cells"), col("__n").as("n"))
   }
 

@@ -192,18 +192,26 @@ object Sample {
     * pool is exhausted (tiny item catalogs, heavy interactors) emits
     * FEWER than `k` negatives — raise `oversample`; silently reusing
     * positives would poison the labels. Item ids must be the dense
-    * [0, nItems) domain (the catalog's surrogate key).
+    * [itemBase, itemBase + nItems) domain (the catalog's surrogate
+    * key): `itemBase = 0` for 0-based keys, `itemBase = 1` for the
+    * 1-based keys TPC-H-style catalogs carry. A mismatched base emits
+    * nonexistent item ids at one edge and can never sample the other —
+    * candidates are drawn as `hashMod2(user, nItems, seed+j) +
+    * itemBase`, so the base must match the catalog exactly.
     */
   def negativeSample(interactions: DataFrame, userCol: String,
                      itemCol: String, nItems: Long, k: Int,
-                     oversample: Int = 3, seed: Long = 0L): DataFrame = {
+                     oversample: Int = 3, seed: Long = 0L,
+                     itemBase: Long = 0L): DataFrame = {
     require(nItems >= 1, s"nItems must be >= 1, got $nItems")
     require(k >= 1 && oversample >= 1, s"bad k=$k oversample=$oversample")
+    require(itemBase >= 0L, s"itemBase must be >= 0, got $itemBase")
     val users = interactions.select(col(userCol).as("__u")).distinct()
     val cand = users.select(col("__u"),
         explode(array((0 until k * oversample).map(j =>
           struct(lit(j).as("__j"),
-            hashMod2(col("__u"), nItems, seed + j).as("__i"))): _*))
+            (hashMod2(col("__u"), nItems, seed + j) + lit(itemBase))
+              .as("__i"))): _*))
           .as("__c"))
       .select(col("__u"), col("__c.__j").as("__j"), col("__c.__i").as("__i"))
       .groupBy(col("__u"), col("__i")).agg(min(col("__j")).as("__j"))

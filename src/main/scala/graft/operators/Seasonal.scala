@@ -52,7 +52,11 @@ object Seasonal {
       .select(col("n_days"), col("n_pairs_1"), col("n_pairs_s"),
         round(col("mae_naive1"), 9).as("mae_naive1"),
         round(col("mae_seasonal"), 9).as("mae_seasonal"),
-        round(col("mae_seasonal") / col("mae_naive1"), 9).as("mase"),
+        // a perfectly naive-1-predictable series (constant days) has
+        // mae_naive1 = 0 — MASE is undefined there, not infinite:
+        // explicit NULL, the degenerate-case discipline
+        when(col("mae_naive1") > 0,
+          round(col("mae_seasonal") / col("mae_naive1"), 9)).as("mase"),
         (col("mae_seasonal") < col("mae_naive1")).as("seasonal_wins"))
   }
 

@@ -417,7 +417,12 @@ object Similarity {
   def randomProject(vec: Column, outDims: Int, dim: Int,
                     seed: Long): Column = {
     require(outDims >= 1 && dim >= 1, s"bad dims: $outDims x $dim")
-    require(seed >= 0L, s"portable seed must be >= 0, got $seed")
+    // same bound hashMod2 enforces: the driver-side replica below does
+    // (k % Prime) * (Mult + seed) in Long, so seed beyond 6e10 would
+    // silently overflow to negative h and bias every plane to +1 —
+    // diverging from the documented SQL-replayable construction
+    require(seed >= 0L && seed <= 60000000000L,
+      s"portable seed must be in [0, 6e10] to stay overflow-safe, got $seed")
     import graft.operators.Sample
     val planes: Seq[Seq[Double]] = Seq.tabulate(outDims) { j =>
       Seq.tabulate(dim) { d =>

@@ -38,10 +38,15 @@ object Vocab {
     def side(df: DataFrame, s: Int) =
       df.select(explode(TextOps.tokens(col(textCol))).as("__t"),
         lit(s).as("__s"))
+    // vals is vocabulary-sized and read three ways below (the totals,
+    // the term aggregate, the final crossJoin) — checkpoint it so the
+    // corpus explode runs once (the wasserstein1D caller-checkpoints
+    // rule applied where the operator owns the fan-out)
     val vals = side(a, 0).unionByName(side(b, 1))
       .groupBy("__t")
       .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint(true)
     val tot = vals.agg(sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"), count(lit(1)).as("__nv"))
     val pa = col("__ca").cast("double") / col("__na")

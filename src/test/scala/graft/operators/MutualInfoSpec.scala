@@ -34,6 +34,18 @@ class MutualInfoSpec extends AnyFunSuite {
     assert(math.abs(nmi - 1.0) < 1e-5)
   }
 
+  test("constant column: entropy 0, NMI is NULL (never NaN)") {
+    // a constant y has H(y) = 0 — NMI = MI / min(H) is UNDEFINED, and
+    // the contract is explicit NULL (the cohenKappa/krippendorffAlpha
+    // degenerate-case discipline), not a NaN leaking out of 0/0
+    val rows = Seq((1, "k"), (2, "k"), (3, "k"), (1, "k")).toDF("x", "y")
+    val Array(r) = Quality.mutualInformation(rows, col("x"), col("y"))
+      .as[(Double, Double, Double, Option[Double], Long, Long)].collect()
+    assert(r._3 == 0.0)    // h_y exactly 0
+    assert(r._4.isEmpty)   // nmi NULL, not NaN
+    assert(!r._1.isNaN && r._1 == 0.0) // MI of a constant side is 0
+  }
+
   test("null pairs are excluded, skew shows partial dependence") {
     val rows = Seq((Some(1), Some("a")), (Some(1), Some("a")),
       (Some(2), Some("b")), (Some(2), Some("a")),

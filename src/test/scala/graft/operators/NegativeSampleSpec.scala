@@ -52,6 +52,23 @@ class NegativeSampleSpec extends AnyFunSuite {
     assert(run(1L) != run(2L))
   }
 
+  test("itemBase shifts the candidate domain onto 1-based catalogs") {
+    // 1-based interactions (TPC-H-style keys): base 1 must (a) never
+    // emit the nonexistent id 0, (b) be able to reach id nItems, and
+    // (c) be exactly the base-0 run shifted by +1 when the positives
+    // shift with it
+    val inter0 = Seq((1L, 3L), (1L, 7L), (2L, 0L)).toDF("user", "item")
+    val inter1 = inter0.select(col("user"), (col("item") + 1).as("item"))
+    val run0 = Sample.negativeSample(inter0, "user", "item",
+      nItems = 20L, k = 3, oversample = 4, seed = 5L)
+      .as[(Long, Long, Int)].collect().toSet
+    val run1 = Sample.negativeSample(inter1, "user", "item",
+      nItems = 20L, k = 3, oversample = 4, seed = 5L, itemBase = 1L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(run1 == run0.map { case (u, i, p) => (u, i + 1, p) })
+    assert(run1.forall { case (_, i, _) => i >= 1L && i <= 20L })
+  }
+
   test("exhausted pool emits FEWER negatives, never a positive") {
     // user 9 interacted with the whole 2-item catalog
     val full = Seq((9L, 0L), (9L, 1L)).toDF("user", "item")

@@ -43,6 +43,19 @@ class SeasonalSpec extends AnyFunSuite {
     assert(r._6 > 1.0 && !r._7) // mase > 1: weekly lag loses
   }
 
+  test("constant series: naive-1 MAE 0 and MASE is NULL (never NaN)") {
+    // a flat series is PERFECTLY naive-1-predictable: mae_naive1 = 0
+    // and the ratio is undefined — explicit NULL, not NaN/Infinity
+    val rows = (0 until 14).map(i => (day(i), 5.0)).toDF("d", "amount")
+    val Array(r) = Seasonal.seasonalNaiveError(rows, col("d"),
+      col("amount"), season = 7)
+      .as[(Long, Long, Long, Double, Double, Option[Double], Boolean)]
+      .collect()
+    assert(r._4 == 0.0 && r._5 == 0.0)
+    assert(r._6.isEmpty) // mase NULL
+    assert(!r._7)        // seasonal does not strictly win a tie
+  }
+
   test("gaps in the calendar shrink the pair sets, never crash") {
     val rows = Seq((day(0), 1.0), (day(1), 2.0), (day(10), 3.0))
       .toDF("d", "amount")

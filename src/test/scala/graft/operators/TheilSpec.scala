@@ -12,11 +12,17 @@ class TheilSpec extends AnyFunSuite {
     Theil.decomposition(rows.toDF("g", "x"), col("g"), col("x"))
       .as[(Long, Long, Double, Double, Double)].collect().head
 
-  test("perfect equality scores 0 everywhere") {
+  test("perfect equality: between EXACTLY 0, total bounded by dsum grain") {
+    // all-equal values: the between term's ratio is a quotient of two
+    // exact decimals (share 1 vs population share 1) so it lands on
+    // EXACT 0.0; the total rides Σ x·ln x through the DECIMAL(18,6)
+    // dsum grain (≤ 5e-7 per term), so its boundary is grain-bounded,
+    // not exact — pinned here so the contract is explicit
     val (n, ng, t, b, w) = run(Seq(("a", 5.0), ("a", 5.0),
       ("b", 5.0), ("b", 5.0)))
     assert(n == 4 && ng == 2)
-    assert(math.abs(t) < 1e-6 && math.abs(b) < 1e-6 && math.abs(w) < 1e-6)
+    assert(b == 0.0)
+    assert(math.abs(t) < 2e-7 && math.abs(w) < 2e-7)
   }
 
   test("group means differ, members equal: all inequality is BETWEEN") {

@@ -34,6 +34,21 @@ class RandomProjectSpec extends AnyFunSuite {
     }
   }
 
+  test("seeds beyond the hashMod2 overflow bound are rejected") {
+    // the driver-side plane hash replicates hashMod2 arithmetic: a
+    // seed past 6e10 would overflow (k % Prime) * (Mult + seed) in
+    // Long, flip h negative, and bias every plane to +1 — the same
+    // require hashMod2 enforces must guard here
+    val df = Seq((1L, Seq.fill(8)(1.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      df.select(Similarity.randomProject(col("v"), 4, 8,
+        seed = 60000000001L))
+    }
+    intercept[IllegalArgumentException] {
+      df.select(Similarity.randomProject(col("v"), 4, 8, seed = -1L))
+    }
+  }
+
   test("signs are balanced and seeds decorrelate the planes") {
     val signs = for { j <- 0 until 16; d <- 0 until 64 }
       yield planeSign(j, d, 64, 11L)
