@@ -8376,7 +8376,84 @@ object SparkEntry {
        |  (SELECT na FROM tot) AS n_tokens_a,
        |  (SELECT nb FROM tot) AS n_tokens_b,
        |  (SELECT nv FROM tot) AS n_vocab
-       |FROM terms""".stripMargin))
+       |FROM terms""".stripMargin)),
+
+    ("q276_ann_lifecycle", (s, d) => {
+      // the PERSISTED ANN index lifecycle end-to-end (IvfPq = the
+      // PrefixIndex state discipline applied to embeddings): BUILD on
+      // the standing corpus (vec_id % 5 != 0), applyDelta the daily
+      // append (vec_id % 5 == 0, re-encoding ONLY the batch under the
+      // FROZEN base-trained codebooks), then PROBE the persisted codes.
+      // The oracle replays the whole lifecycle in SQL — codebooks from
+      // the BASE's hash-smallest vectors, codes over base ∪ batch —
+      // which is exactly what frozen-codebook determinism guarantees.
+      // Like q206, the once-per-rebuild BUILD rides in the timed
+      // window by oracle necessity; the delta-only cost is measured
+      // separately (tools/PqDeltaBench).
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val st0 = graft.sim.IvfPq.build(base, "vec_id", "embedding",
+        nlist = 16, m = 8, k = 16)
+      val st1 = graft.sim.IvfPq.applyDelta(st0, batch, "vec_id",
+        "embedding")
+      graft.sim.IvfPq.probe(st1, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", nprobe = 4, topK = 5)
+    }, Some {
+      def subTerms(a: String, b: String) = (1 to 8).map { i =>
+        s"(CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      def fullTerms(a: String, b: String) = (1 to 64).map { i =>
+        s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      s"""WITH cb AS (
+         |  SELECT * FROM (
+         |    SELECT row_number() OVER (ORDER BY
+         |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
+         |      embedding
+         |    FROM embeddings WHERE vec_id % 5 <> 0) WHERE code < 16),
+         |assign AS (
+         |  SELECT vec_id, code AS list_id FROM (
+         |    SELECT e.vec_id, cb.code, (${fullTerms("e", "cb")}) AS cdist
+         |    FROM embeddings e CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, code) = 1),
+         |probes AS (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.vec_id AS query_id, cb.code AS list_id,
+         |      (${fullTerms("q", "cb")}) AS cdist
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cdist, list_id) <= 4),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, s.sub, cb.code,
+         |      (${subTerms("e", "cb")}) AS dist
+         |    FROM embeddings e
+         |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |    CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, s.sub, cb.code,
+         |    (${subTerms("q", "cb")}) AS d
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |  CROSS JOIN cb),
+         |adist AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d ORDER BY l.sub)),
+         |      (a, b) -> a + b) AS adist
+         |  FROM codes c
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN probes p ON p.list_id = a.list_id
+         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         |FROM adist
+         |QUALIFY rnk <= 5""".stripMargin
+    })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

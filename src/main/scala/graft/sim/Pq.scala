@@ -396,20 +396,48 @@ object Pq {
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, coarseCb: Array[Array[Array[Double]]],
                 pqCb: Array[Array[Array[Double]]], nprobe: Int,
-                topK: Int): DataFrame = {
+                topK: Int): DataFrame =
+    ivfAdcRank(
+      encodeIvfPq(emb, idCol, vecCol, coarseCb, pqCb)
+        .withColumnRenamed(idCol, "neighbor_id"),
+      queries, idCol, vecCol, coarseCb, pqCb, nprobe, topK)
+
+  /** `(idCol, list_id, sub, code)` code rows of a corpus under FROZEN
+    * codebooks — one narrow pass, two native [[graft.functions.PqCodes]]
+    * projections over the same scan, never a shuffle. This is the
+    * write-once representation [[IvfPq]] persists: 1 + m smallints per
+    * vector, bit-portable (fixed fold, first-min argmin), so encoding a
+    * batch today reproduces exactly the rows encoding it at build time
+    * would have.
+    */
+  private[sim] def encodeIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+                               coarseCb: Array[Array[Array[Double]]],
+                               pqCb: Array[Array[Array[Double]]]): DataFrame = {
+    require(coarseCb.length == 1, "coarseCb must be pqTrain(..., m = 1, ...)")
+    emb.select(col(idCol),
+        element_at(graft.functions.PqCodes.of(col(vecCol), coarseCb), 1)
+          .as("list_id"),
+        posexplode(graft.functions.PqCodes.of(col(vecCol), pqCb)))
+      .select(col(idCol), col("list_id"),
+        col("pos").cast("long").as("sub"), col("col").as("code"))
+  }
+
+  /** The query path of the IVFADC stack over an ALREADY-ENCODED corpus
+    * (`codesSide` columns: neighbor_id, list_id, sub, code) — probes,
+    * per-query LUT, probe-restricted ADC join, rank. Shared verbatim by
+    * the one-shot [[ivfPqTopK]] and the persisted-state [[IvfPq.probe]],
+    * so the state-backed plan is the one-shot plan minus the encode.
+    */
+  private[sim] def ivfAdcRank(codesSide: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String,
+                              coarseCb: Array[Array[Array[Double]]],
+                              pqCb: Array[Array[Array[Double]]], nprobe: Int,
+                              topK: Int): DataFrame = {
     require(coarseCb.length == 1, "coarseCb must be pqTrain(..., m = 1, ...)")
     val m = pqCb.length
     val dim = coarseCb.head.head.length
     val nlist = coarseCb.head.length
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]")
-    // corpus: (neighbor_id, list_id, sub, code) in one pass — both
-    // quantizers are native projections over the same scan
-    val corpusSide = emb.select(col(idCol).as("neighbor_id"),
-        element_at(graft.functions.PqCodes.of(col(vecCol), coarseCb), 1)
-          .as("list_id"),
-        posexplode(graft.functions.PqCodes.of(col(vecCol), pqCb)))
-      .select(col("neighbor_id"), col("list_id"),
-        col("pos").cast("long").as("sub"), col("col").as("code"))
     // probes: the nprobe coarse cells nearest each query, ties to the
     // lowest cell id — same (dist, code) order the assign argmin uses
     val qd = Similarity.toDouble(col(vecCol))
@@ -442,7 +470,7 @@ object Pq {
     val dcols = (0 until m).map(s =>
       first(when(col("sub") === s, col("d")), ignoreNulls = true).as(s"__d$s"))
     val adist = (0 until m).map(s => col(s"__d$s")).reduce(_ + _)
-    corpusSide
+    codesSide
       .join(broadcast(probes), Seq("list_id"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
