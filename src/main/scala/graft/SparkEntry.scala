@@ -8453,7 +8453,83 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
          |FROM adist
          |QUALIFY rnk <= 5""".stripMargin
-    })
+    }),
+
+    ("q277_stream_interval_join", (s, d) => {
+      // the stream-stream attribution join (view -> purchase within
+      // 1 h), batch-equivalently certified with the q270 staged-
+      // micro-batch discipline: both sides split at 2024-01-16 into
+      // two micro-batches, so the join must carry LEFT STATE across
+      // the batch boundary (a Jan-15 23:xx view matching a Jan-16
+      // 00:xx purchase), and batch 2 additionally replays the FIRST
+      // DAY's purchases — 13+ days behind the watermark. If the state
+      // store accepted those late rows the join would re-emit their
+      // attribution pairs and the hash against the clean batch twin
+      // would diverge; the match PROVES the expiry. Teeth audited per
+      // scale (DuckDB): the late replays would duplicate 2 pairs at
+      // sf0.01 (the driver's oracle scale) and 12 at sf0.1; the
+      // boundary-crossing left-state carry contributes 2 pairs at
+      // sf0.1 — all three scales verified hash-green.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q277_").toString
+      try {
+        val viewsDir = s"$tmp/views"
+        val purchDir = s"$tmp/purch"
+        new java.io.File(viewsDir).mkdirs()
+        new java.io.File(purchDir).mkdirs()
+        val ev = t(s, d, "events").select("event_id", "ts", "user_id",
+          "event_type")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+        // parallel staging (the q270 lesson: never coalesce(1) a
+        // corpus-sized replay feed)
+        def stage(df: DataFrame, feedDir: String, n: Int): Unit = {
+          val aside = s"$tmp/stage_${new java.io.File(feedDir).getName}_$n"
+          df.write.mode("overwrite").parquet(aside)
+          new java.io.File(aside).listFiles()
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .foreach { case (part, i) =>
+              java.nio.file.Files.move(part.toPath,
+                java.nio.file.Paths.get(s"$feedDir/b${n}_$i.parquet"))
+            }
+        }
+        val cut = lit("2024-01-16").cast("timestamp")
+        stage(views.filter(col("view_ts") < cut), viewsDir, 1)
+        stage(purch.filter(col("purchase_ts") < cut), purchDir, 1)
+        val joined = graft.streaming.Streams.streamIntervalJoin(
+          s.readStream.schema(s.read.parquet(viewsDir).schema)
+            .parquet(viewsDir),
+          s.readStream.schema(s.read.parquet(purchDir).schema)
+            .parquet(purchDir),
+          "user_id", "view_ts", "purchase_ts",
+          watermark = "1 hour", horizon = "1 hour")
+        val sq = joined.writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append").start()
+        try {
+          sq.processAllAvailable()
+          stage(views.filter(col("view_ts") >= cut), viewsDir, 2)
+          stage(purch.filter(col("purchase_ts") >= cut)
+            .unionByName(purch.filter(col("purchase_ts") <
+              lit("2024-01-02").cast("timestamp"))), purchDir, 2)
+          sq.processAllAvailable()
+        } finally sq.stop()
+        s.read.parquet(s"$tmp/out")
+          .select("user_id", "view_id", "purchase_id", "view_ts",
+            "purchase_ts")
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    }, Some("""SELECT v.user_id, v.event_id AS view_id,
+       |  p.event_id AS purchase_id, v.ts AS view_ts, p.ts AS purchase_ts
+       |FROM events v JOIN events p ON p.user_id = v.user_id
+       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+       |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR"""
+      .stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

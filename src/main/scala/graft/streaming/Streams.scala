@@ -145,9 +145,9 @@ object Streams {
     * produces byte-identical state instead of duplicates. The index
     * side of the join stays exchange-free exactly as in the batch
     * operator. Housekeeping at scale: many small `batch=` dirs build
-    * up under daily cadence — compact them periodically (read, coalesce,
-    * rewrite) outside the stream; the stream itself never rewrites old
-    * partitions.
+    * up under daily cadence — run [[compactBatches]] on `pairs/`,
+    * `signatures/` and `corpus/` periodically, outside the stream; the
+    * stream itself never rewrites old partitions.
     */
   def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
                   root: String, checkpoint: String, threshold: Double = 0.8,
@@ -571,8 +571,8 @@ object Streams {
     * replay by construction). The accumulated sketch is read back with
     * [[hllSnapshot]]: union all batch registers, re-max per bucket,
     * estimate — the merge the batch unit proves equal to the
-    * whole-corpus sketch. Compact old `batch=` dirs periodically by
-    * rewriting their re-maxed union, outside the stream.
+    * whole-corpus sketch. Compact old `batch=` dirs periodically with
+    * [[compactBatches]] (re-maxed union), outside the stream.
     */
   def hllSink(rows: DataFrame, keyCol: String, root: String,
               checkpoint: String, bucketBits: Int = 6, salt: String = "")
@@ -595,6 +595,66 @@ object Streams {
                   bucketBits: Int = 6): DataFrame =
     graft.operators.Sketches.hllEstimateFromRegisters(
       spark.read.parquet(s"$root/registers").drop("batch"), bucketBits)
+
+  /** Housekeeping for the `batch=<id>` sink directories ([[hllSink]]'s
+    * registers, [[nearDupSink]]/[[exactNearDupSink]]'s pairs/
+    * signatures/corpus): fold every COMMITTED old partition into one
+    * compacted partition so a year of daily batches is a handful of
+    * files instead of 365 directories of stragglers. Run it OUTSIDE
+    * the stream (a maintenance window or a cron slot — the same
+    * offline cadence as a PrefixIndex rebuild).
+    *
+    * Prune-safety with a replaying stream, by construction:
+    *  - the HIGHEST batch id present is NEVER touched — it is the only
+    *    partition a crash-recovering stream can replay (batch ids are
+    *    monotone; committed batches never re-run), so the replay's
+    *    `batch =!= id` exclusion filter still sees exactly the state
+    *    the original run saw;
+    *  - the compacted rows land under the LARGEST compacted id (all
+    *    < the untouched max), so no future or replayed batch id can
+    *    ever collide with — and wrongly exclude — compacted data;
+    *  - the compacted frame is MATERIALIZED (localCheckpoint) before
+    *    any source partition is deleted, and staged as a dot-prefixed
+    *    directory (invisible to partition discovery) that is renamed
+    *    into place last, so readers never observe a partial rewrite
+    *    and a crash mid-compaction loses nothing (the staging dir
+    *    holds the full compacted copy; delete it and re-run).
+    *
+    * `reduce` re-aggregates the union where the sink's merge is not
+    * plain concatenation — [[hllSink]] registers pass
+    * `_.groupBy("bucket").agg(max("r").as("r"))` (max is idempotent,
+    * so the estimate is IDENTICAL before and after); the near-dup
+    * sinks' pairs/signatures/corpus are disjoint unions and keep the
+    * default identity. Returns the compacted partition id, or None
+    * when fewer than three partitions exist (nothing worth rewriting).
+    */
+  def compactBatches(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     reduce: DataFrame => DataFrame = identity(_),
+                     targetFiles: Int = 1): Option[Long] = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return None
+    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption)
+      .sorted
+    if (ids.size < 3) return None // max is untouched; 1 old dir gains nothing
+    val old = ids.dropRight(1)
+    val target = old.max
+    val compacted = reduce(
+        spark.read.parquet(dir)
+          .filter(col("batch").isin(old: _*)).drop("batch"))
+      .coalesce(targetFiles)
+      .localCheckpoint(true) // materialize BEFORE deleting its inputs
+    val staging = new org.apache.hadoop.fs.Path(root, s".compact_$target")
+    compacted.write.mode("overwrite").parquet(staging.toString)
+    old.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true))
+    fs.rename(staging, new org.apache.hadoop.fs.Path(root, s"batch=$target"))
+    Some(target)
+  }
 
   final case class UserEvent(user_id: Long, ts: Timestamp,
                              value: java.math.BigDecimal)

@@ -180,6 +180,83 @@ class StreamsSpec extends AnyFunSuite {
       .forall(_._2 <= 64))
   }
 
+  test("compactBatches: hll estimate and pair set identical; max batch untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    // hll sink: 4 batches -> compact -> estimate must be IDENTICAL
+    // (max is idempotent under the re-max reduce)
+    val root = java.nio.file.Files.createTempDirectory("hllcomp").toString
+    val input = MemoryStream[Long]
+    val q = Streams.hllSink(input.toDF().toDF("k"), "k",
+      s"$root/state", s"$root/ckpt")
+    try {
+      (1L to 4000L).grouped(1000).foreach { c =>
+        input.addData(c.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val regs = s"$root/state/registers"
+    val before = Streams.hllSnapshot(spark, s"$root/state")
+      .as[(Long, Long, Double)].collect().head
+    val got = Streams.compactBatches(spark, regs,
+      _.groupBy("bucket")
+        .agg(org.apache.spark.sql.functions.max("r").as("r")))
+    assert(got.contains(2L)) // batches 0,1,2 folded under id 2
+    val dirs = new java.io.File(regs).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=2", "batch=3")) // max (3) untouched
+    val after = Streams.hllSnapshot(spark, s"$root/state")
+      .as[(Long, Long, Double)].collect().head
+    assert(after == before)
+
+    // nearDup pairs: disjoint union -> identity reduce, set identical
+    val root2 = java.nio.file.Files.createTempDirectory("ndcomp").toString
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = Streams.nearDupSink(input2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root2/state", s"$root2/ckpt", threshold = 0.9)
+    try {
+      chunks.foreach { c => input2.addData(c); q2.processAllAvailable() }
+    } finally q2.stop()
+    def pairSet = spark.read.parquet(s"$root2/state/pairs")
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val pBefore = pairSet
+    assert(Streams.compactBatches(spark, s"$root2/state/pairs")
+      .contains(1L))
+    assert(pairSet == pBefore && pBefore.nonEmpty)
+    // fewer than 3 partitions: no-op (nothing worth rewriting)
+    assert(Streams.compactBatches(spark, s"$root2/state/pairs").isEmpty)
+  }
+
+  test("compactBatches is prune-safe: a stream resumed AFTER compaction stays exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ndcomp2").toString
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.groupBy(_._1 % 4).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nearDupSink(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/state", s"$root/ckpt", threshold = 0.9)
+    try {
+      // 3 batches, then the maintenance window: compact all three dirs
+      chunks.take(3).foreach { c => input.addData(c); q.processAllAvailable() }
+      for (sub <- Seq("pairs", "signatures", "corpus"))
+        Streams.compactBatches(spark, s"$root/state/$sub")
+      // batch 4 dedups against the COMPACTED index/corpus
+      input.addData(chunks(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/state/pairs")
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val full = graft.dedup.NearDup.nearDupPairs(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.9)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(streamed == full && streamed.nonEmpty)
+  }
+
   test("scd2Sink: streamed batches telescope to the full-history dimension") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("scd2sink").toString
