@@ -131,8 +131,32 @@ object Bench {
     // driver always runs argless and times the full registry)
     val only = args.toSet
 
-    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Slow-tail self-attribution (the r15 lesson: two clean-box runs of
+    // identical code swung 12% concentrated in the same slow queries,
+    // and only judge-side isolated re-times could say "scheduler, not
+    // plan"): each sample carries its own JVM GC-time delta and its
+    // process-CPU occupancy (CPU seconds burned / (wall × threads)).
+    // A slow line with near-baseline GC and LOW occupancy was waiting
+    // on the scheduler; one with high GC or high occupancy was doing
+    // real (or memory-pressured) work. Both deltas are measured INSIDE
+    // the timed window — the inter-query System.gc() below would
+    // otherwise dominate the GC number.
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    def cpuNsNow(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => 0L
+      }
+    val nThreads = cpus.toDouble
+
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Double) = {
       val t0 = System.nanoTime()
+      val gc0 = gcMsNow()
+      val cpu0 = cpuNsNow()
       // noop sink: fully evaluates every output column (a count() would
       // let Catalyst prune all unreferenced projections, timing little
       // more than the scan)
@@ -143,6 +167,9 @@ object Bench {
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      val gcDelta = gcMsNow() - gc0
+      val occ =
+        if (secs > 0) (cpuNsNow() - cpu0) / 1e9 / (secs * nThreads) else 0.0
       // Free blocks OUTSIDE the timed window: cached frames and eager
       // localCheckpoint blocks (near-dup/similarity pair sets) otherwise
       // accumulate across all queries and squeeze the shared
@@ -160,21 +187,21 @@ object Bench {
       // the run (observed). spark.cleaner.periodicGC.interval defaults
       // to 30min, longer than the whole suite, so trigger it here.
       System.gc()
-      if (ok) secs else -secs
+      (if (ok) secs else -secs, gcDelta, occ)
     }
 
     val timings = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
         val qLoad = load1min() // per-query load: contaminated lines self-identify
-        val first = timed(name, fn)
+        val (first, qGc, qOcc) = timed(name, fn)
         // A transiently-failing RE-run must not turn a valid measured
         // success into a reported failure — snapshot the errors map
         // before each retime and restore it when the first run's time
         // is kept, so errors and per-query times stay consistent.
         def retimed(currentBest: Double): Double = {
           val snap = errors
-          val again = timed(name, fn)
+          val again = timed(name, fn)._1
           if (again > 0) math.min(currentBest, again)
           else { errors = snap; currentBest }
         }
@@ -186,7 +213,7 @@ object Bench {
             // the query — take a third sample
             if (startLoad > LoadRetimeThreshold) retimed(two) else two
           } else first
-        (name, best, qLoad)
+        (name, best, qLoad, qGc, qOcc)
       }
     // Post-suite quiet retime (see PostRetimeExcess): re-time every
     // slow query whose first-timing load showed an EXTERNAL spike
@@ -196,7 +223,7 @@ object Bench {
     // loop's late slots ran under, minus the spike.
     val lookup = SparkEntry.queries
     val retimeCandidates = timings.collect {
-      case (name, best, qLoad)
+      case (name, best, qLoad, _, _)
           if best >= RetimeFloorSecs &&
             (qLoad - startLoad > PostRetimeExcess ||
               startLoad > LoadRetimeThreshold) => name
@@ -222,11 +249,11 @@ object Bench {
       if (quietLoad > LoadRetimeThreshold) retimeCandidates else Seq.empty
     val postRetimes: Map[String, Double] = retimeCandidates.map { name =>
       val snap = errors
-      val again = timed(name, lookup(name))
+      val again = timed(name, lookup(name))._1
       if (again <= 0) errors = snap // keep the measured main-loop run
       name -> again
     }.toMap
-    val results = timings.map { case (name, best, _) =>
+    val results = timings.map { case (name, best, _, _, _) =>
       name -> (postRetimes.get(name) match {
         case Some(again) if again > 0 => math.min(best, again)
         case _ => best
@@ -261,7 +288,19 @@ object Bench {
     // machine line must stay under the driver's ~2 KB tail capture):
     // lets a reader attribute any slow line item to contention without
     // an isolated re-run.
-    val qLoads = timings.map { case (k, _, l) => js(k) + ":" + dp3(l) }
+    val qLoads = timings.map { case (k, _, l, _, _) => js(k) + ":" + dp3(l) }
+      .mkString("{", ",", "}")
+    // First-sample GC delta (ms) and CPU occupancy per query (detail
+    // file only): the two numbers that let a slow-tail swing attribute
+    // itself — scheduler noise reads as low occupancy with baseline
+    // GC; memory pressure as a GC spike; real plan drift as high
+    // occupancy sustained. The FIRST sample is the one the main-loop
+    // snapshot would have reported, so it is the one worth explaining.
+    val qGcs = timings.map { case (k, _, _, g, _) => js(k) + ":" + g }
+      .mkString("{", ",", "}")
+    def dp2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qOccs = timings.map { case (k, _, _, _, o) => js(k) + ":" + dp2(o) }
       .mkString("{", ",", "}")
     // both samples of every post-suite quiet retime: [main-loop best,
     // post-suite sample] — the reported number is the min, but a
@@ -270,14 +309,14 @@ object Bench {
     // would otherwise see a nonsensical negative second sample with
     // the error swallowed by the errors-map restore).
     val postJson = timings.collect {
-      case (k, best, _) if postRetimes.contains(k) =>
+      case (k, best, _, _, _) if postRetimes.contains(k) =>
         val again = postRetimes(k)
         js(k) + s":[${dp3(best)},${if (again > 0) dp3(again) else "null"}]"
     }.mkString("{", ",", "}")
     val contamJson = contaminated.map(js).mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","sf":"$sfDir","load_start":${js(load0)},"load_end":${js(load1)},"queries":$fullQs,"query_loads":$qLoads,"post_quiet_retimes":$postJson,"post_quiet_wait_secs":${dp3(quietWaitSecs)},"post_quiet_load":${dp3(quietLoad)},"contaminated":$contamJson}""")
+      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","sf":"$sfDir","load_start":${js(load0)},"load_end":${js(load1)},"queries":$fullQs,"query_loads":$qLoads,"query_gc_ms":$qGcs,"query_cpu_occ":$qOccs,"post_quiet_retimes":$postJson,"post_quiet_wait_secs":${dp3(quietWaitSecs)},"post_quiet_load":${dp3(quietLoad)},"contaminated":$contamJson}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARN could not write $detailPath: $e") }
     // Machine line: MUST fit the driver's ~2 KB tail capture whole, or
