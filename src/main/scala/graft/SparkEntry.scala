@@ -8529,7 +8529,165 @@ object SparkEntry {
        |FROM events v JOIN events p ON p.user_id = v.user_id
        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR"""
-      .stripMargin))
+      .stripMargin)),
+
+    ("q278_ann_recall", (s, d) => {
+      // the ANN quality gate: per-query recall@5 of the IVFADC stack
+      // (q129's exact configuration) against the exact squared-L2
+      // ranking — the number that tunes nprobe before an index ships
+      // and re-audits a persisted IvfPq state after drift. Both
+      // rankings and the overlap replay in SQL.
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val qs = emb.filter(col("vec_id") < 5)
+      val coarse = graft.sim.Pq.pqTrain(emb, "vec_id", "embedding",
+        m = 1, k = 16)
+      val pqcb = graft.sim.Pq.pqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 16)
+      val ann = graft.sim.Pq.ivfPqTopK(emb, qs, "vec_id", "embedding",
+        coarse, pqcb, nprobe = 4, topK = 5)
+      val exact = graft.sim.Similarity.bruteTopKL2(emb, qs, "vec_id",
+        "embedding", 5)
+      graft.sim.Similarity.annRecall(ann, exact)
+    }, Some {
+      def subTerms(a: String, b: String) = (1 to 8).map { i =>
+        s"(CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      def fullTerms(a: String, b: String) = (1 to 64).map { i =>
+        s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))" +
+          s" * (CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))"
+      }.mkString("\n      + ")
+      s"""WITH cb AS (
+         |  SELECT * FROM (
+         |    SELECT row_number() OVER (ORDER BY
+         |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
+         |      embedding
+         |    FROM embeddings) WHERE code < 16),
+         |assign AS (
+         |  SELECT vec_id, code AS list_id FROM (
+         |    SELECT e.vec_id, cb.code, (${fullTerms("e", "cb")}) AS cdist
+         |    FROM embeddings e CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, code) = 1),
+         |probes AS (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.vec_id AS query_id, cb.code AS list_id,
+         |      (${fullTerms("q", "cb")}) AS cdist
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cdist, list_id) <= 4),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, s.sub, cb.code,
+         |      (${subTerms("e", "cb")}) AS dist
+         |    FROM embeddings e
+         |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |    CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, s.sub, cb.code,
+         |    (${subTerms("q", "cb")}) AS d
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+         |  CROSS JOIN cb),
+         |adist AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d ORDER BY l.sub)),
+         |      (a, b) -> a + b) AS adist
+         |  FROM codes c
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN probes p ON p.list_id = a.list_id
+         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |ann AS (
+         |  SELECT query_id, neighbor_id FROM adist
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) <= 5),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      (${fullTerms("e", "q")}) AS dist
+         |    FROM embeddings e
+         |    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |    WHERE e.vec_id <> q.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist, neighbor_id) <= 5)
+         |SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS recall
+         |FROM exact x LEFT JOIN ann a
+         |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+         |GROUP BY 1""".stripMargin
+    }),
+
+    ("q279_cohort_retention", (s, d) =>
+      // the product-analytics retention matrix: users join their
+      // first-seen week's cohort; cell (cohort, offset) counts
+      // distinct users active that many weeks later. One user-keyed
+      // min-aggregate + one user-key equi-join (deliberately a shuffle
+      // join — the user dimension is not broadcastable at 100 TB) +
+      // one (cohort, offset) distinct-count.
+      graft.operators.Sessionize.cohortRetention(
+        t(s, d, "events"), "user_id", "ts"),
+    Some("""WITH weeks AS (
+       |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+       |  FROM events),
+       |coh AS (SELECT u, min(w) AS c FROM weeks GROUP BY 1)
+       |SELECT c AS cohort_week, CAST((w - c) // 7 AS BIGINT)
+       |    AS week_offset,
+       |  CAST(count(DISTINCT u) AS BIGINT) AS n_users
+       |FROM weeks JOIN coh USING (u) GROUP BY 1, 2""".stripMargin)),
+
+    ("q280_lexical_diversity", (s, d) =>
+      // corpus-health companion to q275's JSD: per-source type-token
+      // ratio and hapax fraction — template spam reads low TTR, OCR
+      // noise reads hapax ~1. One explode + one (source, token)
+      // map-side-combinable aggregate; everything after is
+      // vocabulary-domain.
+      graft.text.Vocab.lexicalDiversity(
+        t(s, d, "documents"), col("source"), "text"),
+    Some("""WITH c AS (
+       |  SELECT grp, t, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT source AS grp,
+       |      unnest(regexp_split_to_array(text, '\s+')) AS t
+       |    FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT grp AS "group", CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hapax_types,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS hapax_frac
+       |FROM c GROUP BY 1""".stripMargin)),
+
+    ("q281_funnel", (s, d) =>
+      // ordered view -> click -> purchase conversion: step i counts a
+      // user only at-or-after their earliest qualifying step i-1 time,
+      // so out-of-order events never inflate conversion; each step is
+      // one user-keyed min-aggregate over ITS OWN type's rows joined
+      // to the previous step's (monotonically narrowing) user table.
+      graft.operators.Sessionize.funnel(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")),
+    Some("""WITH s1 AS (
+       |  SELECT user_id AS u, min(ts) AS t FROM events
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (
+       |  SELECT e.user_id AS u, min(e.ts) AS t
+       |  FROM events e JOIN s1 ON s1.u = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+       |s3 AS (
+       |  SELECT e.user_id AS u, min(e.ts) AS t
+       |  FROM events e JOIN s2 ON s2.u = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+       |SELECT 1 AS step, 'view' AS step_name,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+       |UNION ALL SELECT 2, 'click',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
+       |UNION ALL SELECT 3, 'purchase',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

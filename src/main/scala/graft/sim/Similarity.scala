@@ -709,6 +709,53 @@ object Similarity {
         ((col("x") - col("mean")) / col("std")).as("z"))
   }
 
+  /** Exact squared-L2 top-k — the distance-matched yardstick for the
+    * IVFADC family ([[Pq.ivfPqTopK]], [[IvfPq.probe]] rank by squared
+    * L2, so a recall audit against the COSINE [[bruteTopK]] would
+    * conflate metric mismatch with quantization loss). Same shape as
+    * [[bruteTopK]]: corpus × broadcast(query batch), per-query window
+    * top-k; the distance is the same fold-ordered double sum as
+    * [[Pq.exactRerank]] (0.0 + t₁ + … in dimension order), ties break
+    * to the lowest neighbor id, so the ranking replays in SQL.
+    */
+  def bruteTopKL2(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, t) => acc + t).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** ANN quality audit: per-query recall of an approximate ranking
+    * against the exact one — the number that decides nprobe/bits/k
+    * tradeoffs BEFORE an index ships, and the regression gate a
+    * persisted [[IvfPq]] state is re-audited with after distribution
+    * drift. Both inputs are (query_id, neighbor_id, rnk) frames
+    * (ranks are ignored — recall@k is set overlap at the list sizes
+    * the inputs carry). Output: one row per query
+    * `(query_id, n_exact, n_hit, recall)`. Scale shape: both inputs
+    * are queries×k rows — the join and aggregate never touch the
+    * corpus.
+    */
+  def annRecall(ann: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact"))
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
     * hybrid-retrieval combiner: each input ranking contributes
     * `1/(k + rank)` per document and the fused score is the sum, so a

@@ -70,6 +70,35 @@ object Vocab {
       col("__nv").as("n_vocab"))
   }
 
+  /** Per-group lexical diversity: type-token ratio and hapax fraction —
+    * the corpus-health numbers a source-mixing schedule reads next to
+    * [[jsDivergence]] ("is src A template spam or real text?"):
+    * boilerplate reads low TTR (few types, endlessly repeated), OCR
+    * noise and tag soup read a hapax fraction near 1 (most types occur
+    * once). One explode + ONE map-side-combinable (group, token)
+    * aggregate is the only fact-scale work; the per-group closing
+    * aggregate runs over the group×vocabulary table. Output: one row
+    * per group `(group, n_tokens, n_types, ttr, hapax_types,
+    * hapax_frac)`.
+    */
+  def lexicalDiversity(df: DataFrame, groupCol: Column, textCol: String)
+      : DataFrame = {
+    val counts = df
+      .select(groupCol.as("group"),
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .groupBy(col("group"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("group"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax_types"))
+      .select(col("group"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        col("hapax_types"),
+        (col("hapax_types").cast("double") / col("n_types"))
+          .as("hapax_frac"))
+  }
+
   /** Vocabulary with occurrence and document frequencies. One explode +
     * one aggregate; `n_docs` uses count(DISTINCT id) inside the same
     * aggregate, which Spark plans as a two-phase partial/final distinct

@@ -21,6 +21,20 @@ class VocabSpec extends AnyFunSuite {
       "a" -> ((3L, 2L)), "b" -> ((2L, 2L)), "c" -> ((4L, 2L)), "d" -> ((1L, 1L))))
   }
 
+  test("lexicalDiversity: TTR and hapax fraction from hand counts") {
+    import org.apache.spark.sql.functions.col
+    val src = Seq(
+      ("spam", "buy buy buy now"),      // 4 tokens, 2 types, 1 hapax
+      ("spam", "buy now now"),          // group totals: 7 tok, 2 types
+      ("text", "one two three two")     // 4 tokens, 3 types, 2 hapax
+    ).toDF("source", "text")
+    val got = Vocab.lexicalDiversity(src, col("source"), "text")
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("spam") == (("spam", 7L, 2L, 2.0 / 7, 0L, 0.0)))
+    assert(got("text") == (("text", 4L, 3L, 3.0 / 4, 2L, 2.0 / 3)))
+  }
+
   test("topTfidfTerm picks the rarest-weighted term per doc, ties on token order") {
     val got = Vocab.topTfidfTerm(docs, "doc_id", "text")
       .as[(Long, String, Long, Double)].collect()
