@@ -410,7 +410,7 @@ object Pq {
     * batch today reproduces exactly the rows encoding it at build time
     * would have.
     */
-  private[sim] def encodeIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+  private[graft] def encodeIvfPq(emb: DataFrame, idCol: String, vecCol: String,
                                coarseCb: Array[Array[Array[Double]]],
                                pqCb: Array[Array[Array[Double]]]): DataFrame = {
     require(coarseCb.length == 1, "coarseCb must be pqTrain(..., m = 1, ...)")

@@ -588,6 +588,39 @@ object Streams {
       }
       .start()
 
+  /** Continuous ANN index maintenance — the streaming face of
+    * [[graft.sim.IvfPq.applyDelta]]: every micro-batch of embedding
+    * rows is encoded under the FROZEN codebooks of a built
+    * [[graft.sim.IvfPq.State]] (collected ONCE, before the stream
+    * starts — bounded by the codebook sizes, and freezing is exactly
+    * the lifecycle's correctness contract) and lands as m narrow code
+    * rows per vector under `codesDir/batch=<id>` — the established
+    * exactly-once overwrite layout, so a checkpoint replay rewrites
+    * the identical directory, and [[compactBatches]] (identity reduce;
+    * code rows are a disjoint union) is the housekeeping. The read
+    * face is `State(coarse, codebook, spark.read.parquet(codesDir)
+    * .drop("batch"))` → [[graft.sim.IvfPq.probe]]: serving continues
+    * mid-stream from whatever has committed. Encoding is a pure
+    * per-row projection, so the sink carries NO streaming state at
+    * all — state lives in the parquet layout.
+    */
+  def annEncodeSink(vectors: DataFrame, idCol: String, vecCol: String,
+                    state: graft.sim.IvfPq.State, codesDir: String,
+                    checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val coarseCb = graft.sim.IvfPq.coarseOf(state)
+    val pqCb = graft.sim.IvfPq.pqOf(state)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sim.Pq.encodeIvfPq(batch, idCol, vecCol, coarseCb, pqCb)
+          .write.mode("overwrite").parquet(s"$codesDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The read face of [[hllSink]]: the distinct-count estimate over
     * everything the sink has absorbed so far.
     */
