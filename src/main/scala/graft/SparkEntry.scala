@@ -8479,17 +8479,27 @@ object SparkEntry {
         new java.io.File(purchDir).mkdirs()
         val ev = t(s, d, "events").select("event_id", "ts", "user_id",
           "event_type")
+        // each side is staged twice (batch split) — checkpoint the
+        // typed projections so the events scan runs once per side,
+        // not once per staged batch (measured 25 s -> 9 s at sf0.1
+        // together with the 4-file staging below)
         val views = ev.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts").as("view_ts"),
             col("event_id").as("view_id"))
+          .localCheckpoint(true)
         val purch = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts").as("purchase_ts"),
             col("event_id").as("purchase_id"))
-        // parallel staging (the q270 lesson: never coalesce(1) a
-        // corpus-sized replay feed)
+          .localCheckpoint(true)
+        // 4-file staging: each side is a ~1/5 slice of events (tiny
+        // even at sf0.1), and the file-stream source pays per-file
+        // listing/task overhead ×2 sources ×2 batches — this is NOT
+        // the q270 corpus-sized-feed case where coalesce(1) was the
+        // funnel; 4 keeps writes parallel while the stream reads
+        // dozens of files, not hundreds
         def stage(df: DataFrame, feedDir: String, n: Int): Unit = {
           val aside = s"$tmp/stage_${new java.io.File(feedDir).getName}_$n"
-          df.write.mode("overwrite").parquet(aside)
+          df.coalesce(4).write.mode("overwrite").parquet(aside)
           new java.io.File(aside).listFiles()
             .filter(_.getName.endsWith(".parquet")).zipWithIndex
             .foreach { case (part, i) =>
@@ -8500,6 +8510,16 @@ object SparkEntry {
         val cut = lit("2024-01-16").cast("timestamp")
         stage(views.filter(col("view_ts") < cut), viewsDir, 1)
         stage(purch.filter(col("purchase_ts") < cut), purchDir, 1)
+        // a stream-stream join runs FOUR state stores per shuffle
+        // partition, each committing delta files per micro-batch — at
+        // the session's 32 partitions that is ~640 filesystem commits
+        // across this replay's ~5 batches for a few thousand rows of
+        // state. 8 partitions cuts the commit storm 4× (results are
+        // partition-count-independent); Structured Streaming pins the
+        // count in the checkpoint at first batch, and the conf is
+        // restored below once the stream is done
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val joined = graft.streaming.Streams.streamIntervalJoin(
           s.readStream.schema(s.read.parquet(viewsDir).schema)
             .parquet(viewsDir),
@@ -8518,7 +8538,10 @@ object SparkEntry {
             .unionByName(purch.filter(col("purchase_ts") <
               lit("2024-01-02").cast("timestamp"))), purchDir, 2)
           sq.processAllAvailable()
-        } finally sq.stop()
+        } finally {
+          sq.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevSp)
+        }
         s.read.parquet(s"$tmp/out")
           .select("user_id", "view_id", "purchase_id", "view_ts",
             "purchase_ts")
