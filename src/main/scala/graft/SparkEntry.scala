@@ -8710,7 +8710,130 @@ object SparkEntry {
        |UNION ALL SELECT 2, 'click',
        |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
        |UNION ALL SELECT 3, 'purchase',
-       |  (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin))
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin)),
+
+    ("q282_chi2_independence", (s, d) =>
+      // the hypothesis-test companion to q264's MI on the same
+      // contingency table: chi2 over the FULL x×y grid (zero-observed
+      // cells contribute their expected count), dof, and Cramér's V
+      // effect size. One fact-scale (x, y) aggregate, domain-sized
+      // closing algebra.
+      graft.operators.Quality.chiSquareIndependence(
+        t(s, d, "customer"), col("c_nationkey"), col("c_mktsegment")),
+    Some("""WITH cells AS (
+       |  SELECT c_nationkey AS x, c_mktsegment AS y,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM customer
+       |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+       |  GROUP BY 1, 2),
+       |xm AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+       |ym AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_x FROM xm),
+       |ny AS (SELECT CAST(count(*) AS BIGINT) AS n_y FROM ym),
+       |grid AS (
+       |  SELECT xm.cx, ym.cy, CAST(COALESCE(cells.c, 0) AS BIGINT) AS c
+       |  FROM xm CROSS JOIN ym
+       |  LEFT JOIN cells ON cells.x = xm.x AND cells.y = ym.y),
+       |chi AS (
+       |  SELECT CAST(sum(CAST(round(
+       |      (CAST(c AS DOUBLE) - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / n)
+       |      * (CAST(c AS DOUBLE) - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / n)
+       |      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / n), 9)
+       |    AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+       |  FROM grid CROSS JOIN tot)
+       |SELECT chi2, (n_x - 1) * (n_y - 1) AS dof, n, n_x, n_y,
+       |  CASE WHEN least(n_x, n_y) > 1
+       |    THEN round(sqrt(chi2 / (CAST(n AS DOUBLE)
+       |      * (least(n_x, n_y) - 1))), 9) END AS cramers_v
+       |FROM chi CROSS JOIN tot CROSS JOIN nx CROSS JOIN ny"""
+      .stripMargin)),
+
+    ("q283_markov_stationary", (s, d) =>
+      // long-run state mix of the session process: 8 power-iteration
+      // steps of pi <- pi*P over q197's exact-ppm chain — the summary
+      // the per-hop matrix can't give. Fact-scale work is the one
+      // user-key window; every step is a |types|^2-grid join.
+      graft.operators.Sessionize.stationaryDistribution(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq(col("event_id").asc), iters = 8),
+    Some {
+      val steps = (1 to 8).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT dst_type AS t,
+           |    CAST(sum(CAST(round(prob * prob_ppm / 1000000.0, 9)
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS prob
+           |  FROM pfull JOIN p${i - 1} ON p${i - 1}.t = pfull.src_type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT event_type AS src_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst_type
+         |  FROM events),
+         |pc AS (
+         |  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+         |ptot AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS t
+         |  FROM pc GROUP BY 1),
+         |pm AS (SELECT src_type, dst_type, n * 1000000 // t AS prob_ppm
+         |  FROM pc JOIN ptot USING (src_type)),
+         |types AS MATERIALIZED (
+         |  SELECT DISTINCT src_type AS t FROM pm
+         |  UNION SELECT DISTINCT dst_type FROM pm),
+         |pfull AS MATERIALIZED (
+         |  SELECT * FROM pm
+         |  UNION ALL
+         |  SELECT t, t, CAST(1000000 AS BIGINT) FROM types
+         |  WHERE t NOT IN (SELECT src_type FROM pm)),
+         |p0 AS (
+         |  SELECT t, round(1.0 /
+         |    (SELECT CAST(count(*) AS DOUBLE) FROM types), 9) AS prob
+         |  FROM types),
+         |$steps
+         |SELECT types.t AS event_type, COALESCE(prob, 0.0) AS prob
+         |FROM types LEFT JOIN p8 ON p8.t = types.t""".stripMargin
+    }),
+
+    ("q284_zipf_fit", (s, d) =>
+      // is the corpus head actually Zipfian? OLS of ln(freq) on
+      // ln(rank) over the top-1000 tokens: slope ~ -s. Fact-scale work
+      // is the vocab aggregate; the rank window runs over the
+      // 1000-row TakeOrdered head (the B-rows exception).
+      graft.text.Vocab.zipfFit(t(s, d, "documents"), "doc_id", "text",
+        topN = 1000),
+    Some("""WITH v AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+       |    FROM documents)
+       |  GROUP BY 1),
+       |head AS (SELECT token, f FROM v ORDER BY f DESC, token LIMIT 1000),
+       |ranked AS (
+       |  SELECT round(ln(CAST(row_number() OVER (ORDER BY f DESC, token)
+       |      AS DOUBLE)), 9) AS x,
+       |    round(ln(CAST(f AS DOUBLE)), 9) AS y
+       |  FROM head),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(round(y, 9) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(round(y * y, 9) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+       |  FROM ranked)
+       |SELECT n,
+       |  CASE WHEN n * sxx - sx * sx > 0
+       |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+       |    END AS slope,
+       |  CASE WHEN n * sxx - sx * sx > 0
+       |    THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+       |      * sx) / n, 9)
+       |    END AS intercept,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |    THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+       |    END AS r2
+       |FROM s""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

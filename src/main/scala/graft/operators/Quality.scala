@@ -317,6 +317,56 @@ object Quality {
         col("n_cells"), col("__n").as("n"))
   }
 
+  /** Pearson chi-square test of independence + Cramér's V — the
+    * hypothesis-test companion to [[mutualInformation]]'s
+    * information-theoretic dependence ("ARE nation and segment
+    * independent, and how big is the effect"): chi2 = Σ (observed −
+    * expected)²/expected over the contingency cells, dof =
+    * (|x|−1)(|y|−1), V = √(chi2 / (n·min(|x|−1, |y|−1))) — the
+    * [0, 1] effect size that, unlike chi2 itself, does not grow with
+    * n. Same scale shape as MI: ONE fact-scale (x, y) aggregate
+    * (checkpointed — read by both marginals, the total, and the term
+    * table), everything downstream domain-sized. Expected counts are
+    * exact integer products divided once in double; each cell term is
+    * rounded at 9 dp and folded through the exact-decimal
+    * [[graft.Exprs.dsum]]. Degenerate contract: a single-valued x or
+    * y has dof 0 — chi2 is 0 and V is NULL (undefined, not infinite).
+    * Output: one row `(chi2, dof, n, n_x, n_y, cramers_v)`.
+    */
+  def chiSquareIndependence(df: DataFrame, x: Column, y: Column)
+      : DataFrame = {
+    val cells = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("__x"), y.as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val xm = cells.groupBy("__x").agg(sum(col("__c")).as("__cx"))
+    val ym = cells.groupBy("__y").agg(sum(col("__c")).as("__cy"))
+    val tot = cells.agg(sum(col("__c")).as("__n"))
+    val nx = xm.agg(count(lit(1)).as("n_x"))
+    val ny = ym.agg(count(lit(1)).as("n_y"))
+    val e = col("__cx").cast("double") * col("__cy").cast("double") /
+      col("__n").cast("double")
+    val term = round((col("__c").cast("double") - e) *
+      (col("__c").cast("double") - e) / e, 9)
+    // the full x×y grid, INCLUDING zero-observed cells (their term is
+    // e, not 0 — dropping them understates the statistic): cross-join
+    // the domain-sized marginals, left-join the observed cells
+    val grid = xm.crossJoin(ym)
+      .join(cells, Seq("__x", "__y"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val chi2 = grid.select(term.as("__t"), col("__n"))
+      .groupBy(col("__n"))
+      .agg(graft.Exprs.dsum(col("__t")).as("chi2"))
+    chi2.crossJoin(nx).crossJoin(ny).select(
+      col("chi2"),
+      ((col("n_x") - 1) * (col("n_y") - 1)).as("dof"),
+      col("__n").as("n"), col("n_x"), col("n_y"),
+      when(least(col("n_x"), col("n_y")) > 1,
+        round(sqrt(col("chi2") / (col("__n").cast("double") *
+          (least(col("n_x"), col("n_y")) - 1))), 9)).as("cramers_v"))
+  }
+
   /** Functional-dependency violation detector: LHS values mapping to
     * MORE than one RHS value — the constraint profiler behind entity
     * resolution and schema inference ("same order, same customer?").

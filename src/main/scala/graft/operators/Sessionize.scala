@@ -127,6 +127,59 @@ object Sessionize {
         expr("n * 1000000L div __tot").as("prob_ppm"))
   }
 
+  /** Long-run state mix of the event-type process: `iters` power-
+    * iteration steps of π ← πP over the [[transitionMatrix]] chain —
+    * "where does a user session END UP spending its time" as one
+    * number per type, the summary the per-hop matrix cannot give.
+    *
+    * Scale shape: the ONLY fact-scale work is [[transitionMatrix]]'s
+    * user-key window + grid aggregate; every iteration is a join and
+    * aggregate over the |types|²-row grid — domain-sized, unrolled
+    * `iters` times, each step checkpointed so the plan stays flat.
+    * A type observed only as a DESTINATION (no outgoing hops) gets an
+    * explicit self-loop row (the standard absorbing-state closure;
+    * without it that type's mass would silently vanish each step).
+    *
+    * Determinism: P rides the matrix's exact ppm grid; π starts
+    * uniform at round(1/k, 9); each step's terms are
+    * round(π·ppm/1e6, 9) folded through the exact-decimal
+    * [[graft.Exprs.dsum]], whose total is NEVER re-rounded (the q272
+    * ulp lesson) — every intermediate sits on a fixed decimal grid,
+    * so the unrolled SQL twin replays bit-for-bit. Output: one row
+    * per type `(event_type, prob)`.
+    */
+  def stationaryDistribution(df: DataFrame, userCol: String, tsCol: String,
+                             typeCol: String, tiebreak: Seq[Column],
+                             iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val p = transitionMatrix(df, userCol, tsCol, typeCol, tiebreak)
+      .select(col("src_type"), col("dst_type"), col("prob_ppm"))
+    val types = p.select(col("src_type").as("t"))
+      .unionByName(p.select(col("dst_type").as("t")))
+      .distinct().localCheckpoint(true)
+    val srcless = types
+      .join(p.select(col("src_type").as("t")).distinct(), Seq("t"),
+        "left_anti")
+      .select(col("t").as("src_type"), col("t").as("dst_type"),
+        lit(1000000L).as("prob_ppm"))
+    val pFull = p.unionByName(srcless).localCheckpoint(true)
+    val k = types.count() // bounded: the type vocabulary
+    var pi = types.select(col("t"),
+      round(lit(1.0) / k, 9).as("prob"))
+    for (_ <- 1 to iters)
+      pi = pFull.join(pi, col("src_type") === col("t"))
+        .groupBy(col("dst_type"))
+        .agg(graft.Exprs.dsum(
+          round(col("prob") * col("prob_ppm") / 1e6, 9)).as("prob"))
+        .select(col("dst_type").as("t"), col("prob"))
+        .localCheckpoint(true)
+    // a state that receives no mass drops out of the aggregate — emit
+    // it with an explicit 0 so the output always carries every state
+    types.join(pi, Seq("t"), "left")
+      .select(col("t").as("event_type"),
+        coalesce(col("prob"), lit(0.0)).as("prob"))
+  }
+
   /** Weekly cohort retention matrix — the product-analytics table
     * behind every "do users come back?" dashboard: each user joins
     * the cohort of their FIRST-seen week, and cell (cohort_week,

@@ -110,6 +110,39 @@ object Vocab {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Zipf-law fit of the corpus frequency head: OLS of ln(freq) on
+    * ln(rank) over the `topN` most frequent tokens — slope ≈ −s, the
+    * Zipf exponent. THE one-number distribution check next to
+    * [[lexicalDiversity]]: natural text reads s ≈ 1; template spam
+    * reads a flat head (s « 1); a tiny fixed vocabulary reads a
+    * cliff. Also the calibration input for shingle/LSH capacity
+    * planning (bucket-occupancy forecasts are a function of s).
+    *
+    * Scale shape: [[vocab]]'s explode + aggregate is the only
+    * fact-scale work; the rank is a window over the `topN`-row
+    * TakeOrderedAndProject result — bounded by topN, the documented
+    * B-rows exception, never a corpus sort. Ranks tie-break (freq
+    * desc, token asc) so the fit is a total order. Determinism: both
+    * logs rounded at 9 dp, the five OLS sums through
+    * [[graft.operators.Ols.fitGrouped]]'s exact-decimal fold. Output:
+    * one row `(n, slope, intercept, r2)`.
+    */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val head = vocab(df, idCol, textCol)
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topN)
+    val w = Window.orderBy(col("n_occurrences").desc, col("token").asc)
+    val ranked = head
+      .withColumn("__r", row_number().over(w))
+      .select(round(log(col("__r").cast("double")), 9).as("__x"),
+        round(log(col("n_occurrences").cast("double")), 9).as("__y"))
+    graft.operators.Ols.fitGrouped(ranked, "__g", lit(1), col("__x"),
+        col("__y"))
+      .select(col("n"), col("slope"), col("intercept"), col("r2"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`vocabSize` tokens (by occurrence count, ties broken token
     * asc so the cutoff is a total order) — the lexical-novelty /

@@ -230,4 +230,43 @@ class QualitySpec extends AnyFunSuite {
       .map { case (v, i) => ("a", i.toLong, v) }.toDF("g", "id", "value")
     assert(Quality.robustOutliers(df, "g", "id", "value").count() == 0L)
   }
+
+  test("chiSquareIndependence: product table EXACT 0; determined table V = 1") {
+    import org.apache.spark.sql.functions.col
+    // perfectly independent 4x2 balanced table: every cell term is 0
+    val ind = (for { x <- 0 until 4; y <- 0 until 2; _ <- 0 until 5 }
+      yield (x, y)).toDF("x", "y")
+    val Array(r) = Quality.chiSquareIndependence(ind, col("x"), col("y"))
+      .as[(Double, Long, Long, Long, Long, Option[Double])].collect()
+    assert(r._1 == 0.0 && r._2 == 3L && r._3 == 40L)
+    assert(r._6.contains(0.0))
+    // y fully determined by x: chi2 = n*(min-1) and V = 1
+    val det = (for { x <- 0 until 4; _ <- 0 until 3 } yield (x, x % 2))
+      .toDF("x", "y")
+    val Array(r2) = Quality.chiSquareIndependence(det, col("x"), col("y"))
+      .as[(Double, Long, Long, Long, Long, Option[Double])].collect()
+    assert(math.abs(r2._1 - 12.0) < 1e-5) // n * (min(4,2)-1) = 12
+    assert(r2._6.exists(v => math.abs(v - 1.0) < 1e-5))
+  }
+
+  test("chiSquareIndependence: constant column has dof 0, NULL V, zero chi2") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, "k"), (2, "k"), (3, "k")).toDF("x", "y")
+    val Array(r) = Quality.chiSquareIndependence(df, col("x"), col("y"))
+      .as[(Double, Long, Long, Long, Long, Option[Double])].collect()
+    assert(r._1 == 0.0 && r._2 == 0L && r._6.isEmpty)
+  }
+
+  test("chiSquareIndependence counts ZERO-observed grid cells") {
+    import org.apache.spark.sql.functions.col
+    // 2x2 with an empty (1, "b") cell: its term is the full expected
+    // count — dropping it would understate chi2
+    val df = Seq((0, "a"), (0, "b"), (1, "a"), (1, "a")).toDF("x", "y")
+    val Array(r) = Quality.chiSquareIndependence(df, col("x"), col("y"))
+      .as[(Double, Long, Long, Long, Long, Option[Double])].collect()
+    // hand chi2: cells obs a0=1 b0=1 a1=2 b1=0; e = rowtot*coltot/4
+    // = (2*3/4, 2*1/4, 2*3/4, 2*1/4) = (1.5, .5, 1.5, .5)
+    // chi2 = .25/1.5 + .25/.5 + .25/1.5 + .25/.5 = 4/3
+    assert(math.abs(r._1 - 4.0 / 3) < 1e-5)
+  }
 }

@@ -138,4 +138,33 @@ class SessionizeSpec extends AnyFunSuite {
         Seq("view", "click")).as[(Long, String, Long)].collect().toSet
     assert(got == Set((1L, "view", 1L), (2L, "click", 1L)))
   }
+
+  test("stationaryDistribution: two-state alternating chain stays uniform") {
+    // a -> b -> a strictly: P is the swap matrix, uniform is stationary
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, ts("2024-01-01 10:02:00"), "a"),
+      (1L, ts("2024-01-01 10:03:00"), "b"),
+      (1L, ts("2024-01-01 10:04:00"), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessionize.stationaryDistribution(ev, "user_id", "ts",
+        "event_type", Seq(col("ts").asc), iters = 6)
+      .as[(String, Double)].collect().toMap
+    assert(got("a") == 0.5 && got("b") == 0.5)
+  }
+
+  test("stationaryDistribution: dst-only state gets a self-loop and absorbs") {
+    // a -> z only; z never re-emits: z is absorbing, all mass ends in z
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:01:00"), "z")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessionize.stationaryDistribution(ev, "user_id", "ts",
+        "event_type", Seq(col("ts").asc), iters = 8)
+      .as[(String, Double)].collect().toMap
+    // pi0 = (.5, .5); after one step all of a's mass moved to z and
+    // z's self-loop keeps it: (0, 1)
+    assert(got("a") == 0.0 && got("z") == 1.0)
+  }
 }

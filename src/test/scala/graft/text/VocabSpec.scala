@@ -206,4 +206,18 @@ class VocabSpec extends AnyFunSuite {
     assert(got("en") == ((3L, 4L, 7L, 4.0 / 3, 7.0 / 4)))
     assert(got("de") == ((2L, 3L, 4L, 3.0 / 2, 4.0 / 3)))
   }
+
+  test("zipfFit: exact two-point log-log line has slope -1, r2 ~ 1") {
+    import org.apache.spark.sql.functions.col
+    // freq(a)=6 at rank 1, freq(b)=3 at rank 2: slope = -ln2/ln2 = -1
+    val corpus = Seq((1L, "a a a b"), (2L, "a a a b b")).toDF("doc_id", "text")
+    val Array(r) = Vocab.zipfFit(corpus, "doc_id", "text", topN = 10)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(r._1 == 2L)
+    // the five OLS sums ride the DECIMAL(18,6) dsum grain: with only
+    // two points the closing quotients amplify that 5e-7 per-sum grain
+    // to ~1e-4 on slope/r2 — the boundary is grain-bounded, not exact
+    assert(r._2.exists(sl => math.abs(sl + 1.0) < 1e-3))
+    assert(r._4.exists(v => math.abs(v - 1.0) < 1e-3))
+  }
 }
