@@ -649,9 +649,16 @@ object Streams {
     *  - the compacted frame is MATERIALIZED (localCheckpoint) before
     *    any source partition is deleted, and staged as a dot-prefixed
     *    directory (invisible to partition discovery) that is renamed
-    *    into place last, so readers never observe a partial rewrite
-    *    and a crash mid-compaction loses nothing (the staging dir
-    *    holds the full compacted copy; delete it and re-run).
+    *    into place last, so readers never observe a partial rewrite;
+    *  - the staging write is the COMMIT POINT and recovery is
+    *    automatic: a completed staging dir (its `_SUCCESS` marker
+    *    exists) found on entry has its torn swap FINISHED first
+    *    (delete every partition at-or-below its target id, rename it
+    *    into place) — re-running after ANY crash converges to the
+    *    correct full set, never a lossy re-read of the partitions a
+    *    torn delete pass left behind; a staging dir WITHOUT the
+    *    marker is a dead partial write (its sources are all still
+    *    present) and is discarded.
     *
     * `reduce` re-aggregates the union where the sink's merge is not
     * plain concatenation — [[hllSink]] registers pass
@@ -669,10 +676,33 @@ object Streams {
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(root)) return None
-    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    def listIds(): Seq[Long] = fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption)
       .sorted
+    // Recover a torn previous compaction FIRST (see the prune-safety
+    // notes): a committed staging dir is the record of a swap that
+    // must finish before any new read — its source partitions may be
+    // partially deleted, so re-reading them instead would silently
+    // drop the already-deleted ones' rows.
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(".compact_"))
+      .foreach { st =>
+        val tgt = scala.util.Try(
+          st.getPath.getName.drop(".compact_".length).toLong).toOption
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+        (tgt, committed) match {
+          case (Some(t), true) =>
+            listIds().filter(_ <= t).foreach(id => fs.delete(
+              new org.apache.hadoop.fs.Path(root, s"batch=$id"), true))
+            fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(root, s"batch=$t"))
+          case _ => fs.delete(st.getPath, true) // dead partial write
+        }
+      }
+    val ids = listIds()
     if (ids.size < 3) return None // max is untouched; 1 old dir gains nothing
     val old = ids.dropRight(1)
     val target = old.max

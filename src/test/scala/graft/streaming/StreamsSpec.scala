@@ -229,6 +229,59 @@ class StreamsSpec extends AnyFunSuite {
     assert(Streams.compactBatches(spark, s"$root2/state/pairs").isEmpty)
   }
 
+  test("compactBatches recovers a torn swap; discards uncommitted staging") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("torncomp").toString
+    val input = MemoryStream[Long]
+    val q = Streams.hllSink(input.toDF().toDF("k"), "k",
+      s"$root/state", s"$root/ckpt")
+    try {
+      (1L to 4000L).grouped(1000).foreach { c =>
+        input.addData(c.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val regs = s"$root/state/registers"
+    val before = Streams.hllSnapshot(spark, s"$root/state")
+      .as[(Long, Long, Double)].collect().head
+    // simulate the torn state a crash mid-delete leaves: the staging
+    // dir for target 2 is fully committed (_SUCCESS present), batch=1
+    // already deleted, batch=0 and batch=2 still on disk
+    spark.read.parquet(regs)
+      .filter(org.apache.spark.sql.functions.col("batch")
+        .isin(0L, 1L, 2L)).drop("batch")
+      .groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.max("r").as("r"))
+      .coalesce(1).localCheckpoint(true)
+      .write.parquet(s"$regs/.compact_2")
+    assert(new java.io.File(s"$regs/.compact_2/_SUCCESS").exists())
+    assert(new java.io.File(s"$regs/batch=1").exists())
+    org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(s"$regs/batch=1"))
+    // recovery must finish the swap (NOT lossily re-read the two
+    // surviving source dirs): estimate identical, dirs = {2, 3}
+    Streams.compactBatches(spark, regs,
+      _.groupBy("bucket")
+        .agg(org.apache.spark.sql.functions.max("r").as("r")))
+    val dirs = new java.io.File(regs).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=2", "batch=3"))
+    val after = Streams.hllSnapshot(spark, s"$root/state")
+      .as[(Long, Long, Double)].collect().head
+    assert(after == before)
+    // an UNCOMMITTED staging dir (no _SUCCESS) is a dead partial
+    // write: discarded, sources untouched
+    new java.io.File(s"$regs/.compact_9").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$regs/.compact_9/part-junk.parquet"),
+      "not parquet")
+    Streams.compactBatches(spark, regs,
+      _.groupBy("bucket")
+        .agg(org.apache.spark.sql.functions.max("r").as("r")))
+    assert(!new java.io.File(s"$regs/.compact_9").exists())
+    assert(Streams.hllSnapshot(spark, s"$root/state")
+      .as[(Long, Long, Double)].collect().head == before)
+  }
+
   test("compactBatches is prune-safe: a stream resumed AFTER compaction stays exact") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("ndcomp2").toString
