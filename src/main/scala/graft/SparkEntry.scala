@@ -34,6 +34,78 @@ object SparkEntry {
   private def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** Squared-L2 between two 8-float subvector slices (IVFADC oracle
+    * term; `s.sub` is the subquantizer index from the VALUES list).
+    */
+  private def pqSubTermsSql(a: String, b: String): String =
+    (1 to 8).map { i =>
+      s"(CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))" +
+        s" * (CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))"
+    }.mkString("\n      + ")
+
+  /** Squared-L2 between two full 64-float embeddings (oracle term). */
+  private def pqFullTermsSql(a: String, b: String): String =
+    (1 to 64).map { i =>
+      s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))" +
+        s" * (CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))"
+    }.mkString("\n      + ")
+
+  /** Shared IVFADC replay chain for the ANN oracles (q276/q278): the
+    * `cb`(codebook)/`assign`/`probes`/`codes`/`lut`/`adist` CTE stack
+    * that re-derives coarse assignment, PQ codes, the per-query LUT,
+    * and asymmetric distances in SQL — mirroring
+    * [[graft.sim.Pq.ivfPqTopK]] / [[graft.sim.IvfPq.probe]] exactly
+    * (portable-hash codebook seeds, nlist=16, m=8, k=16, nprobe=4,
+    * query set vec_id < 5). `cbWhere` is the training-population
+    * filter (q276 trains on the standing base only — the frozen-
+    * codebook lifecycle; q278 trains on the whole corpus — q129's
+    * configuration). Ends after `adist`'s close paren; callers append
+    * their closing SELECT. Any fix to the replay (tie-break, fold
+    * order, probe count) lands HERE, once, for both oracles.
+    */
+  private def ivfAdcSql(cbWhere: String): String =
+    s"""WITH cb AS (
+       |  SELECT * FROM (
+       |    SELECT row_number() OVER (ORDER BY
+       |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
+       |      embedding
+       |    FROM embeddings $cbWhere) WHERE code < 16),
+       |assign AS (
+       |  SELECT vec_id, code AS list_id FROM (
+       |    SELECT e.vec_id, cb.code, (${pqFullTermsSql("e", "cb")}) AS cdist
+       |    FROM embeddings e CROSS JOIN cb)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, code) = 1),
+       |probes AS (
+       |  SELECT query_id, list_id FROM (
+       |    SELECT q.vec_id AS query_id, cb.code AS list_id,
+       |      (${pqFullTermsSql("q", "cb")}) AS cdist
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cb)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cdist, list_id) <= 4),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, s.sub, cb.code,
+       |      (${pqSubTermsSql("e", "cb")}) AS dist
+       |    FROM embeddings e
+       |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+       |    CROSS JOIN cb)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, s.sub, cb.code,
+       |    (${pqSubTermsSql("q", "cb")}) AS d
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+       |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
+       |  CROSS JOIN cb),
+       |adist AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d ORDER BY l.sub)),
+       |      (a, b) -> a + b) AS adist
+       |  FROM codes c
+       |  JOIN assign a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.list_id = a.list_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared winnowing oracle prefix (q251/q252): 4-gram rolling hashes
     * per doc and the w=4 sliding windows — ends after the
     * `wins(doc_id, i, win)` CTE's close paren. Mirrors
@@ -8399,61 +8471,11 @@ object SparkEntry {
         "embedding")
       graft.sim.IvfPq.probe(st1, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", nprobe = 4, topK = 5)
-    }, Some {
-      def subTerms(a: String, b: String) = (1 to 8).map { i =>
-        s"(CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))" +
-          s" * (CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))"
-      }.mkString("\n      + ")
-      def fullTerms(a: String, b: String) = (1 to 64).map { i =>
-        s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))" +
-          s" * (CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))"
-      }.mkString("\n      + ")
-      s"""WITH cb AS (
-         |  SELECT * FROM (
-         |    SELECT row_number() OVER (ORDER BY
-         |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
-         |      embedding
-         |    FROM embeddings WHERE vec_id % 5 <> 0) WHERE code < 16),
-         |assign AS (
-         |  SELECT vec_id, code AS list_id FROM (
-         |    SELECT e.vec_id, cb.code, (${fullTerms("e", "cb")}) AS cdist
-         |    FROM embeddings e CROSS JOIN cb)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, code) = 1),
-         |probes AS (
-         |  SELECT query_id, list_id FROM (
-         |    SELECT q.vec_id AS query_id, cb.code AS list_id,
-         |      (${fullTerms("q", "cb")}) AS cdist
-         |    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cb)
-         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cdist, list_id) <= 4),
-         |codes AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT e.vec_id, s.sub, cb.code,
-         |      (${subTerms("e", "cb")}) AS dist
-         |    FROM embeddings e
-         |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
-         |    CROSS JOIN cb)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS query_id, s.sub, cb.code,
-         |    (${subTerms("q", "cb")}) AS d
-         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
-         |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
-         |  CROSS JOIN cb),
-         |adist AS (
-         |  SELECT l.query_id, c.vec_id AS neighbor_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d ORDER BY l.sub)),
-         |      (a, b) -> a + b) AS adist
-         |  FROM codes c
-         |  JOIN assign a ON a.vec_id = c.vec_id
-         |  JOIN probes p ON p.list_id = a.list_id
-         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
-         |  WHERE c.vec_id <> l.query_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
-         |FROM adist
-         |QUALIFY rnk <= 5""".stripMargin
-    }),
+    }, Some(ivfAdcSql("WHERE vec_id % 5 <> 0") + "\n" +
+      """SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+        |FROM adist
+        |QUALIFY rnk <= 5""".stripMargin)),
 
     ("q277_stream_interval_join", (s, d) => {
       // the stream-stream attribution join (view -> purchase within
@@ -8516,32 +8538,34 @@ object SparkEntry {
         // across this replay's ~5 batches for a few thousand rows of
         // state. 8 partitions cuts the commit storm 4× (results are
         // partition-count-independent); Structured Streaming pins the
-        // count in the checkpoint at first batch, and the conf is
-        // restored below once the stream is done
+        // count in the checkpoint at first batch, and the restore
+        // finally covers EVERYTHING from the set on — a throw during
+        // stream construction or start() must not leak 8 partitions
+        // into the session's later queries
         val prevSp = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        val joined = graft.streaming.Streams.streamIntervalJoin(
-          s.readStream.schema(s.read.parquet(viewsDir).schema)
-            .parquet(viewsDir),
-          s.readStream.schema(s.read.parquet(purchDir).schema)
-            .parquet(purchDir),
-          "user_id", "view_ts", "purchase_ts",
-          watermark = "1 hour", horizon = "1 hour")
-        val sq = joined.writeStream.format("parquet")
-          .option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append").start()
         try {
-          sq.processAllAvailable()
-          stage(views.filter(col("view_ts") >= cut), viewsDir, 2)
-          stage(purch.filter(col("purchase_ts") >= cut)
-            .unionByName(purch.filter(col("purchase_ts") <
-              lit("2024-01-02").cast("timestamp"))), purchDir, 2)
-          sq.processAllAvailable()
-        } finally {
-          sq.stop()
+          val joined = graft.streaming.Streams.streamIntervalJoin(
+            s.readStream.schema(s.read.parquet(viewsDir).schema)
+              .parquet(viewsDir),
+            s.readStream.schema(s.read.parquet(purchDir).schema)
+              .parquet(purchDir),
+            "user_id", "view_ts", "purchase_ts",
+            watermark = "1 hour", horizon = "1 hour")
+          val sq = joined.writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append").start()
+          try {
+            sq.processAllAvailable()
+            stage(views.filter(col("view_ts") >= cut), viewsDir, 2)
+            stage(purch.filter(col("purchase_ts") >= cut)
+              .unionByName(purch.filter(col("purchase_ts") <
+                lit("2024-01-02").cast("timestamp"))), purchDir, 2)
+            sq.processAllAvailable()
+          } finally sq.stop()
+        } finally
           s.conf.set("spark.sql.shuffle.partitions", prevSp)
-        }
         s.read.parquet(s"$tmp/out")
           .select("user_id", "view_id", "purchase_id", "view_ts",
             "purchase_ts")
@@ -8571,64 +8595,15 @@ object SparkEntry {
       val exact = graft.sim.Similarity.bruteTopKL2(emb, qs, "vec_id",
         "embedding", 5)
       graft.sim.Similarity.annRecall(ann, exact)
-    }, Some {
-      def subTerms(a: String, b: String) = (1 to 8).map { i =>
-        s"(CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))" +
-          s" * (CAST($a.embedding[s.sub*8 + $i] AS DOUBLE) - CAST($b.embedding[s.sub*8 + $i] AS DOUBLE))"
-      }.mkString("\n      + ")
-      def fullTerms(a: String, b: String) = (1 to 64).map { i =>
-        s"(CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))" +
-          s" * (CAST($a.embedding[$i] AS DOUBLE) - CAST($b.embedding[$i] AS DOUBLE))"
-      }.mkString("\n      + ")
-      s"""WITH cb AS (
-         |  SELECT * FROM (
-         |    SELECT row_number() OVER (ORDER BY
-         |        ((vec_id % 100000007) * 2654435761) % 1000000, vec_id) - 1 AS code,
-         |      embedding
-         |    FROM embeddings) WHERE code < 16),
-         |assign AS (
-         |  SELECT vec_id, code AS list_id FROM (
-         |    SELECT e.vec_id, cb.code, (${fullTerms("e", "cb")}) AS cdist
-         |    FROM embeddings e CROSS JOIN cb)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cdist, code) = 1),
-         |probes AS (
-         |  SELECT query_id, list_id FROM (
-         |    SELECT q.vec_id AS query_id, cb.code AS list_id,
-         |      (${fullTerms("q", "cb")}) AS cdist
-         |    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cb)
-         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cdist, list_id) <= 4),
-         |codes AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT e.vec_id, s.sub, cb.code,
-         |      (${subTerms("e", "cb")}) AS dist
-         |    FROM embeddings e
-         |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
-         |    CROSS JOIN cb)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS query_id, s.sub, cb.code,
-         |    (${subTerms("q", "cb")}) AS d
-         |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
-         |  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(sub)
-         |  CROSS JOIN cb),
-         |adist AS (
-         |  SELECT l.query_id, c.vec_id AS neighbor_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d ORDER BY l.sub)),
-         |      (a, b) -> a + b) AS adist
-         |  FROM codes c
-         |  JOIN assign a ON a.vec_id = c.vec_id
-         |  JOIN probes p ON p.list_id = a.list_id
-         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = c.sub AND l.code = c.code
-         |  WHERE c.vec_id <> l.query_id
-         |  GROUP BY 1, 2),
-         |ann AS (
+    }, Some(ivfAdcSql("") + ",\n" +
+      s"""ann AS (
          |  SELECT query_id, neighbor_id FROM adist
          |  QUALIFY row_number() OVER (PARTITION BY query_id
          |    ORDER BY adist, neighbor_id) <= 5),
          |exact AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |      (${fullTerms("e", "q")}) AS dist
+         |      (${pqFullTermsSql("e", "q")}) AS dist
          |    FROM embeddings e
          |    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
          |    WHERE e.vec_id <> q.vec_id)
@@ -8641,8 +8616,7 @@ object SparkEntry {
          |    AS DOUBLE) / count(*) AS recall
          |FROM exact x LEFT JOIN ann a
          |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
-         |GROUP BY 1""".stripMargin
-    }),
+         |GROUP BY 1""".stripMargin)),
 
     ("q279_cohort_retention", (s, d) =>
       // the product-analytics retention matrix: users join their
@@ -8651,7 +8625,7 @@ object SparkEntry {
       // min-aggregate + one user-key equi-join (deliberately a shuffle
       // join — the user dimension is not broadcastable at 100 TB) +
       // one (cohort, offset) distinct-count.
-      graft.operators.Sessionize.cohortRetention(
+      graft.gold.Funnel.cohortRetentionWeekly(
         t(s, d, "events"), "user_id", "ts"),
     Some("""WITH weeks AS (
        |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
@@ -8691,7 +8665,7 @@ object SparkEntry {
       // so out-of-order events never inflate conversion; each step is
       // one user-keyed min-aggregate over ITS OWN type's rows joined
       // to the previous step's (monotonically narrowing) user table.
-      graft.operators.Sessionize.funnel(
+      graft.gold.Funnel.funnelOrdered(
         t(s, d, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase")),
     Some("""WITH s1 AS (

@@ -355,10 +355,13 @@ object Quality {
       .join(cells, Seq("__x", "__y"), "left")
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .crossJoin(broadcast(tot))
-    val chi2 = grid.select(term.as("__t"), col("__n"))
-      .groupBy(col("__n"))
+    // ungrouped, so empty/all-NULL input still yields the documented
+    // ONE row (chi2 NULL, dof 1, n NULL, n_x/n_y 0) — the same shape
+    // the SQL twin's `sum(...) FROM grid CROSS JOIN tot` produces;
+    // grouping by __n would emit ZERO rows on an empty grid
+    val chi2 = grid.select(term.as("__t"))
       .agg(graft.Exprs.dsum(col("__t")).as("chi2"))
-    chi2.crossJoin(nx).crossJoin(ny).select(
+    chi2.crossJoin(broadcast(tot)).crossJoin(nx).crossJoin(ny).select(
       col("chi2"),
       ((col("n_x") - 1) * (col("n_y") - 1)).as("dof"),
       col("__n").as("n"), col("n_x"), col("n_y"),

@@ -179,70 +179,4 @@ object Sessionize {
       .select(col("t").as("event_type"),
         coalesce(col("prob"), lit(0.0)).as("prob"))
   }
-
-  /** Weekly cohort retention matrix — the product-analytics table
-    * behind every "do users come back?" dashboard: each user joins
-    * the cohort of their FIRST-seen week, and cell (cohort_week,
-    * week_offset) counts the cohort's distinct users active `offset`
-    * weeks later (offset 0 = the cohort's own size).
-    *
-    * Scale shape: one user-keyed min-aggregate for first-seen (map-
-    * side combinable), one equi-join back on the user key (user-
-    * domain-sized build side — a SHUFFLE join by design: at 100 TB the
-    * user dimension is not broadcastable), then one (cohort, offset)
-    * aggregate with a distinct-user count (Spark's two-phase partial
-    * distinct). Weeks truncate Monday-start (both engines'
-    * `date_trunc('week')`), offsets count whole weeks between the two
-    * truncated dates — exact integer arithmetic, no timezone exposure.
-    */
-  def cohortRetention(df: DataFrame, userCol: String, tsCol: String)
-      : DataFrame = {
-    val weeks = df.select(col(userCol).as("__u"),
-      date_trunc("week", col(tsCol)).cast("date").as("__w"))
-    val cohorts = weeks.groupBy("__u").agg(min(col("__w")).as("__c"))
-    weeks.join(cohorts, Seq("__u"))
-      .groupBy(col("__c").as("cohort_week"),
-        (datediff(col("__w"), col("__c")) / 7).cast("long")
-          .as("week_offset"))
-      .agg(countDistinct(col("__u")).as("n_users"))
-  }
-
-  /** Ordered funnel conversion — the step-sequence audit ("of users
-    * who VIEWED, how many went on to CLICK, then PURCHASE?"): step i
-    * counts a user only if they performed it AT OR AFTER their
-    * earliest qualifying time for step i−1, so out-of-order events
-    * never inflate conversion. Unbounded horizon (the windowed variant
-    * composes by pre-filtering `df` to the period of interest).
-    *
-    * Scale shape: one fact-scale (user, step)-conditional min-
-    * aggregate per step — but all steps fold into a SINGLE groupBy
-    * pass would be wrong (step i's floor depends on step i−1's
-    * result), so each step is one user-keyed aggregate over the rows
-    * of ITS OWN event type joined to the previous step's user table —
-    * the per-step input shrinks monotonically (classic funnel
-    * narrowing), every join is a user-key equi-join. Output: one row
-    * per step `(step, step_name, n_users)` with step 1-based.
-    */
-  def funnel(df: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    val init = df.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol).as("__u"))
-      .agg(min(col(tsCol)).as("__t"))
-      .localCheckpoint(true)
-    val reached = steps.tail.scanLeft(init) { (prev, step) =>
-      df.filter(col(typeCol) === step)
-        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
-        .join(prev, Seq("__u"))
-        .filter(col("__ts") >= col("__t"))
-        .groupBy(col("__u"))
-        .agg(min(col("__ts")).as("__t"))
-        .localCheckpoint(true)
-    }
-    reached.zip(steps).zipWithIndex.map { case ((frame, name), i) =>
-      frame.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
-          col("n_users"))
-    }.reduce(_ unionByName _)
-  }
 }

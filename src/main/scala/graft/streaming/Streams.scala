@@ -164,6 +164,10 @@ object Streams {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (corpusDir, indexDir, pairsDir) =
           (s"$root/corpus", s"$root/signatures", s"$root/pairs")
+        // Finish any torn maintenance-window compaction before reading
+        // the accumulated index — see recoverCompaction.
+        Seq(corpusDir, indexDir, pairsDir)
+          .foreach(recoverCompaction(spark, _))
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
         val pairs =
@@ -227,6 +231,7 @@ object Streams {
         val b = batch.select(col(idCol), col(textCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (corpusDir, pairsDir) = (s"$root/corpus", s"$root/pairs")
+        Seq(corpusDir, pairsDir).foreach(recoverCompaction(spark, _))
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
         val pairs =
@@ -599,7 +604,9 @@ object Streams {
     * the identical directory, and [[compactBatches]] (identity reduce;
     * code rows are a disjoint union) is the housekeeping. The read
     * face is `State(coarse, codebook, spark.read.parquet(codesDir)
-    * .drop("batch"))` → [[graft.sim.IvfPq.probe]]: serving continues
+    * .drop("batch"))` → [[graft.sim.IvfPq.probe]] — run
+    * [[recoverCompaction]] on `codesDir` first when compaction
+    * maintenance targets it: serving continues
     * mid-stream from whatever has committed. Encoding is a pure
     * per-row projection, so the sink carries NO streaming state at
     * all — state lives in the parquet layout.
@@ -622,12 +629,98 @@ object Streams {
   }
 
   /** The read face of [[hllSink]]: the distinct-count estimate over
-    * everything the sink has absorbed so far.
+    * everything the sink has absorbed so far. Finishes any torn
+    * [[compactBatches]] swap first so a snapshot taken right after a
+    * mid-maintenance crash still sees the full register set.
     */
   def hllSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
-                  bucketBits: Int = 6): DataFrame =
+                  bucketBits: Int = 6): DataFrame = {
+    recoverCompaction(spark, s"$root/registers")
     graft.operators.Sketches.hllEstimateFromRegisters(
       spark.read.parquet(s"$root/registers").drop("batch"), bucketBits)
+  }
+
+  /** Delete that refuses to fail silently: a `false` from Hadoop's
+    * `FileSystem.delete` (no exception, just "didn't happen") would
+    * let [[compactBatches]] rename its staging dir INTO a still-
+    * present target (Hadoop rename-into-existing-directory semantics)
+    * and the compacted rows would vanish behind a dot-prefixed
+    * subpath. Loud beats lossy.
+    */
+  private def checkedDelete(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"compactBatches: delete failed: $p")
+
+  /** Rename that (a) verifies the destination is absent — Hadoop
+    * moves a source INTO an existing destination directory instead of
+    * replacing it, which would hide the data under an invisible
+    * dot-path — and (b) throws on a `false` return instead of
+    * reporting success over a swap that never happened.
+    */
+  private def checkedRename(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst))
+      throw new java.io.IOException(
+        s"compactBatches: rename destination already exists: $dst")
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"compactBatches: rename failed: $src -> $dst")
+  }
+
+  private def batchIds(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption)
+      .sorted
+
+  /** Finish (or discard) a torn [[compactBatches]] swap under `dir`.
+    *
+    * A COMMITTED staging dir (`.compact_<t>` with its `_SUCCESS`
+    * marker) is the record of a swap that must finish before any
+    * read: its source partitions may be partially deleted, so
+    * re-reading the surviving sources instead would silently drop the
+    * already-deleted partitions' rows. Recovery deletes every
+    * partition at-or-below the staging target id and renames the
+    * staging dir into place. A staging dir WITHOUT the marker is a
+    * dead partial write (its sources are all still present) and is
+    * discarded. Idempotent, and one directory listing when there is
+    * nothing to do — cheap enough that the reading faces
+    * ([[nearDupSink]]/[[exactNearDupSink]] per micro-batch,
+    * [[hllSnapshot]] per call) run it on entry, so a stream that
+    * restarts after a mid-maintenance crash converges to the full
+    * state instead of reading through the torn window. (Within the
+    * documented contract — compaction runs in a maintenance window,
+    * never concurrently with the stream — this closes the gap; the
+    * pairs a nearDup batch would have MISSED during a torn window are
+    * only at risk if that contract is violated.)
+    */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(".compact_"))
+      .foreach { st =>
+        val tgt = scala.util.Try(
+          st.getPath.getName.drop(".compact_".length).toLong).toOption
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+        (tgt, committed) match {
+          case (Some(t), true) =>
+            batchIds(fs, root).filter(_ <= t).foreach(id => checkedDelete(
+              fs, new org.apache.hadoop.fs.Path(root, s"batch=$id")))
+            checkedRename(fs, st.getPath,
+              new org.apache.hadoop.fs.Path(root, s"batch=$t"))
+          case _ => checkedDelete(fs, st.getPath) // dead partial write
+        }
+      }
+  }
 
   /** Housekeeping for the `batch=<id>` sink directories ([[hllSink]]'s
     * registers, [[nearDupSink]]/[[exactNearDupSink]]'s pairs/
@@ -646,19 +739,27 @@ object Streams {
     *  - the compacted rows land under the LARGEST compacted id (all
     *    < the untouched max), so no future or replayed batch id can
     *    ever collide with — and wrongly exclude — compacted data;
-    *  - the compacted frame is MATERIALIZED (localCheckpoint) before
-    *    any source partition is deleted, and staged as a dot-prefixed
-    *    directory (invisible to partition discovery) that is renamed
-    *    into place last, so readers never observe a partial rewrite;
+    *  - the compacted frame is staged as a dot-prefixed directory
+    *    (invisible to partition discovery) written wholly from the
+    *    still-intact sources — the parquet write IS the
+    *    materialization, nothing mutates until it commits — and
+    *    renamed into place last;
     *  - the staging write is the COMMIT POINT and recovery is
-    *    automatic: a completed staging dir (its `_SUCCESS` marker
-    *    exists) found on entry has its torn swap FINISHED first
-    *    (delete every partition at-or-below its target id, rename it
-    *    into place) — re-running after ANY crash converges to the
-    *    correct full set, never a lossy re-read of the partitions a
-    *    torn delete pass left behind; a staging dir WITHOUT the
-    *    marker is a dead partial write (its sources are all still
-    *    present) and is discarded.
+    *    automatic ([[recoverCompaction]]): a completed staging dir
+    *    (its `_SUCCESS` marker exists) found on entry has its torn
+    *    swap FINISHED first (delete every partition at-or-below its
+    *    target id, rename it into place) — re-running after ANY crash
+    *    converges to the correct full set, never a lossy re-read of
+    *    the partitions a torn delete pass left behind; a staging dir
+    *    WITHOUT the marker is a dead partial write (its sources are
+    *    all still present) and is discarded. The reading sinks run
+    *    [[recoverCompaction]] on entry too, so a restarting stream
+    *    finishes the swap itself instead of reading the torn state;
+    *  - every swap-path delete/rename CHECKS its Hadoop return value
+    *    and throws on `false` — in particular the rename refuses an
+    *    existing destination, because Hadoop rename moves the source
+    *    INTO a present directory (the compacted rows would survive on
+    *    disk but vanish from partition discovery).
     *
     * `reduce` re-aggregates the union where the sink's merge is not
     * plain concatenation — [[hllSink]] registers pass
@@ -676,46 +777,23 @@ object Streams {
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(root)) return None
-    def listIds(): Seq[Long] = fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption)
-      .sorted
-    // Recover a torn previous compaction FIRST (see the prune-safety
-    // notes): a committed staging dir is the record of a swap that
-    // must finish before any new read — its source partitions may be
-    // partially deleted, so re-reading them instead would silently
-    // drop the already-deleted ones' rows.
-    fs.listStatus(root).toSeq
-      .filter(_.getPath.getName.startsWith(".compact_"))
-      .foreach { st =>
-        val tgt = scala.util.Try(
-          st.getPath.getName.drop(".compact_".length).toLong).toOption
-        val committed = fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
-        (tgt, committed) match {
-          case (Some(t), true) =>
-            listIds().filter(_ <= t).foreach(id => fs.delete(
-              new org.apache.hadoop.fs.Path(root, s"batch=$id"), true))
-            fs.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(root, s"batch=$t"))
-          case _ => fs.delete(st.getPath, true) // dead partial write
-        }
-      }
-    val ids = listIds()
+    recoverCompaction(spark, dir) // finish any torn previous swap FIRST
+    val ids = batchIds(fs, root)
     if (ids.size < 3) return None // max is untouched; 1 old dir gains nothing
     val old = ids.dropRight(1)
     val target = old.max
-    val compacted = reduce(
-        spark.read.parquet(dir)
-          .filter(col("batch").isin(old: _*)).drop("batch"))
-      .coalesce(targetFiles)
-      .localCheckpoint(true) // materialize BEFORE deleting its inputs
+    // The staging parquet write reads wholly from the still-intact
+    // sources, so it IS the materialization barrier — nothing is
+    // deleted until it (and its _SUCCESS commit marker) completes.
     val staging = new org.apache.hadoop.fs.Path(root, s".compact_$target")
-    compacted.write.mode("overwrite").parquet(staging.toString)
-    old.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true))
-    fs.rename(staging, new org.apache.hadoop.fs.Path(root, s"batch=$target"))
+    reduce(spark.read.parquet(dir)
+        .filter(col("batch").isin(old: _*)).drop("batch"))
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    old.foreach(id => checkedDelete(
+      fs, new org.apache.hadoop.fs.Path(root, s"batch=$id")))
+    checkedRename(fs, staging,
+      new org.apache.hadoop.fs.Path(root, s"batch=$target"))
     Some(target)
   }
 

@@ -269,4 +269,23 @@ class QualitySpec extends AnyFunSuite {
     // chi2 = .25/1.5 + .25/.5 + .25/1.5 + .25/.5 = 4/3
     assert(math.abs(r._1 - 4.0 / 3) < 1e-5)
   }
+
+  test("chiSquareIndependence: all-NULL input still emits the one-row shape") {
+    import org.apache.spark.sql.functions.col
+    // the SQL twin's ungrouped `sum(...) FROM grid CROSS JOIN tot`
+    // returns ONE row on an empty grid — the Scala face must match
+    // (a grouped agg would emit zero rows and fail the oracle's
+    // row-count compare on an all-NULL contingency table)
+    val df = Seq((Option.empty[Int], Option.empty[String]),
+      (Option.empty[Int], Option.empty[String])).toDF("x", "y")
+    val rows = Quality.chiSquareIndependence(df, col("x"), col("y"))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.isNullAt(0))                       // chi2 NULL
+    assert(r.getLong(1) == 1L)                  // dof = (0-1)*(0-1)
+    assert(r.isNullAt(2))                       // n NULL (sum over nothing)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.isNullAt(5))                       // cramers_v NULL
+  }
 }

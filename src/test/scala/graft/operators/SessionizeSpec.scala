@@ -92,53 +92,6 @@ class SessionizeSpec extends AnyFunSuite {
     assert(got == Seq(("x", "y", 1L, 1000000L)))
   }
 
-  test("cohortRetention: hand-built weekly matrix") {
-    // user 1 first seen wk of Jan 1 (Mon), active again 2 weeks later;
-    // user 2 first seen wk of Jan 8; user 3 shares user 1's cohort
-    val ev = Seq(
-      (1L, ts("2024-01-02 10:00:00")), // cohort 2024-01-01, offset 0
-      (1L, ts("2024-01-16 09:00:00")), // offset 2
-      (2L, ts("2024-01-10 12:00:00")), // cohort 2024-01-08, offset 0
-      (3L, ts("2024-01-07 23:00:00")), // cohort 2024-01-01 (Sunday)
-      (3L, ts("2024-01-08 01:00:00"))  // offset 1
-    ).toDF("user_id", "ts")
-    val got = Sessionize.cohortRetention(ev, "user_id", "ts")
-      .as[(java.sql.Date, Long, Long)].collect()
-      .map(r => (r._1.toString, r._2) -> r._3).toMap
-    assert(got == Map(
-      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
-      ("2024-01-01", 2L) -> 1L, ("2024-01-08", 0L) -> 1L))
-  }
-
-  test("funnel: out-of-order steps never count, narrowing is monotone") {
-    // u1 completes view->click->purchase in order; u2 purchases BEFORE
-    // clicking (counts for steps 1-2 only); u3 views only
-    val ev = Seq(
-      (1L, ts("2024-01-01 10:00:00"), "view"),
-      (1L, ts("2024-01-01 10:05:00"), "click"),
-      (1L, ts("2024-01-01 10:10:00"), "purchase"),
-      (2L, ts("2024-01-01 09:00:00"), "view"),
-      (2L, ts("2024-01-01 09:01:00"), "purchase"), // before the click
-      (2L, ts("2024-01-01 09:30:00"), "click"),
-      (3L, ts("2024-01-01 08:00:00"), "view")
-    ).toDF("user_id", "ts", "event_type")
-    val got = Sessionize.funnel(ev, "user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"))
-      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
-    assert(got == Seq((1L, "view", 3L), (2L, "click", 2L),
-      (3L, "purchase", 1L)))
-  }
-
-  test("funnel: a same-timestamp step counts (at-or-after semantics)") {
-    val ev = Seq(
-      (1L, ts("2024-01-01 10:00:00"), "view"),
-      (1L, ts("2024-01-01 10:00:00"), "click")
-    ).toDF("user_id", "ts", "event_type")
-    val got = Sessionize.funnel(ev, "user_id", "ts", "event_type",
-        Seq("view", "click")).as[(Long, String, Long)].collect().toSet
-    assert(got == Set((1L, "view", 1L), (2L, "click", 1L)))
-  }
-
   test("stationaryDistribution: two-state alternating chain stays uniform") {
     // a -> b -> a strictly: P is the swap matrix, uniform is stationary
     val ev = Seq(
