@@ -8807,7 +8807,133 @@ object SparkEntry {
        |    THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
        |    END AS r2
-       |FROM s""".stripMargin))
+       |FROM s""".stripMargin)),
+
+    ("q285_roc_auc", (s, d) =>
+      // the classifier-audit yardstick: exact midrank Mann-Whitney
+      // AUC of order price against fulfillment status. One fact-scale
+      // (score -> pos/neg counts) aggregate, then Ranks.prefixSum for
+      // the below-score negative mass (a continuous score's distinct
+      // support is fact-scale — a global ORDER BY window would
+      // single-task it), one closing ungrouped aggregate; the numer
+      // folds in DECIMAL (LONG overflows at 10^12 rows per class).
+      graft.operators.Experiment.rocAuc(t(s, d, "orders"),
+        col("o_orderstatus") === "F", col("o_totalprice")),
+    Some("""WITH s AS (
+       |  SELECT CAST(o_totalprice AS DOUBLE) AS sc,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS q
+       |  FROM orders
+       |  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+       |  GROUP BY 1),
+       |pre AS (
+       |  SELECT p, q, COALESCE(CAST(sum(q) OVER (ORDER BY sc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    CAST(0 AS BIGINT)) AS qb
+       |  FROM s),
+       |t AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       |  CAST(sum(q) AS BIGINT) AS n_neg,
+       |  sum(p * (2 * qb + q)) AS numer2 FROM pre)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN round(CAST(numer2 AS DOUBLE) / (2.0 * n_pos * n_neg), 9)
+       |    END AS auc
+       |FROM t""".stripMargin)),
+
+    ("q286_kaplan_meier", (s, d) =>
+      // censoring-correct user-lifetime curve: users last active more
+      // than 7 days before the corpus edge churned (death at their
+      // first->last span); anyone active within the horizon is
+      // censored. One user-keyed min/max aggregate; the product-limit
+      // closing runs on the distinct-duration table (day-domain, the
+      // B-rows exception), log-grain rounded at 12 dp before the
+      // exact decimal cumulative sum (the q284 ln discipline), with a
+      // running min(n-d)=0 guard pinning the everyone-dies step to
+      // exact 0 (Spark ln(0) is NULL, DuckDB -inf — neither reaches
+      // the output).
+      graft.operators.Survival.kaplanMeier(t(s, d, "events"),
+        "user_id", "ts", horizonDays = 7),
+    Some("""WITH peru AS (
+       |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+       |    max(CAST(ts AS DATE)) AS l
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1),
+       |edge AS (SELECT max(l) AS mx FROM peru),
+       |lab AS (
+       |  SELECT CAST(l - f AS BIGINT) AS dur,
+       |    CASE WHEN mx - l > 7 THEN 1 ELSE 0 END AS ev
+       |  FROM peru CROSS JOIN edge),
+       |agg AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+       |    CAST(count(*) - sum(ev) AS BIGINT) AS c FROM lab GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+       |risk AS (
+       |  SELECT dur, d, c,
+       |    CAST(n - COALESCE(sum(d + c) OVER (ORDER BY dur
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      CAST(0 AS BIGINT)) AS BIGINT) AS nr
+       |  FROM agg CROSS JOIN tot)
+       |SELECT dur AS duration_days, nr AS n_risk, d AS n_events,
+       |  c AS n_censored,
+       |  CASE WHEN min(nr - d) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+       |    THEN 0.0
+       |    ELSE round(exp(COALESCE(CAST(sum(CASE WHEN d < nr THEN
+       |          CAST(round(ln(1 - CAST(d AS DOUBLE) / nr), 12)
+       |            AS DECIMAL(18,12)) END)
+       |        OVER (ORDER BY dur
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |        AS DOUBLE), 0.0)), 9) END AS survival
+       |FROM risk""".stripMargin)),
+
+    ("q287_bootstrap_ci", (s, d) =>
+      // the error bar a 100 TB mean ships with: deterministic
+      // Poisson-bootstrap CI — per-(row, replicate) Poisson(1)
+      // weights from the seeded portable hash (pure function of the
+      // data; the oracle replays it exactly), ONE fact-scale pass
+      // whose explode collapses map-side (the shuffle carries <= b
+      // rows per partition), nearest-rank quantile pair on the b-row
+      // replicate table.
+      graft.operators.Experiment.bootstrapMeanCI(t(s, d, "lineitem"),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        col("l_extendedprice"), b = 64, seed = 11L),
+    Some("""WITH base AS (
+       |  SELECT l_orderkey * 10 + l_linenumber AS id,
+       |    CAST(l_extendedprice AS DECIMAL(18,6)) AS x
+       |  FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+       |    AND l_extendedprice IS NOT NULL),
+       |ov AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(x) AS DOUBLE) / count(*), 9) AS mean FROM base),
+       |rep AS (
+       |  SELECT r.j, x,
+       |    ((((id % 100000007) * (2654435761 + 11 + r.j)) % 99999989)
+       |      * 2246822519) % 1000000 AS u
+       |  FROM base CROSS JOIN range(64) r(j)),
+       |wt AS (SELECT j, x,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+       |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+       |      WHEN u < 999917 THEN 6 ELSE 7 END AS w
+       |  FROM rep),
+       |m AS (SELECT j, CASE WHEN sum(w) > 0 THEN
+       |    round(CAST(sum(CAST(w * x AS DECIMAL(18,6))) AS DOUBLE)
+       |      / sum(w), 9) END AS m
+       |  FROM wt GROUP BY 1),
+       |ok AS (SELECT j, m FROM m WHERE m IS NOT NULL),
+       |be AS (SELECT CAST(count(*) AS BIGINT) AS beff FROM ok),
+       |rk AS (SELECT m, row_number() OVER (ORDER BY m, j) AS r FROM ok),
+       |ci AS (SELECT
+       |    max(CASE WHEN r = (beff * 25000 + 999999) // 1000000
+       |      THEN m END) AS ci_lo,
+       |    max(CASE WHEN r = beff - ((beff * 25000 + 999999) // 1000000)
+       |        + 1 THEN m END) AS ci_hi,
+       |    COALESCE(max(beff), CAST(0 AS BIGINT)) AS b_eff
+       |  FROM rk CROSS JOIN be)
+       |SELECT n, CASE WHEN n > 0 THEN mean END AS mean,
+       |  ci_lo, ci_hi, b_eff
+       |FROM ov CROSS JOIN ci""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -61,4 +61,36 @@ class ExperimentSpec extends AnyFunSuite {
     val s1 = (0L until 50L).count(variantOf(_, 1L) == 0L)
     assert(counts(1L)._1 == s1) // matches the portable hash exactly
   }
+
+  test("rocAuc: perfect, inverted, and hand midrank-tie cases") {
+    // perfect separation: every positive scores above every negative
+    val perfect = Seq((true, 10.0), (true, 9.0), (false, 2.0),
+      (false, 1.0)).toDF("y", "s")
+    val Array(p) = Experiment.rocAuc(perfect, col("y"), col("s"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(p == ((2L, 2L, Some(1.0))))
+    // fully inverted ranking -> 0
+    val inv = Seq((false, 10.0), (false, 9.0), (true, 2.0), (true, 1.0))
+      .toDF("y", "s")
+    val Array(i) = Experiment.rocAuc(inv, col("y"), col("s"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(i._3.contains(0.0))
+    // midrank ties: pos at {3, 2}, neg at {2, 1}; pairs: (3>2)=1,
+    // (3>1)=1, (2=2)=0.5, (2>1)=1 -> AUC = 3.5/4 = 0.875
+    val tie = Seq((true, 3.0), (true, 2.0), (false, 2.0), (false, 1.0))
+      .toDF("y", "s")
+    val Array(t) = Experiment.rocAuc(tie, col("y"), col("s"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(t == ((2L, 2L, Some(0.875))))
+  }
+
+  test("rocAuc: single-class and empty inputs keep the one-row NULL shape") {
+    val onlyPos = Seq((true, 1.0), (true, 2.0)).toDF("y", "s")
+    val Array(r) = Experiment.rocAuc(onlyPos, col("y"), col("s"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(r == ((2L, 0L, None))) // undefined, never 0 or 1
+    val empty = Seq.empty[(Boolean, Double)].toDF("y", "s")
+    val out = Experiment.rocAuc(empty, col("y"), col("s")).collect()
+    assert(out.length == 1 && out.head.isNullAt(2))
+  }
 }
