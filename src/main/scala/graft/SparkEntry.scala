@@ -2683,7 +2683,13 @@ object SparkEntry {
       // character-level near-dup verify over the adjacent-pair list:
       // exact Levenshtein (codegen'd built-in) + normalized similarity
       val docs = t(s, d, "documents").select("doc_id", "text")
-      docs.select(col("doc_id").as("id1"), col("text").as("t1"))
+      // Par.fan on the probe side: the per-pair Levenshtein DP (the
+      // whole cost of this query) runs after a broadcast join, i.e. at
+      // the SCAN's task count — one core for a single-file input.
+      // No-op at scale.
+      graft.operators.Par.fan(
+          docs.select(col("doc_id").as("id1"), col("text").as("t1")),
+          col("id1"))
         .join(docs.select((col("doc_id") - 1).as("id1"),
           col("doc_id").as("id2"), col("text").as("t2")), Seq("id1"))
         .select(col("id1"), col("id2"),
@@ -8332,8 +8338,12 @@ object SparkEntry {
       // closed-form price-vs-quantity regression per return flag: the
       // five sufficient sums ride ONE map-side-combinable aggregate;
       // no solver, no second pass, one row per group.
+      // Par.fan: the five decimal sufficient-sums otherwise run their
+      // map side on the scan's one task (single-file input); keyed by
+      // l_orderkey so the hash spreads. No-op at scale.
       graft.operators.Ols.fitGrouped(
-        t(s, d, "lineitem"), "flag", col("l_returnflag"),
+        graft.operators.Par.fan(t(s, d, "lineitem"), col("l_orderkey")),
+        "flag", col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice")),
     Some("""WITH s AS (
        |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,

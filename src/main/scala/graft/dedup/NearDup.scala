@@ -19,16 +19,10 @@ object NearDup {
     * input reads as one file = one partition = one thread). At scale the
     * file splits already give parallelism and the shuffle would be a
     * pure waste, so a well-split input passes through untouched.
+    * (Shared implementation: [[graft.operators.Par.fan]].)
     */
-  private[graft] def ensureParallel(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // Read the partition count off the Dataset's OWN cached
-    // QueryExecution: `df.rdd` would build a second, deserializing
-    // QueryExecution (rddQueryExecution) — physically planning a wide
-    // input twice just to read a number.
-    val nParts = df.queryExecution.toRdd.getNumPartitions
-    if (nParts >= target) df else df.repartition(target, key)
-  }
+  private[graft] def ensureParallel(df: DataFrame, key: Column): DataFrame =
+    graft.operators.Par.fan(df, key)
 
   /** MinHash signatures over token `n`-gram shingles: one row per doc,
     * `sig` = array of k minima. Single projection pass per row —

@@ -91,9 +91,14 @@ object Experiment {
     * Output: `(n_pos, n_neg, auc)`.
     */
   def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
-    val byScore = df.filter(label.isNotNull && score.isNotNull)
-      .select(when(label.cast("boolean"), 1L).otherwise(0L).as("__y"),
-        score.cast("double").as("__s"))
+    // fan BY THE GROUPING KEY (scan-parallelism floor, Par.fan): the
+    // score aggregate then reuses the fan's partitioning — one
+    // exchange total — and its map side runs wide instead of at the
+    // scan's task count. No-op at scale.
+    val byScore = Par.fan(
+      df.filter(label.isNotNull && score.isNotNull)
+        .select(when(label.cast("boolean"), 1L).otherwise(0L).as("__y"),
+          score.cast("double").as("__s")), col("__s"))
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__p"),
         (count(lit(1)) - sum(col("__y"))).as("__q"))
@@ -162,8 +167,15 @@ object Experiment {
       s"alphaPpm must be in (0, 5e5), got $alphaPpm")
     require(seed >= 0 && seed + b <= 60000000000L,
       s"seed+b must stay in hashMod2's [0, 6e10] bound, got $seed + $b")
-    val base = df.filter(id.isNotNull && value.isNotNull)
-      .select(id.as("__id"), value.cast(graft.Exprs.Money).as("__x"))
+    // scan-parallelism floor (Par.fan): the b-way explode below
+    // multiplies every base row — on a single-file input that whole
+    // fact-scale expansion (and the overall-mean pass) would run on
+    // one core. Fan the COMPACT pre-explode rows (§2.3); no-op at
+    // scale.
+    val base = Par.fan(
+      df.filter(id.isNotNull && value.isNotNull)
+        .select(id.as("__id"), value.cast(graft.Exprs.Money).as("__x")),
+      col("__id"))
     val overall = base.agg(count(lit(1)).as("n"),
       graft.Exprs.davg(col("__x")).as("__mean"))
     // per-(row, replicate) hash -> ppm -> Poisson weight; seed varies

@@ -36,7 +36,16 @@ object Spectral {
     * dim²-row table, which is free. dim² output rows.
     */
   def gram(df: DataFrame, vecCol: String): DataFrame = {
-    val v = df.select(Similarity.toDouble(col(vecCol)).as("__v"))
+    // Scan-parallelism floor (Par.fan): the dim²/2-way pair explode
+    // below multiplies every row ~2080× (dim 64) — on a single-file
+    // input that whole expansion and the cell partial-aggregate run on
+    // ONE core. Fan the COMPACT vectors first (§2.3: shuffle few
+    // bytes, expand after), keyed by the vector's own leading
+    // component (high-cardinality; the id column is not in scope
+    // here). No-op at scale.
+    val v = graft.operators.Par.fan(
+      df.select(Similarity.toDouble(col(vecCol)).as("__v")),
+      col("__v").getItem(0))
     val upper = v
       .select(posexplode(col("__v")).as(Seq("i", "xi")), col("__v"))
       .select(col("i").cast("long").as("i"),
@@ -81,7 +90,11 @@ object Spectral {
     */
   def project(df: DataFrame, idCol: String, vecCol: String,
               direction: DataFrame): DataFrame =
-    df.select(col(idCol),
+    // fan by id before the dim-way explode + grouped sum: the groupBy
+    // below reuses the fan's partitioning (one exchange total) and the
+    // explode runs wide. No-op at scale.
+    graft.operators.Par.fan(df.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol),
         posexplode(Similarity.toDouble(col(vecCol))).as(Seq("j", "x")))
       .select(col(idCol), col("j").cast("long").as("j"), col("x"))
       .join(broadcast(direction), Seq("j"))
