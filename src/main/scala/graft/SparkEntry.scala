@@ -2926,18 +2926,28 @@ object SparkEntry {
           java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
       }
       stage(docs.filter(col("doc_id") % 3 === 0), 1)
-      val sq = graft.streaming.Streams.exactNearDupSink(
-        s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
-          .parquet(feedDir),
-        "doc_id", "text", s"$tmp/nd", s"$tmp/ckpt", threshold = 0.9,
-        shingleN = 3)
+      // partition sizing, the q277 rule: each micro-batch runs the
+      // prefix-filter join + pair write against the accumulated index
+      // — 32 shuffle partitions mean 32 tasks and files per batch=dir
+      // for a pair set that is tiny per batch. 8 cuts the per-batch
+      // commit cost 4×; results partition-count-independent; restore
+      // covers everything from the set on.
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        sq.processAllAvailable()
-        stage(docs.filter(col("doc_id") % 3 === 1), 2)
-        sq.processAllAvailable()
-        stage(docs.filter(col("doc_id") % 3 === 2), 3)
-        sq.processAllAvailable()
-      } finally sq.stop()
+        val sq = graft.streaming.Streams.exactNearDupSink(
+          s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+            .parquet(feedDir),
+          "doc_id", "text", s"$tmp/nd", s"$tmp/ckpt", threshold = 0.9,
+          shingleN = 3)
+        try {
+          sq.processAllAvailable()
+          stage(docs.filter(col("doc_id") % 3 === 1), 2)
+          sq.processAllAvailable()
+          stage(docs.filter(col("doc_id") % 3 === 2), 3)
+          sq.processAllAvailable()
+        } finally sq.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       val res = s.read.parquet(s"$tmp/nd/pairs")
         .select("id1", "id2", "jaccard")
         .localCheckpoint(true)
@@ -3193,28 +3203,39 @@ object SparkEntry {
       }
       stage(ev.filter(col("event_id") % 3 === 0), 1)
       import s.implicits._
-      val typed = s.readStream
-        .schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
-        .parquet(feedDir)
-        .select(col("user_id"), col("ts"), col("value"))
-        .as[graft.streaming.Streams.UserEvent]
-      val sq = graft.streaming.Streams.userSessions(typed)
-        .writeStream
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("update")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[
-            graft.streaming.Streams.UserSession], id: Long) =>
-          b.write.mode("overwrite").parquet(s"$tmp/updates/batch=$id")
-          ()
-        }
-        .start()
+      // state-partition sizing, the q277 rule: the keyed state store
+      // commits one delta file per shuffle partition per micro-batch —
+      // at the session's 32 partitions that is ~96 filesystem commits
+      // across 3 batches for a user-count-bounded state. 8 partitions
+      // cuts the commit storm 4× (results partition-count-independent;
+      // Structured Streaming pins the count in the checkpoint at first
+      // batch). Restore covers everything from the set on.
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        sq.processAllAvailable()
-        stage(ev.filter(col("event_id") % 3 === 1), 2)
-        sq.processAllAvailable()
-        stage(ev.filter(col("event_id") % 3 === 2), 3)
-        sq.processAllAvailable()
-      } finally sq.stop()
+        val typed = s.readStream
+          .schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+          .parquet(feedDir)
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[graft.streaming.Streams.UserEvent]
+        val sq = graft.streaming.Streams.userSessions(typed)
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              graft.streaming.Streams.UserSession], id: Long) =>
+            b.write.mode("overwrite").parquet(s"$tmp/updates/batch=$id")
+            ()
+          }
+          .start()
+        try {
+          sq.processAllAvailable()
+          stage(ev.filter(col("event_id") % 3 === 1), 2)
+          sq.processAllAvailable()
+          stage(ev.filter(col("event_id") % 3 === 2), 3)
+          sq.processAllAvailable()
+        } finally sq.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       val res = graft.operators.Dedup.keepLatest(
           s.read.parquet(s"$tmp/updates"), Seq("user_id"), "batch")
         .select(col("user_id"), col("events"),
@@ -6348,19 +6369,29 @@ object SparkEntry {
           java.nio.file.Paths.get(s"$feedDir/b$n.parquet"))
       }
       stage(b1, 1)
-      val sq = graft.streaming.Streams.aggSink(
-        s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
-          .parquet(feedDir),
-        "grp", "v", s"$tmp/agg", s"$tmp/ckpt")
-      // stop on EVERY exit path: an orphaned StreamingQuery in the
-      // shared session would pollute every later suite query; the
-      // result is checkpointed off the temp files so the whole root
-      // can be deleted before returning
+      // partition sizing, the q277 rule: each micro-batch's fold runs
+      // a grouped aggregate and rewrites the versioned snapshot — at
+      // the session's 32 shuffle partitions that is 32 tasks + files
+      // per version for a #groups-sized table. 8 cuts the per-batch
+      // commit cost 4×; results are partition-count-independent and
+      // the restore covers everything from the set on.
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        sq.processAllAvailable()
-        stage(b2, 2); sq.processAllAvailable()
-        stage(b3, 3); sq.processAllAvailable()
-      } finally sq.stop()
+        val sq = graft.streaming.Streams.aggSink(
+          s.readStream.schema(s.read.parquet(s"$feedDir/b1.parquet").schema)
+            .parquet(feedDir),
+          "grp", "v", s"$tmp/agg", s"$tmp/ckpt")
+        // stop on EVERY exit path: an orphaned StreamingQuery in the
+        // shared session would pollute every later suite query; the
+        // result is checkpointed off the temp files so the whole root
+        // can be deleted before returning
+        try {
+          sq.processAllAvailable()
+          stage(b2, 2); sq.processAllAvailable()
+          stage(b3, 3); sq.processAllAvailable()
+        } finally sq.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       val res = graft.streaming.Streams.currentSnapshot(s, s"$tmp/agg")
         .select(col("grp"),
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
@@ -6489,31 +6520,39 @@ object SparkEntry {
               java.nio.file.Paths.get(s"$relayDir/b${batch}_$i.parquet"))
           }
       stage(s1, 1)
-      val cdc = graft.streaming.Streams.cdcSink(
-        s.readStream.schema(s.read.parquet(s"$snapDir/b1.parquet").schema)
-          .parquet(snapDir),
-        Seq("k"), s"$tmp/snapstore", s"$tmp/feed", s"$tmp/ckpt_cdc")
-      // both queries stop on EVERY exit path (orphaned streams would
-      // pollute the shared suite session); result checkpointed off
-      // the temp files so the root can be deleted before returning
-      var agg: org.apache.spark.sql.streaming.StreamingQuery = null
+      // partition sizing, the q277 rule (see q192): two chained sinks,
+      // each folding #groups-sized state per micro-batch — 8 shuffle
+      // partitions cut the per-batch task/file count 4×; results are
+      // partition-count-independent; restore covers everything.
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        cdc.processAllAvailable()
-        relay(0)
-        agg = graft.streaming.Streams.aggSink(
-          s.readStream
-            .schema(s.read.parquet(s"$tmp/feed/batch=0").schema)
-            .parquet(relayDir),
-          "g", "p", s"$tmp/agg", s"$tmp/ckpt_agg")
-        agg.processAllAvailable()
-        stage(s2, 2); cdc.processAllAvailable()
-        relay(1); agg.processAllAvailable()
-        stage(s3, 3); cdc.processAllAvailable()
-        relay(2); agg.processAllAvailable()
-      } finally {
-        cdc.stop()
-        if (agg != null) agg.stop()
-      }
+        val cdc = graft.streaming.Streams.cdcSink(
+          s.readStream.schema(s.read.parquet(s"$snapDir/b1.parquet").schema)
+            .parquet(snapDir),
+          Seq("k"), s"$tmp/snapstore", s"$tmp/feed", s"$tmp/ckpt_cdc")
+        // both queries stop on EVERY exit path (orphaned streams would
+        // pollute the shared suite session); result checkpointed off
+        // the temp files so the root can be deleted before returning
+        var agg: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          cdc.processAllAvailable()
+          relay(0)
+          agg = graft.streaming.Streams.aggSink(
+            s.readStream
+              .schema(s.read.parquet(s"$tmp/feed/batch=0").schema)
+              .parquet(relayDir),
+            "g", "p", s"$tmp/agg", s"$tmp/ckpt_agg")
+          agg.processAllAvailable()
+          stage(s2, 2); cdc.processAllAvailable()
+          relay(1); agg.processAllAvailable()
+          stage(s3, 3); cdc.processAllAvailable()
+          relay(2); agg.processAllAvailable()
+        } finally {
+          cdc.stop()
+          if (agg != null) agg.stop()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       val res = graft.streaming.Streams.currentSnapshot(s, s"$tmp/agg")
         .select(col("g"),
           col("sum_value").cast("double").as("sum_value"), col("n_rows"))
@@ -8237,22 +8276,32 @@ object SparkEntry {
         // batch 1: even ids, plus replayed copies of every 10th id
         stage(ev.filter(col("event_id") % 2 === 0)
           .unionByName(ev.filter(col("event_id") % 10 === 0)), 1)
-        val sq = graft.streaming.Streams.dedupSink(
-          s.readStream
-            .schema(s.read.parquet(feedDir).schema)
-            .parquet(feedDir),
-          "ts", Seq("event_id"), delay = "3650 days",
-          s"$tmp/out", s"$tmp/ckpt")
+        // state-partition sizing, the q277 rule: the dedup state store
+        // commits one delta file per shuffle partition per micro-batch
+        // (stage metrics: 4 stateful 32-task stages at 13-19 s summed
+        // task time vs <0.6 s CPU — pure commit latency). 8 partitions
+        // cuts the commit storm 4×; results are partition-count-
+        // independent and the restore covers everything from the set on.
+        val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          sq.processAllAvailable()
-          // batch 2: odd ids, replays of odd ids (within-batch dups)
-          // AND replays of id%10==4 — even rows batch 1 already
-          // emitted, the cross-batch state test
-          stage(ev.filter(col("event_id") % 2 === 1)
-            .unionByName(ev.filter(col("event_id") % 10 === 1))
-            .unionByName(ev.filter(col("event_id") % 10 === 4)), 2)
-          sq.processAllAvailable()
-        } finally sq.stop()
+          val sq = graft.streaming.Streams.dedupSink(
+            s.readStream
+              .schema(s.read.parquet(feedDir).schema)
+              .parquet(feedDir),
+            "ts", Seq("event_id"), delay = "3650 days",
+            s"$tmp/out", s"$tmp/ckpt")
+          try {
+            sq.processAllAvailable()
+            // batch 2: odd ids, replays of odd ids (within-batch dups)
+            // AND replays of id%10==4 — even rows batch 1 already
+            // emitted, the cross-batch state test
+            stage(ev.filter(col("event_id") % 2 === 1)
+              .unionByName(ev.filter(col("event_id") % 10 === 1))
+              .unionByName(ev.filter(col("event_id") % 10 === 4)), 2)
+            sq.processAllAvailable()
+          } finally sq.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
         s.read.parquet(s"$tmp/out")
           .select("event_id", "ts", "user_id", "event_type")
           .localCheckpoint(true)

@@ -133,13 +133,21 @@ object Hits {
     // from the fresh authorities
     var hubs = e.select(col("c")).distinct().withColumn("s", lit(1.0))
     var auths: DataFrame = null
+    // The DECIMAL(18,6) quantization of a score is a pure function of
+    // the NODE, not the edge — casting on the |V|-sized score table
+    // before the join (instead of inside the per-edge dsum) does the
+    // cast once per node instead of once per edge (§2.3; the PageRank
+    // per-src-contribution rule). Same quantized addends, same sums —
+    // bit-identical output.
+    def sumJoined(scores: DataFrame, joinKey: String,
+                  groupKey: String): DataFrame =
+      e.join(scores.withColumn("__sd", col("s").cast(graft.Exprs.Money))
+          .select(col(joinKey), col("__sd")), Seq(joinKey))
+        .groupBy(col(groupKey))
+        .agg(sum(col("__sd")).cast("double").as("s"))
     for (_ <- 1 to iters) {
-      auths = normalized(
-        e.join(hubs, Seq("c"))
-          .groupBy(col("p")).agg(graft.Exprs.dsum(col("s")).as("s")), "p")
-      hubs = normalized(
-        e.join(auths, Seq("p"))
-          .groupBy(col("c")).agg(graft.Exprs.dsum(col("s")).as("s")), "c")
+      auths = normalized(sumJoined(hubs, "c", "p"), "p")
+      hubs = normalized(sumJoined(auths, "p", "c"), "c")
     }
     hubs.select(lit("hub").as("kind"), col("c").as("id"),
         col("s").as("score"))

@@ -77,11 +77,22 @@ object PageRank {
       .select(col("id"), (lit(1.0) / col("nn")).as("r"))
     var it = 0
     while (it < iters) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+      // Per-SRC contribution value (r/outdeg, quantized to the exact
+      // DECIMAL grid) computed on the |V|-sized rank table BEFORE the
+      // edge join: the division and the decimal cast are a pure
+      // function of src, so evaluating them per EDGE (as the join-
+      // then-project order did) repeated identical work |E|/|V| times
+      // — measured 27+ CPU-s per iteration at sf0.1, dominated by
+      // exactly this (§2.3: put per-key work on the key table, ship
+      // the result). Same value per src, same decimal sum per dst —
+      // bit-identical output.
+      val perSrc = ranks.withColumnRenamed("id", "src")
         .join(outd, Seq("src"))
+        .select(col("src"), (col("r") / col("od")).cast(Acc).as("__c"))
+      val contrib = e
+        .join(perSrc, Seq("src"))
         .groupBy(col("dst"))
-        .agg(sum((col("r") / col("od")).cast(Acc)).cast("double").as("m"))
+        .agg(sum(col("__c")).cast("double").as("m"))
       ranks = nodes.crossJoin(nn)
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
