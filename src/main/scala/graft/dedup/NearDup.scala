@@ -278,18 +278,28 @@ object NearDup {
   def gramJaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
                         textCol: String, n: Int): DataFrame =
     if (n == 1) jaccardVerify(pairs, df, idCol, textCol)
-    else {
-      val grams = ensureParallel(df, col(idCol))
+    else gramJaccardVerifyOnGrams(pairs,
+      ensureParallel(df, col(idCol))
         .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
         .filter(size(col("toks")) >= n)
-        .select(col(idCol), array_distinct(TextOps.ngrams(col("toks"), n)).as("g"))
-      pairs
-        .join(grams.select(col(idCol).as("id1"), col("g").as("g1")), Seq("id1"))
-        .join(grams.select(col(idCol).as("id2"), col("g").as("g2")), Seq("id2"))
-        .select(col("id1"), col("id2"),
-          (size(array_intersect(col("g1"), col("g2"))).cast("double") /
-            size(array_union(col("g1"), col("g2")))).as("jaccard"))
-    }
+        .select(col(idCol), array_distinct(TextOps.ngrams(col("toks"), n)).as("g")),
+      idCol)
+
+  /** [[gramJaccardVerify]] over a PRE-BUILT `(idCol, g)` distinct-gram
+    * table — the face for callers that already hold the tokenized
+    * corpus (prefixFilterPairs materializes it once and feeds the
+    * prefix build AND this verify from the same cache, instead of
+    * re-tokenizing per pass).
+    */
+  private[graft] def gramJaccardVerifyOnGrams(pairs: DataFrame,
+                                              grams: DataFrame,
+                                              idCol: String): DataFrame =
+    pairs
+      .join(grams.select(col(idCol).as("id1"), col("g").as("g1")), Seq("id1"))
+      .join(grams.select(col(idCol).as("id2"), col("g").as("g2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2")))).as("jaccard"))
 
   /** EXACT set-similarity self-join via prefix filtering (the
     * PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al. 2008)
@@ -317,12 +327,20 @@ object NearDup {
                         maxBucketSize: Int = 100000): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sh = ensureParallel(df, col(idCol))
+    // Tokenize ONCE: the stage profile showed this call's three heavy
+    // passes (shingle-frequency aggregate, prefix build, verify) EACH
+    // re-running tokenize+ngram from the scan (~8 CPU-s apiece at
+    // sf0.1). The compact (id, toks) table — same order of size as
+    // the input text — is persisted for the call's duration and feeds
+    // all three; the PPJoin literature's materialized prefix index,
+    // applied one level down. Unpersisted before return.
+    val toks = ensureParallel(df, col(idCol))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
-      .select(col(idCol),
-        explode(array_distinct(TextOps.ngrams(col("toks"), shingleN)))
-          .as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = toks.select(col(idCol),
+      explode(array_distinct(TextOps.ngrams(col("toks"), shingleN)))
+        .as("g"))
     val freq = sh.groupBy("g").agg(count(lit(1)).as("__f"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
     val ord = byDoc.orderBy(col("__f").asc, col("g").asc)
@@ -335,10 +353,14 @@ object NearDup {
     val capped = capBuckets(pre, Seq("g"), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bucketSelfJoin(capped, idCol, Seq("g"))
-    val out = gramJaccardVerify(cand, df, idCol, textCol, shingleN)
+    val out = gramJaccardVerifyOnGrams(cand,
+        toks.select(col(idCol),
+          array_distinct(TextOps.ngrams(col("toks"), shingleN)).as("g")),
+        idCol)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     capped.unpersist()
+    toks.unpersist()
     out
   }
 
@@ -376,15 +398,19 @@ object NearDup {
       : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    def shingled(df: DataFrame) = ensureParallel(df, col(idCol))
+    // tokenize once per side (the prefixFilterPairs materialization,
+    // same rationale): frequency pass, prefix build and verify all
+    // read the cached compact (id, toks) tables
+    def toksOf(df: DataFrame) = ensureParallel(df, col(idCol))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
-      .select(col(idCol),
-        explode(array_distinct(TextOps.ngrams(col("toks"), shingleN)))
-          .as("g"))
-    val shBase = shingled(base)
-    val shInc = shingled(incoming)
-    val shAll = shBase.unionByName(shInc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toksBase = toksOf(base)
+    val toksInc = toksOf(incoming)
+    def shingled(t: DataFrame) = t.select(col(idCol),
+      explode(array_distinct(TextOps.ngrams(col("toks"), shingleN)))
+        .as("g"))
+    val shAll = shingled(toksBase).unionByName(shingled(toksInc))
     val freq = shAll.groupBy("g").agg(count(lit(1)).as("__f"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
     val ord = byDoc.orderBy(col("__f").asc, col("g").asc)
@@ -408,13 +434,15 @@ object NearDup {
       .select(least(col("__a"), col("__b")).as("id1"),
         greatest(col("__a"), col("__b")).as("id2"))
       .distinct()
-    val out = gramJaccardVerify(cand,
-        base.select(col(idCol), col(textCol))
-          .unionByName(incoming.select(col(idCol), col(textCol))),
-        idCol, textCol, shingleN)
+    val out = gramJaccardVerifyOnGrams(cand,
+        toksBase.unionByName(toksInc).select(col(idCol),
+          array_distinct(TextOps.ngrams(col("toks"), shingleN)).as("g")),
+        idCol)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     preAll.unpersist()
+    toksBase.unpersist()
+    toksInc.unpersist()
     out
   }
 
