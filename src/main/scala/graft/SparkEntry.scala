@@ -1622,7 +1622,10 @@ object SparkEntry {
         graft.functions.RollingHash.of(t) % 64L)
       // the histogram is emitted comma-joined (not array<long>): the
       // driver's comparator sorts result columns and cannot hash arrays
-      t(s, d, "documents")
+      // Par.fan: this whole query is one narrow projection — per-token
+      // rolling hash + 64-bin fold — which on a single-file input runs
+      // entirely in the scan's ONE task. No-op at scale.
+      graft.operators.Par.fan(t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           concat_ws(",", transform(
@@ -2253,7 +2256,10 @@ object SparkEntry {
       // the drop across n is the repetitiveness fingerprint of a corpus.
       // One explode + one aggregate per n, unioned (aggregate-sized)
       def ttr(n: Int) = {
-        val grams = t(s, d, "documents")
+        // Par.fan: tokenize + n-gram explode feed the countDistinct's
+        // map side — one task on a single-file input. No-op at scale.
+        val grams = graft.operators.Par.fan(
+            t(s, d, "documents"), col("doc_id"))
           .select(TextOps.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= n)
           .select(explode(TextOps.ngrams(col("toks"), n)).as("g"))
@@ -2441,7 +2447,9 @@ object SparkEntry {
       // quality gates a corpus build runs before training. Tokens are
       // projected to a real column first so the n-gram lambdas reference
       // an attribute, not a re-evaluated split (see TextOps scaladoc).
-      t(s, d, "documents")
+      // Par.fan: four n-gram-fold projections per row, all in the
+      // scan's one task on a single-file input. No-op at scale.
+      graft.operators.Par.fan(t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), length(col("text")).as("tlen"),
           TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),

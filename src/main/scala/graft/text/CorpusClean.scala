@@ -183,7 +183,10 @@ object CorpusClean {
                     textCol: String, n: Int = 3): DataFrame = {
     def sh(df: DataFrame) = {
       val toks = TextOps.tokens(col(textCol))
-      df.filter(size(toks) >= n)
+      // scan-parallelism floor (Par.fan): tokenize + shingle explode
+      // otherwise run at the scan's task count — one core for a small
+      // single-file input. No-op at scale.
+      graft.operators.Par.fan(df, col(idCol)).filter(size(toks) >= n)
         .select(col(idCol),
           explode(array_distinct(TextOps.shingles(toks, n))).as("__sh"))
     }
